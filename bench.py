@@ -1,0 +1,66 @@
+"""Bench harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line.
+
+Usage: python bench.py [--tag headline|all] [--repeat N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from jobhouse_spark.queries import all_queries
+from jobhouse_spark.session import get_spark
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tag", default="headline", help="'all' or a registry tag")
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="jobhouse_bench")
+    qs = all_queries()
+    if args.tag != "all":
+        qs = {k: q for k, q in qs.items() if args.tag in q.tags}
+
+    # one warm-up action so JVM/codegen startup isn't billed to the first query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        q = qs[name]
+        best = float("inf")
+        for _ in range(max(1, args.repeat)):
+            t0 = time.perf_counter()
+            df = q.fn(spark, args.sf_dir)
+            n = df.count()  # force full execution
+            best = min(best, time.perf_counter() - t0)
+            assert n >= 0
+        timings[name] = round(best, 4)
+
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,258 @@
+"""J-family: joins (SURVEY §2.B).
+
+Strategy notes for 100 TB:
+- J1/J2: fact⋈dim equi-joins — Catalyst picks SMJ/shuffle-hash; AQE
+  converts to broadcast at runtime when the built side is small.
+- J3: explicit `broadcast()` of dimension tables — nation/region/part
+  style dims stay broadcastable at any fact-side scale.
+- J6/J7: non-equi conditions keep an equi prefix (partkey / user_id) so
+  the plan is a hash/merge join with a range residual, NOT a
+  broadcast-nested-loop over the cross product.
+- J8: as-of via union+window (operators/asof.py) — linear, single
+  shuffle; never a pair explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobhouse_spark.operators.asof import asof_join
+from jobhouse_spark.queries.registry import register
+from jobhouse_spark.tables import Tables
+
+
+@register(
+    "j1_inner_equi",
+    oracle=(
+        "SELECT n_name, COUNT(*) AS n_cust FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY n_name"
+    ),
+    tags=("join", "headline"),
+)
+def j1_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: inner equi join; Catalyst picks the physical strategy."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(t.nation, t.customer.c_nationkey == t.nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_cust"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "j2_left_outer",
+    oracle=(
+        "SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer "
+        "LEFT JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_custkey ORDER BY c_custkey"
+    ),
+    tags=("join",),
+)
+def j2_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left outer join preserving customers without orders."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, t.customer.c_custkey == t.orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "j3_broadcast",
+    oracle=(
+        "SELECT r_name, COUNT(*) AS n_cust FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name ORDER BY r_name"
+    ),
+    tags=("join", "headline"),
+)
+def j3_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: explicit broadcast of the dim side — zero shuffle of the fact table.
+
+    nation (25 rows) and region (5 rows) ship to every executor; the
+    customer scan never shuffles for the join, only for the final agg.
+    Same hash as J1's family — broadcast is a physical choice only.
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey
+        )
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_cust"))
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "j4_left_semi",
+    oracle=(
+        "SELECT COUNT(*) AS n FROM customer "
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+    ),
+    tags=("join",),
+)
+def j4_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: EXISTS — customers with at least one order."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_semi")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "j5_left_anti",
+    oracle=(
+        "SELECT COUNT(*) AS n FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)"
+    ),
+    tags=("join",),
+)
+def j5_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: NOT EXISTS — the reference's dedup-check shape (A15)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "j6_theta_range",
+    oracle=(
+        "SELECT COUNT(*) AS n FROM part JOIN lineitem "
+        "ON p_partkey = l_partkey AND l_quantity < p_size"
+    ),
+    tags=("join",),
+)
+def j6_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: equi prefix + range residual — hash join with post-filter, not BNLJ."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.join(
+            t.lineitem,
+            (t.part.p_partkey == t.lineitem.l_partkey)
+            & (t.lineitem.l_quantity < t.part.p_size),
+        ).agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "j7_band_self_join",
+    oracle=(
+        "SELECT COUNT(*) AS n FROM events a JOIN events b "
+        "ON a.user_id = b.user_id "
+        "AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 1 HOUR "
+        "AND a.event_id <> b.event_id"
+    ),
+    tags=("join",),
+)
+def j7_band_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/J10: interval band self-join — pairs of events within one hour."""
+    e = Tables(spark, sf_dir).events
+    a = e.alias("a")
+    b = e.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & F.col("b.ts").between(
+            F.col("a.ts"), F.col("a.ts") + F.expr("INTERVAL 1 HOUR")
+        )
+        & (F.col("a.event_id") != F.col("b.event_id")),
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "j8_asof_join",
+    oracle="""
+WITH clicks1 AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+),
+tagged AS (
+  SELECT user_id, ts, 0 AS side, event_id AS click_id, NULL::BIGINT AS purchase_id
+  FROM clicks1 WHERE rn = 1
+  UNION ALL
+  SELECT user_id, ts, 1 AS side, NULL::BIGINT AS click_id, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+),
+matched AS (
+  SELECT purchase_id, user_id,
+         last_value(click_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, side, purchase_id NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+  FROM tagged
+)
+SELECT purchase_id, user_id, last_click_id
+FROM matched WHERE purchase_id IS NOT NULL
+ORDER BY purchase_id
+""",
+    tags=("join", "asof"),
+)
+def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: as-of join — for each purchase, the latest click at ts <= purchase ts.
+
+    Engine side uses the blessed union+window operator
+    (jobhouse_spark.operators.asof); the oracle is the identical
+    rewrite spelled in ANSI SQL so tie semantics provably agree.
+    """
+    e = Tables(spark, sf_dir).events
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["click_id"],
+        tiebreak="click_id",
+        prefix="last_",
+    )
+    return joined.select(
+        "purchase_id", "user_id", F.col("last_click_id")
+    ).orderBy("purchase_id")
+
+
+@register(
+    "j9_cross",
+    oracle="SELECT COUNT(*) AS n FROM region CROSS JOIN nation",
+    tags=("join",),
+)
+def j9_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: cartesian product (dims only — never cross-join facts at scale)."""
+    t = Tables(spark, sf_dir)
+    return t.region.crossJoin(t.nation).agg(F.count("*").alias("n"))
+
+
+@register(
+    "j10_self_join",
+    oracle=(
+        "SELECT COUNT(*) AS n FROM orders a JOIN orders b "
+        "ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey"
+    ),
+    tags=("join",),
+)
+def j10_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: self equi join — unordered order pairs per customer."""
+    o = Tables(spark, sf_dir).orders
+    a = o.alias("a")
+    b = o.alias("b")
+    return a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).agg(F.count("*").alias("n"))

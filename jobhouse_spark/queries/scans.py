@@ -1,0 +1,133 @@
+"""S-family: scans, sources, sinks (SURVEY §2.B).
+
+Reference parity: the bronze layout written by S4 follows the reference's
+raw-layer key scheme `{source}/{y}/{m}/{d}/{h}/...` (reference
+src/storage/raw_layer.py:25-28) as hive partition columns, which buys
+Catalyst partition pruning for free at 100 TB.
+
+Round-trip queries (S2-S5) write to a per-call temp dir and re-read;
+their oracles run the same aggregate over the *original* table, so a
+lossy sink would fail the hash check.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobhouse_spark.queries.registry import dec, dec_sql, fin, fin_sql, register
+from jobhouse_spark.tables import Tables
+
+_NATION_AGG_ORACLE = (
+    "SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key, "
+    "MIN(n_name) AS min_name, MAX(n_name) AS max_name FROM nation"
+)
+
+
+def _nation_agg(df: DataFrame) -> DataFrame:
+    return df.agg(
+        F.count("*").alias("n"),
+        F.sum("n_nationkey").alias("sum_key"),
+        F.min("n_name").alias("min_name"),
+        F.max("n_name").alias("max_name"),
+    )
+
+
+@register(
+    "s1_parquet_scan",
+    oracle=(
+        "SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey "
+        "FROM lineitem"
+    ),
+    tags=("scan", "headline"),
+)
+def s1_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: columnar scan; COUNT/SUM push into a 2-column parquet read."""
+    l = Tables(spark, sf_dir).lineitem
+    return l.agg(F.count("*").alias("n"), F.sum("l_orderkey").alias("sum_okey"))
+
+
+@register("s2_jsonl_gz_roundtrip", oracle=_NATION_AGG_ORACLE, tags=("scan", "sink"))
+def s2_jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: gzip-JSONL sink + scan (bronze format, raw_layer.py:33-44 parity)."""
+    n = Tables(spark, sf_dir).nation
+    out = tempfile.mkdtemp(prefix="jh_s2_")
+    n.write.mode("overwrite").option("compression", "gzip").json(out)
+    back = spark.read.schema(n.schema).json(out)
+    return _nation_agg(back)
+
+
+@register("s3_csv_roundtrip", oracle=_NATION_AGG_ORACLE, tags=("scan", "sink"))
+def s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: CSV sink + schema-explicit scan (never inferSchema in prod)."""
+    n = Tables(spark, sf_dir).nation
+    out = tempfile.mkdtemp(prefix="jh_s3_")
+    n.write.mode("overwrite").option("header", "true").csv(out)
+    back = spark.read.schema(n.schema).option("header", "true").csv(out)
+    return _nation_agg(back)
+
+
+@register(
+    "s4_partitioned_write_roundtrip",
+    oracle=(
+        "SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id, "
+        f"{fin_sql('SUM(' + dec_sql('value') + ')')} AS sum_value FROM events"
+    ),
+    tags=("scan", "sink"),
+)
+def s4_partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: hive-layout partitioned write (source/y/m/d layout, raw_layer.py:28).
+
+    Partition columns are derived from event time exactly like the
+    reference's key scheme; re-read must reproduce the source. At 100 TB
+    this layout is what lets Catalyst prune to the scanned day/hour.
+    """
+    e = Tables(spark, sf_dir).events
+    out = tempfile.mkdtemp(prefix="jh_s4_")
+    (
+        e.withColumn("year", F.year("ts"))
+        .withColumn("month", F.month("ts"))
+        .withColumn("day", F.dayofmonth("ts"))
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sum_id"),
+        fin(F.sum(dec(F.col("value")))).alias("sum_value"),
+    )
+
+
+@register(
+    "s5_parquet_sink_roundtrip",
+    oracle=(
+        "SELECT COUNT(*) AS n, "
+        f"{fin_sql('SUM(' + dec_sql('l_extendedprice') + ')')} AS sum_price "
+        "FROM lineitem"
+    ),
+    tags=("scan", "sink"),
+)
+def s5_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: parquet write/read round trip (zstd — the 100 TB default codec)."""
+    l = Tables(spark, sf_dir).lineitem.select("l_orderkey", "l_extendedprice")
+    out = tempfile.mkdtemp(prefix="jh_s5_")
+    l.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count("*").alias("n"),
+        fin(F.sum(dec(F.col("l_extendedprice")))).alias("sum_price"),
+    )
+
+
+@register(
+    "s8_values_literal",
+    oracle="SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,'c')) t(i, s) ORDER BY i",
+    tags=("scan",),
+)
+def s8_values_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: in-memory literal relation."""
+    return spark.sql("SELECT * FROM VALUES (1,'a'),(2,'b'),(3,'c') AS t(i, s) ORDER BY i")

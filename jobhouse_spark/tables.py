@@ -1,0 +1,73 @@
+"""Loaders for the driver's synthetic parquet tables (TESTDATA.md).
+
+``Tables`` lazily reads each table from an sf dir and caches the
+DataFrame handle (not the data). At 100 TB these would be catalog
+tables; column pruning + predicate pushdown to the parquet scan is
+preserved either way because we return the raw reader output and let
+each query select/filter declaratively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class Tables:
+    """Lazy per-table DataFrame accessor: ``Tables(spark, sf_dir).lineitem``."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def load(self, name: str) -> DataFrame:
+        if name not in TABLE_NAMES:
+            raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+        if name not in self._cache:
+            path = os.path.join(self.sf_dir, f"{name}.parquet")
+            if name == "events":
+                df = self._load_events(path)
+            else:
+                df = self.spark.read.parquet(path)
+            self._cache[name] = df
+        return self._cache[name]
+
+    def _load_events(self, path: str) -> DataFrame:
+        """events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
+        parquet reader rejects. Read nanos as long and convert to a
+        microsecond timestamp — the same truncation DuckDB applies when
+        it coerces ns → µs, so oracle comparisons agree."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self.spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return self.load(name)
+
+    def register_views(self, names: tuple[str, ...] = TABLE_NAMES) -> None:
+        """Register temp views so SQL-API queries can refer to tables by name."""
+        for name in names:
+            self.load(name).createOrReplaceTempView(name)

@@ -1,0 +1,29 @@
+"""The t2 gate, locally: every registered query with an oracle must
+hash-match DuckDB at sf0.001 (fast) — the driver reruns this at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from jobhouse_spark.queries import all_queries
+
+
+def _ids():
+    return sorted(all_queries())
+
+
+@pytest.mark.parametrize("name", _ids())
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    from tests.oracle import compare_frames
+
+    q = all_queries()[name]
+    sdf = q.fn(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    assert spark_pdf is not None
+    if q.oracle is None:
+        assert len(spark_pdf) >= 0  # rows-only check, mirrors the driver
+        return
+    duck_pdf = duck.execute(q.oracle).fetchdf()
+    problems = compare_frames(spark_pdf, duck_pdf)
+    assert not problems, f"{name}: " + "; ".join(problems)
