@@ -1,0 +1,73 @@
+"""Text-analysis column expressions (SURVEY §2.B L4/L6).
+
+Language-ID, quality scoring, token counting, fingerprinting — all as
+JVM-side expressions over the `documents` table. The reference's Silver
+"cleaning/standardization" stage (docs/Pipeline Architecture.mermaid:18-23)
+generalized to LLM-corpus curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (split keeps no trailing empties for our
+    clean corpus; BPE-ish regex splitting lives in udf_surface X6)."""
+    return F.split(text, r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(text, r"[a-zA-Z0-9 ]", "")
+    return F.length(stripped) / F.length(text)
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(F.lower(text))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Composite heuristic quality gate score in [0, 1]: length band +
+    low punctuation + sane stopword density (C4/Gopher-style rules)."""
+    len_ok = (n_chars >= 100) & (n_chars <= 20000)
+    punct_ok = punct_ratio(text) < 0.3
+    stop_ok = stopword_ratio(text).between(0.0, 0.6)
+    return (
+        len_ok.cast("int") + punct_ok.cast("int") + stop_ok.cast("int")
+    ) / F.lit(3.0)
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash document fingerprint from whitespace tokens.
+
+    Per token, 16 hash bits come from xxhash64(token); each bit votes
+    ±1; the sign of each bit-position sum forms the fingerprint. Near-
+    duplicate docs differ in few bits (compared via bit_count(xor)).
+    Pure column expressions — no UDF.
+    """
+    toks = tokens(F.lower(text))
+
+    def vote_fn(b: int):
+        # two-arg lambda (F.aggregate infers arity from the signature)
+        return lambda acc, t: acc + F.when(
+            F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for b in range(16):
+        vote = F.aggregate(toks, F.lit(0), vote_fn(b))
+        bit_cols.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out

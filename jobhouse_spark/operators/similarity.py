@@ -1,0 +1,210 @@
+"""Similarity search + near-duplicate detection (SURVEY §2.B L2/L3).
+
+Three tiers, chosen by scale:
+
+1. ``brute_force_top_k`` — exact. Broadcast the (small) query set; the
+   candidate side streams through executors with NO shuffle, each
+   partition emits its local candidates, one final top-k. Right answer
+   for "k-NN of a handful of probes against a 100 TB corpus".
+2. ``lsh_top_k`` — approximate. BucketedRandomProjection LSH: one
+   shuffle on bucket id, candidates only join within buckets. Right
+   answer for all-pairs-ish workloads where brute force is quadratic.
+3. ``minhash_near_duplicates`` — Jaccard near-dup over token shingles
+   (MinHash + banded LSH via pyspark.ml), the standard web-scale text
+   dedup pipeline shape (shingle → minhash → band → bucket join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jobhouse_spark.functions.vectors import dot_product, exact_dot_decimal, l2_norm
+
+
+def brute_force_top_k(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_decimal: bool = False,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Returns (query_id, neighbor_id, score, rn). Ties broken by
+    neighbor_id. ``exact_decimal=True`` ranks on the exact-decimal dot
+    product (oracle-checkable); default ranks on double cosine (fast).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
+    if exact_decimal:
+        score = exact_dot_decimal(F.col("q_vec"), F.col("c_vec"))
+    else:
+        score = dot_product(F.col("q_vec"), F.col("c_vec")) / (
+            l2_norm(F.col("q_vec")) * l2_norm(F.col("c_vec"))
+        )
+    scored = pairs.withColumn("score", score)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "score", "rn")
+    )
+
+
+def lsh_top_k(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via BucketedRandomProjection LSH (pyspark.ml).
+
+    Scale path for L3: hash both sides into buckets; the join only
+    explores colliding buckets instead of the full cross product.
+    Euclidean-distance based (BRP) — callers re-rank the candidate set
+    by exact cosine if needed.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH  # noqa: PLC0415
+    from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = brp.fit(c)
+    joined = model.approxSimilarityJoin(q, c, float("inf"), distCol="dist").filter(
+        F.col("datasetA.query_id") != F.col("datasetB.neighbor_id")
+    )
+    w = Window.partitionBy("datasetA.query_id").orderBy(
+        F.col("dist").asc(), F.col("datasetB.neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("datasetA.query_id").alias("query_id"),
+            F.col("datasetB.neighbor_id").alias("neighbor_id"),
+            F.col("dist").alias("dist"),
+            "rn",
+        )
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.4,
+    num_hash_tables: int = 5,
+    num_features: int = 1 << 16,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs over word-token sets.
+
+    Pipeline: tokenize → hashingTF (binary=true: set semantics) →
+    MinHashLSH → approxSimilarityJoin at Jaccard distance
+    (1 - threshold). Returns (doc_a, doc_b, jaccard_dist), doc_a < doc_b.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer  # noqa: PLC0415
+
+    tok = Tokenizer(inputCol=text_col, outputCol="__tokens")
+    tf = HashingTF(
+        inputCol="__tokens", outputCol="__features", numFeatures=num_features, binary=True
+    )
+    featured = tf.transform(tok.transform(docs.select(id_col, text_col)))
+    mh = MinHashLSH(
+        inputCol="__features", outputCol="__hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = mh.fit(featured)
+    pairs = model.approxSimilarityJoin(
+        featured, featured, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("doc_a"),
+            F.col(f"datasetB.{id_col}").alias("doc_b"),
+            "jaccard_dist",
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs (the deterministic
+    counterpart of MinHash, oracle-checkable).
+
+    Scalable shape: explode shingles → self-join on shingle (inverted
+    index!) → count common shingles per pair → Jaccard from set sizes.
+    No cross product: pairs sharing zero shingles are never materialized.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("toks"),
+    )
+    shingle_expr = F.when(
+        F.size("toks") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = toked.select("doc", shingle_expr.alias("shingles")).withColumn(
+        "set_size", F.size("shingles")
+    )
+
+    inv = shingled.select(
+        "doc", "set_size", F.explode("shingles").alias("shingle")
+    )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = common.withColumn(
+        "jaccard",
+        F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "n_common", "jaccard"
+    )

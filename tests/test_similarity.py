@@ -1,0 +1,69 @@
+"""Recall/tolerance tests for the approximate ops (SURVEY §2.C rule 6:
+declared-but-not-hash-checked → planted-duplicate recall + error bounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jobhouse_spark.operators.similarity import (
+    brute_force_top_k,
+    lsh_top_k,
+    minhash_near_duplicates,
+)
+from jobhouse_spark.tables import Tables
+
+
+def test_minhash_recall_on_planted_duplicates(spark, sf_dir):
+    """Plant 20 near-duplicates (one word changed) — MinHash must find
+    ≥90% of them and no exact-self pairs."""
+    docs = Tables(spark, sf_dir).documents.filter(F.col("doc_id") < 100)
+    clones = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(clones)
+    pairs = minhash_near_duplicates(corpus, jaccard_threshold=0.7).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    planted = {(i, i + 100000) for i in range(20)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"recall {recall}: {sorted(found)[:10]}"
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    """BRP-LSH candidates must include most of the exact top-10
+    (Euclidean vs cosine mismatch allowed, so threshold is loose)."""
+    emb = Tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_top_k(probes, emb, k=10).collect()
+    approx = lsh_top_k(probes, emb, k=50, num_hash_tables=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    # LSH with wide buckets on 64-dim gaussians: expect substantial overlap
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    o = Tables(spark, sf_dir).orders
+    exact = o.select(F.countDistinct("o_custkey")).collect()[0][0]
+    approx = o.select(F.approx_count_distinct("o_custkey", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_simhash_near_duplicates_close(spark, sf_dir):
+    """A one-word edit must flip at most a few simhash bits; random doc
+    pairs should differ in many."""
+    from jobhouse_spark.functions.text import simhash16
+
+    docs = Tables(spark, sf_dir).documents.filter(F.col("doc_id") < 30)
+    fp = docs.select("doc_id", simhash16(F.col("text")).alias("h"))
+    edited = docs.select(
+        "doc_id",
+        simhash16(F.concat(F.col("text"), F.lit(" zzz"))).alias("h2"),
+    )
+    joined = fp.join(edited, "doc_id").select(
+        "doc_id", F.bit_count(F.col("h").bitwiseXOR(F.col("h2"))).alias("dist")
+    )
+    dists = [r.dist for r in joined.collect()]
+    assert sum(d <= 4 for d in dists) / len(dists) >= 0.9, dists
