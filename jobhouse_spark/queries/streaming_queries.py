@@ -1,0 +1,147 @@
+"""T-family registry entries: streaming verified by batch equivalence
+(SURVEY §2.B streaming preamble). Each fn runs a real Structured
+Streaming query to completion (memory sink) and returns the result as a
+batch DataFrame the oracle can hash."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobhouse_spark.queries.registry import dec_sql, fin_sql, register
+from jobhouse_spark.streaming.jobs import (
+    dedup_stream,
+    enrich_with_static,
+    run_to_memory,
+    session_counts,
+    sliding_counts,
+    stream_events,
+    tumbling_counts,
+)
+
+
+@register(
+    "t1_stream_source",
+    oracle="SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id FROM events",
+    tags=("streaming",),
+)
+def t1_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: file-stream source passthrough — stream count equals batch count."""
+    sunk = run_to_memory(stream_events(spark, sf_dir), mode="append")
+    return sunk.agg(F.count("*").alias("n"), F.sum("event_id").alias("sum_id"))
+
+
+@register(
+    "t2_tumbling_window",
+    oracle=(
+        "SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS n, "
+        + fin_sql("SUM(" + dec_sql("value") + ")")
+        + " AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    tags=("streaming", "headline"),
+)
+def t2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: tumbling 1h windowed aggregation, complete output mode."""
+    agg = tumbling_counts(stream_events(spark, sf_dir))
+    return run_to_memory(agg, mode="complete").orderBy("w", "event_type")
+
+
+@register(
+    "t3_sliding_window",
+    oracle="""
+SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS w,
+       event_type, COUNT(*) AS n
+FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    tags=("streaming",),
+)
+def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: 1h window sliding by 15min — every event lands in exactly 4
+    windows; the oracle expands them explicitly."""
+    agg = sliding_counts(stream_events(spark, sf_dir))
+    return run_to_memory(agg, mode="complete").orderBy("w", "event_type")
+
+
+@register(
+    "t4_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged)
+SELECT user_id, COUNT(DISTINCT session_no) AS n_sessions, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id ORDER BY user_id
+""",
+    tags=("streaming", "session"),
+)
+def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: session windows (30 min gap) vs the gaps-and-islands batch
+    formulation. Boundary semantics pinned to Spark's half-open
+    [start, last+gap): a gap of exactly 30 min starts a new session."""
+    sess = session_counts(stream_events(spark, sf_dir), gap="30 minutes")
+    sunk = run_to_memory(sess, mode="complete")
+    return (
+        sunk.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "t6_stream_dedup",
+    oracle="SELECT COUNT(DISTINCT event_id) AS n FROM events",
+    tags=("streaming", "dedup"),
+)
+def t6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: streaming dropDuplicates on the key — the A15 dedup check in
+    streaming form."""
+    deduped = dedup_stream(stream_events(spark, sf_dir))
+    sunk = run_to_memory(deduped, mode="append")
+    return sunk.agg(F.count("*").alias("n"))
+
+
+@register(
+    "t8_stream_static_join",
+    oracle="""
+SELECT d.category, COUNT(*) AS n
+FROM events e
+JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'),
+             ('purchase', 'revenue'), ('signup', 'growth'),
+             ('error', 'ops')) d(event_type, category)
+  ON e.event_type = d.event_type
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("streaming", "join"),
+)
+def t8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: stream-static broadcast join enriching events with a dim."""
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    enriched = enrich_with_static(stream_events(spark, sf_dir), dim)
+    sunk = run_to_memory(enriched, mode="append")
+    return (
+        sunk.filter(F.col("category").isNotNull())
+        .groupBy("category")
+        .agg(F.count("*").alias("n"))
+        .orderBy("category")
+    )

@@ -1,0 +1,144 @@
+"""Structured Streaming building blocks (SURVEY §2.B T1-T10).
+
+Verification model (§2.B streaming preamble): every streaming query here
+can run with Trigger.AvailableNow over the events parquet into a memory
+sink, then hash-compare against a batch/DuckDB formulation. Late-data
+(T5) and stateful (T7) behaviors are unit-tested with hand-built
+fixtures in tests/test_streaming.py.
+
+Scale: these are the same plans a Kafka-fed cluster job would run —
+file source swaps for kafka source, memory sink for a parquet/Delta
+sink via foreachBatch (T9 unifies with the bronze writer), watermarks
+bound state size, AQE handles the micro-batch shuffles.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SINK_COUNTER = itertools.count()
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """File-stream sources need a *directory*; expose the read-only
+    events.parquet through a symlink in a temp dir (created once)."""
+    if sf_dir not in _STREAM_DIRS:
+        import tempfile  # noqa: PLC0415
+
+        d = tempfile.mkdtemp(prefix="jh_events_stream_")
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(d, "events.parquet"),
+        )
+        _STREAM_DIRS[sf_dir] = d
+    return _STREAM_DIRS[sf_dir]
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: file-stream source over the events parquet (ns ts → µs)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(_events_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
+    """Drive a streaming DataFrame to completion synchronously
+    (AvailableNow semantics via processAllAvailable) into a memory sink;
+    return the sink as a batch DataFrame."""
+    name = f"jh_sink_{os.getpid()}_{next(_SINK_COUNTER)}"
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """T2: 1-hour tumbling window aggregate per event type."""
+    from jobhouse_spark.queries.registry import dec, fin  # noqa: PLC0415
+
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), fin(F.sum(dec(F.col("value")))).alias("sum_value"))
+        .select(F.col("window.start").alias("w"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """T3: 1-hour window sliding every 15 minutes."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("w"), "event_type", "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """T4: session windows per user (gap-based)."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """T6: streaming exact dedup on the event key (A15 streaming form)."""
+    return events.dropDuplicates(["event_id"])
+
+
+def enrich_with_static(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """T8: stream-static join — dimension broadcast to every micro-batch."""
+    return events.join(F.broadcast(dim), "event_type", "left")
+
+
+def write_stream_bronze(events: DataFrame, root: str) -> None:
+    """T9: foreachBatch sink reusing the bronze partitioned writer path —
+    one code path for batch (A8) and streaming ingestion."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("year", F.date_format("ts", "yyyy"))
+            .withColumn("month", F.date_format("ts", "MM"))
+            .withColumn("day", F.date_format("ts", "dd"))
+            .write.mode("append")
+            .partitionBy("year", "month", "day")
+            .parquet(root)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(root, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination()

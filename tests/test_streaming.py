@@ -1,0 +1,158 @@
+"""Streaming behavior tests (T5 watermark, T7 stateful, T9 foreachBatch,
+T10 triggers/output modes) — hand-built fixtures, SURVEY §5.2.4."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pandas as pd
+from datetime import datetime
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jobhouse_spark.streaming.jobs import (
+    run_to_memory,
+    stream_events,
+    write_stream_bronze,
+)
+
+EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def _write_batch(spark, d, rows, name):
+    # flat single parquet FILE (a FileStreamSource lists files, not
+    # Spark-written directories) — pyarrow writes it directly
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, name))
+
+
+def test_t5_watermark_drops_late_rows(spark):
+    """Rows later than watermark - delay must be dropped from an
+    append-mode windowed aggregation."""
+    src = tempfile.mkdtemp(prefix="jh_wm_src_")
+    sink_name = f"jh_wm_{os.getpid()}_{time.time_ns()}"
+
+    # batch 1: events across two hours advance the watermark to ~02:00
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, datetime(2024, 1, 1, 0, 10), 1, 1.0),
+            (2, datetime(2024, 1, 1, 0, 40), 1, 1.0),
+            (3, datetime(2024, 1, 1, 2, 0), 1, 1.0),
+        ],
+        "b1.parquet",
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("w"), "n")
+    )
+    q = stream.writeStream.outputMode("append").format("memory").queryName(sink_name).start()
+    q.processAllAvailable()
+
+    # batch 2: a row in hour 00 — far older than watermark (02:00 - 10min)
+    _write_batch(
+        spark, src, [(99, datetime(2024, 1, 1, 0, 50), 1, 1.0)], "b2.parquet"
+    )
+    q.processAllAvailable()
+    # batch 3: advance watermark beyond every window so all emit
+    _write_batch(
+        spark, src, [(100, datetime(2024, 1, 1, 6, 0), 1, 1.0)], "b3.parquet"
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    out = {r.w: r.n for r in spark.table(sink_name).collect()}
+    # hour-00 window: the two on-time rows only; late event 99 dropped
+    assert out[datetime(2024, 1, 1, 0, 0)] == 2, out
+
+
+def test_t7_stateful_apply_in_pandas_with_state(spark, sf_dir):
+    """Custom stateful op: running per-user event count via
+    applyInPandasWithState equals the batch groupBy count."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = stream_events(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def count_fn(key, pdf_iter, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    counted = events.groupBy("user_id").applyInPandasWithState(
+        count_fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    sunk = run_to_memory(counted, mode="update")
+    # update mode may emit a row per micro-batch; take the final value
+    final = (
+        sunk.groupBy("user_id").agg(F.max("n").alias("n")).orderBy("user_id").collect()
+    )
+    from jobhouse_spark.tables import Tables
+
+    expected = {
+        r.user_id: r.n
+        for r in Tables(spark, sf_dir)
+        .events.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {r.user_id: r.n for r in final}
+    assert got == expected
+
+
+def test_t9_foreachbatch_bronze_sink(spark, sf_dir):
+    """foreachBatch writer lands time-partitioned parquet equal to source."""
+    root = tempfile.mkdtemp(prefix="jh_t9_")
+    write_stream_bronze(stream_events(spark, sf_dir), root)
+    back = spark.read.parquet(root)
+    from jobhouse_spark.tables import Tables
+
+    assert back.count() == Tables(spark, sf_dir).events.count()
+    # partition dirs exist (year=2024/month=01/...)
+    assert any(p.startswith("year=") for p in os.listdir(root)), os.listdir(root)
+
+
+def test_t10_trigger_available_now(spark, sf_dir):
+    """AvailableNow trigger processes everything then terminates."""
+    events = stream_events(spark, sf_dir)
+    name = f"jh_t10_{os.getpid()}_{time.time_ns()}"
+    q = (
+        events.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    from jobhouse_spark.tables import Tables
+
+    assert spark.table(name).count() == Tables(spark, sf_dir).events.count()
