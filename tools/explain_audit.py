@@ -1,0 +1,83 @@
+"""Plan audit: assert the physical plans we designed for actually
+materialize (SURVEY steering: '.explain the plan and iterate until it's
+the plan you'd want').
+
+Checks, per headline query:
+- filters are pushed to the parquet scan (PushedFilters non-empty),
+- scans read only the referenced columns (ReadSchema width),
+- dim joins are broadcast (BroadcastHashJoin, no SortMergeJoin),
+- global top-k compiles to TakeOrderedAndProject.
+
+Run: python tools/explain_audit.py   (exit 1 on any violation)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jobhouse_spark.queries import all_queries
+from jobhouse_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def main() -> None:
+    spark = get_spark("explain_audit")
+    failures: list[str] = []
+
+    def check(cond: bool, msg: str) -> None:
+        if not cond:
+            failures.append(msg)
+
+    p = plan_of(spark, "g1_groupby_agg")
+    check("PushedFilters: [IsNotNull(l_shipdate)" in p, "g1: shipdate filter not pushed")
+    check("l_orderkey" not in p.split("ReadSchema")[1][:400], "g1: reads unneeded columns")
+    check("HashAggregate" in p, "g1: no hash aggregate")
+
+    p = plan_of(spark, "p2_filter")
+    check("GreaterThan(l_quantity,30.0)" in p, "p2: quantity filter not pushed")
+    check(
+        "struct<l_quantity:double,l_discount:double>" in p,
+        "p2: scan wider than 2 columns",
+    )
+
+    p = plan_of(spark, "j3_broadcast")
+    check(p.count("BroadcastHashJoin") >= 2, "j3: dims not broadcast")
+    check("SortMergeJoin" not in p, "j3: unexpected SMJ")
+
+    p = plan_of(spark, "o1_global_sort")
+    check("TakeOrderedAndProject" in p, "o1: top-k not fused (global sort!)")
+
+    p = plan_of(spark, "j1_inner_equi")
+    check("PushedFilters: [IsNotNull(c_nationkey)]" in p, "j1: join-key null filter not pushed")
+
+    import re  # noqa: PLC0415
+
+    p = plan_of(spark, "w4_topk_per_group")
+    check("Window" in p, "w4: no window node")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE))
+    check(n_exchanges <= 2, f"w4: {n_exchanges} shuffles (expect window + sort only)")
+    # Spark 3.5+ pushes the rank limit below the shuffle — top-3 rows per
+    # group leave each map task, not whole groups
+    check("WindowGroupLimit" in p, "w4: rank-limit pushdown missing")
+
+    if failures:
+        print("PLAN AUDIT FAILED:")
+        for f in failures:
+            print(" -", f)
+        sys.exit(1)
+    print("plan audit: all checks passed")
+
+
+if __name__ == "__main__":
+    main()
