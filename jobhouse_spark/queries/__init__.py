@@ -18,6 +18,9 @@ _MODULES = (
     "streaming_queries",
     "udf_surface",
     "ingestion_queries",
+    "llm_ops_extra",
+    "relational_extra",
+    "jobhouse_domain",
 )
 
 _loaded = False

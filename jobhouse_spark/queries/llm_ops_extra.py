@@ -1,0 +1,106 @@
+"""Additional LLM-pipeline operators: embedding-cosine near-dup and
+stateful stream counting (driver mandate beyond L1-L6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobhouse_spark.functions.vectors import exact_dot_decimal
+from jobhouse_spark.queries.registry import register
+from jobhouse_spark.tables import Tables
+
+
+@register(
+    "l7_embedding_neardup",
+    oracle="""
+WITH norms AS (
+  SELECT vec_id,
+         list_sum(list_transform(list_zip(embedding, embedding),
+           t -> CAST(CAST(t[1] AS DOUBLE) AS DECIMAL(18,6)) *
+                CAST(CAST(t[2] AS DOUBLE) AS DECIMAL(18,6)))) AS nrm2,
+         embedding
+  FROM embeddings WHERE vec_id < 300
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           t -> CAST(CAST(t[1] AS DOUBLE) AS DECIMAL(18,6)) *
+                CAST(CAST(t[2] AS DOUBLE) AS DECIMAL(18,6)))) AS dot,
+         a.nrm2 AS na2, b.nrm2 AS nb2
+  FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b FROM pairs
+WHERE dot > 0 AND dot * dot >= CAST(0.25 AS DECIMAL(8,4)) * na2 * nb2
+ORDER BY id_a, id_b
+""",
+    tags=("llm", "similarity", "dedup"),
+)
+def l7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: embedding-cosine near-duplicate pairs, fully deterministic.
+
+    cos(a,b) >= τ is evaluated as dot² >= τ²·‖a‖²·‖b‖² entirely in exact
+    decimal arithmetic — no sqrt, no fp comparison, so the pair set is
+    bit-identical across engines (the canonical trick for reproducible
+    near-dup audits). Brute-force over a bounded slice here; the scale
+    path pre-buckets with BRP-LSH (l3b) and applies the same exact test
+    within buckets.
+    """
+    emb = Tables(spark, sf_dir).embeddings.filter(F.col("vec_id") < 300)
+    norms = emb.select(
+        "vec_id",
+        "embedding",
+        exact_dot_decimal(F.col("embedding"), F.col("embedding")).alias("nrm2"),
+    )
+    a = norms.alias("a")
+    b = norms.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        exact_dot_decimal(F.col("a.embedding"), F.col("b.embedding")).alias("dot"),
+        F.col("a.nrm2").alias("na2"),
+        F.col("b.nrm2").alias("nb2"),
+    )
+    tau2 = F.lit(0.25).cast("decimal(8,4)")
+    return (
+        pairs.filter(
+            (F.col("dot") > 0)
+            & (F.col("dot") * F.col("dot") >= tau2 * F.col("na2") * F.col("nb2"))
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("t7_stateful_count", oracle=None, tags=("streaming", "stateful"))
+def t7_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: custom stateful streaming op — per-user running count via
+    applyInPandasWithState (exact equality with the batch groupBy is
+    asserted in tests/test_streaming.py; registered rows-only because
+    update-mode emission timing is not SQL-expressible)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    from jobhouse_spark.streaming.jobs import run_to_memory, stream_events  # noqa: PLC0415
+
+    events = stream_events(spark, sf_dir).select("user_id")
+    out_schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("n", T.LongType())]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def count_fn(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    counted = events.groupBy("user_id").applyInPandasWithState(
+        count_fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    sunk = run_to_memory(counted, mode="update")
+    return (
+        sunk.groupBy("user_id").agg(F.max("n").alias("n")).orderBy("user_id")
+    )

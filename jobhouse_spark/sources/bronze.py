@@ -135,12 +135,22 @@ def write_bronze_partitioned(postings: DataFrame, root: str) -> None:
     )
 
 
-def read_bronze(spark: SparkSession, root: str) -> DataFrame:
-    """Scan the bronze lake (either writer's output) with the fixed
-    envelope schema — schema-on-read applies only to raw_content."""
-    return spark.read.schema(RAW_POSTING_SCHEMA).option(
-        "recursiveFileLookup", "true"
-    ).json(root)
+def read_bronze(spark: SparkSession, root: str, layout: str = "hive") -> DataFrame:
+    """Scan the bronze lake with the fixed envelope schema — schema-on-
+    read applies only to raw_content.
+
+    layout='hive': partitionBy output (source=… dirs). Partition
+    discovery fills the `source` column from directory names — do NOT
+    use recursiveFileLookup here, it silently disables discovery and
+    returns null partition values.
+    layout='flat': the reference's plain key scheme (single-object
+    writer); all columns live in the JSON lines themselves.
+    """
+    reader = spark.read.schema(RAW_POSTING_SCHEMA)
+    if layout == "hive":
+        out = reader.option("basePath", root).json(root)
+        return out.select(*[f.name for f in RAW_POSTING_SCHEMA.fields])
+    return reader.option("recursiveFileLookup", "true").json(root)
 
 
 def quarantine_corrupt(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame]:

@@ -87,7 +87,7 @@ def test_single_object_bronze_writer(spark):
     assert len(lines) == 17
     assert {l["posting_id"] for l in lines} == {str(1000 + i) for i in range(17)}
 
-    back = read_bronze(spark, root)
+    back = read_bronze(spark, root, layout="flat")
     assert back.count() == 17
     assert back.schema["extracted_at"].dataType.typeName() == "timestamp"
 

@@ -1,0 +1,89 @@
+"""The reference's end-to-end intended pipeline (SURVEY §7 Phase 1):
+HH fixture → envelope (A5) → bronze (A8) → silver standardize (A17)
+→ gold marts (A18). Exact-value assertions."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from jobhouse_spark.silver import (
+    gold_daily_mart,
+    gold_salary_by_experience,
+    standardize_postings,
+)
+from jobhouse_spark.sources.bronze import (
+    envelope_projection,
+    read_bronze,
+    write_bronze_partitioned,
+)
+from jobhouse_spark.sources.rest import (
+    PaginatedFetcher,
+    items_to_dataframe,
+    replay_client,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "hh_pages.json")
+AT = datetime(2024, 3, 5, 14, 30, 45, tzinfo=timezone.utc)
+
+
+def _silver(spark):
+    with open(FIXTURE) as f:
+        pages = json.load(f)
+    items = PaginatedFetcher(client=replay_client(pages)).fetch_all("python data engineer")
+    env = envelope_projection(
+        items_to_dataframe(spark, items), "python data engineer", extracted_at=AT
+    )
+    root = tempfile.mkdtemp(prefix="jh_sg_")
+    write_bronze_partitioned(env, root)
+    return standardize_postings(read_bronze(spark, root))
+
+
+def test_silver_schema_and_values(spark):
+    silver = _silver(spark)
+    rows = {r.posting_id: r for r in silver.collect()}
+    assert len(rows) == 17
+
+    r = rows["1005"]  # vacancy(5): salary 105000..185000, employer 0
+    assert r.title == "Data Engineer 5"
+    assert r.salary_from == 105000 and r.salary_to == 185000
+    assert r.salary_mid == 145000.0
+    assert r.employer_name == "Employer 0"
+    assert r.area_name == "Moscow"
+    assert r.experience == "between1And3"
+    assert r.search_text == "python data engineer"
+    # published_at: 2024-03-06T10:05:00+0300 → 07:05 UTC
+    assert r.published_at == datetime(2024, 3, 6, 7, 5)
+    assert (r.pub_year, r.pub_month, r.pub_day) == (2024, 3, 6)
+
+    r4 = rows["1004"]  # vacancy(4): salary is null (i % 4 == 0)
+    assert r4.salary_from is None and r4.salary_mid is None
+
+
+def test_gold_daily_mart(spark):
+    silver = _silver(spark)
+    mart = gold_daily_mart(silver).collect()
+    total = sum(r.n_postings for r in mart)
+    assert total == 17
+    assert all(r.source == "HH" for r in mart)
+    by_day = {(r.pub_year, r.pub_month, r.pub_day): r for r in mart}
+    d6 = by_day[(2024, 3, 6)]  # vacancy(5): published 03-06 07:05 UTC
+    assert d6.n_postings >= 1 and d6.n_employers >= 1
+    # salary-bearing rows only contribute to n_with_salary
+    n_salary = sum(r.n_with_salary for r in mart)
+    assert n_salary == 12  # 17 minus the 5 multiples of 4 (0,4,8,12,16)
+
+
+def test_gold_salary_by_experience(spark):
+    silver = _silver(spark)
+    rows = gold_salary_by_experience(silver).collect()
+    assert [r.experience for r in rows] == ["between1And3"]
+    r = rows[0]
+    assert r.n == 12
+    # midpoints are (from+to)/2 = 140000 + i*1000 for the 12 salary rows
+    mids = [140000 + i * 1000 for i in range(17) if i % 4 != 0]
+    assert r.avg_salary == round(sum(mids) / len(mids), 4)
