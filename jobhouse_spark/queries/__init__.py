@@ -21,6 +21,7 @@ _MODULES = (
     "llm_ops_extra",
     "relational_extra",
     "jobhouse_domain",
+    "relational_extra2",
 )
 
 _loaded = False

@@ -1,0 +1,92 @@
+"""Scale-operator semantics: salted ops equal unsalted, IVF ANN recall,
+TF-IDF shape, metadata store round trip."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from jobhouse_spark.operators.ann import ivf_top_k, train_centroids
+from jobhouse_spark.operators.similarity import brute_force_top_k
+from jobhouse_spark.operators.skew import salted_group_count, salted_join
+from jobhouse_spark.tables import Tables
+
+
+def test_salted_group_count_equals_plain(spark, sf_dir):
+    e = Tables(spark, sf_dir).events
+    plain = {r.event_type: r.n for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    salted = {r.event_type: r.n for r in salted_group_count(e, "event_type").collect()}
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    plain = (
+        t.customer.join(t.nation, t.customer.c_nationkey == t.nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n"))
+    )
+    salted = (
+        salted_join(
+            t.customer.withColumnRenamed("c_nationkey", "nk"),
+            t.nation.withColumnRenamed("n_nationkey", "nk"),
+            "nk",
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = Tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 5)
+    centroids = train_centroids(emb, n_cells=8)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    exact = brute_force_top_k(probes, emb, k=10).collect()
+    approx = ivf_top_k(probes, emb, centroids, k=10, n_probe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4 of 8 cells probed: expect to recover most true neighbors
+    assert recall >= 0.6, f"IVF recall {recall}"
+
+
+def test_tfidf_pipeline_shape(spark, sf_dir):
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    docs = Tables(spark, sf_dir).documents.limit(200)
+    toks = Tokenizer(inputCol="text", outputCol="toks").transform(docs)
+    tf = HashingTF(inputCol="toks", outputCol="tf", numFeatures=1 << 12).transform(toks)
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    out = idf_model.transform(tf).select("doc_id", "tfidf").collect()
+    assert len(out) == 200
+    v = out[0].tfidf
+    assert v.size == 1 << 12 and v.numNonzeros() > 0
+
+
+def test_metadata_store_roundtrip_and_dedup(spark):
+    from datetime import datetime
+
+    from jobhouse_spark.metadata_store import MetadataStore
+
+    store = MetadataStore(spark, tempfile.mkdtemp(prefix="jh_meta_") + "/meta")
+    assert store.read().count() == 0  # empty-store bootstrap
+
+    rows = [
+        ("HH", "b1", "HH/2024/03/05/14/b1.jsonl.gz", datetime(2024, 3, 5, 14), "e1"),
+        ("HH", "b2", "HH/2024/03/05/15/b2.jsonl.gz", datetime(2024, 3, 5, 15), "e2"),
+    ]
+    from jobhouse_spark.sources.bronze import STORAGE_METADATA_SCHEMA
+
+    store.append(spark.createDataFrame(rows, STORAGE_METADATA_SCHEMA))
+    assert store.read().count() == 2
+    assert {r.batch_id for r in store.ingested_batch_ids().collect()} == {"b1", "b2"}
+
+    incoming = spark.createDataFrame(
+        [rows[0], ("HH", "b3", "HH/2024/03/05/16/b3.jsonl.gz", datetime(2024, 3, 5, 16), "e3")],
+        STORAGE_METADATA_SCHEMA,
+    )
+    new = store.filter_new_postings(incoming)
+    assert {r.batch_id for r in new.collect()} == {"b3"}
