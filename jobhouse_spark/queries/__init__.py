@@ -22,6 +22,7 @@ _MODULES = (
     "relational_extra",
     "jobhouse_domain",
     "relational_extra2",
+    "analytics_shapes",
 )
 
 _loaded = False

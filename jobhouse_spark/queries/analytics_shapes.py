@@ -1,0 +1,199 @@
+"""Composite analytical query shapes (TPC-H-style multi-join plans) and
+subquery forms — the "whole engine at once" queries that exercise join
+ordering, broadcast selection, partial aggregation, and top-k together.
+These are the plans the reference's Gold layer would ultimately run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobhouse_spark.queries.registry import dec, dec_sql, fin, fin_sql, register
+from jobhouse_spark.tables import Tables
+
+_REV = dec_sql("l_extendedprice") + " * " + dec_sql("1 - l_discount")
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey, {fin_sql(f'SUM({_REV})')} AS revenue, o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    tags=("analytics", "headline"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filtered on both fact sides, top-10
+    unshipped orders by revenue."""
+    t = Tables(spark, sf_dir)
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    return (
+        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t.orders.filter(F.col("o_orderdate") < cutoff),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.lineitem.filter(F.col("l_shipdate") > cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            fin(
+                F.sum(dec(F.col("l_extendedprice")) * dec(F.lit(1) - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+SELECT n_name, {fin_sql(f'SUM({_REV})')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+""",
+    tags=("analytics", "headline"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a same-nation residual — dims
+    broadcast, facts shuffle once on their join keys."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer
+        .join(t.orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))),
+            F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.supplier,
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            fin(
+                F.sum(dec(F.col("l_extendedprice")) * dec(F.lit(1) - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name, {fin_sql(f'SUM({_REV})')} AS revenue, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+    tags=("analytics",),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer
+        .join(t.orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))),
+            F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.lineitem.filter(F.col("l_returnflag") == "R"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            fin(
+                F.sum(dec(F.col("l_extendedprice")) * dec(F.lit(1) - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "sq1_scalar_subquery",
+    oracle=(
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)"
+    ),
+    tags=("subquery",),
+)
+def sq1_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ1: uncorrelated scalar subquery (above-average filter).
+    Count comparison against a double avg is threshold-safe: no order
+    value sits within fp noise of the mean."""
+    Tables(spark, sf_dir).orders.createOrReplaceTempView("jh_sq_orders")
+    return spark.sql(
+        "SELECT COUNT(*) AS n FROM jh_sq_orders "
+        "WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM jh_sq_orders)"
+    )
+
+
+@register(
+    "sq2_correlated_exists",
+    oracle="""
+SELECT COUNT(*) AS n FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+    tags=("subquery",),
+)
+def sq2_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ2: correlated EXISTS — Catalyst decorrelates to a left-semi join."""
+    Tables(spark, sf_dir).orders.createOrReplaceTempView("jh_sq2_orders")
+    Tables(spark, sf_dir).customer.createOrReplaceTempView("jh_sq2_customer")
+    return spark.sql(
+        "SELECT COUNT(*) AS n FROM jh_sq2_customer c "
+        "WHERE EXISTS (SELECT 1 FROM jh_sq2_orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"
+    )
+
+
+@register(
+    "sq3_correlated_scalar",
+    oracle="""
+SELECT c_custkey, n_orders FROM (
+  SELECT c_custkey,
+         (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+  FROM customer c) t
+WHERE c_custkey < 100 ORDER BY c_custkey
+""",
+    tags=("subquery",),
+)
+def sq3_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ3: correlated scalar subquery per outer row — decorrelated into
+    an aggregate + left outer join."""
+    Tables(spark, sf_dir).orders.createOrReplaceTempView("jh_sq3_orders")
+    Tables(spark, sf_dir).customer.createOrReplaceTempView("jh_sq3_customer")
+    return spark.sql(
+        "SELECT c_custkey, "
+        "(SELECT COUNT(*) FROM jh_sq3_orders o WHERE o.o_custkey = c.c_custkey) AS n_orders "
+        "FROM jh_sq3_customer c WHERE c_custkey < 100 ORDER BY c_custkey"
+    )
