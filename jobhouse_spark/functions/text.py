@@ -13,6 +13,14 @@ from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
 
+# tiny per-language marker sets for the n-gram/stopword lang-id heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with", "for", "that", "this"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "für", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "avec", "pour", "dans"),
+    "es": ("el", "la", "los", "y", "es", "con", "para", "que"),
+}
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (split keeps no trailing empties for our
@@ -71,3 +79,25 @@ def simhash16(text: Column) -> Column:
     for c in bit_cols[1:]:
         out = out + c
     return out
+
+
+def detect_language(text: Column) -> Column:
+    """Heuristic language ID: score each language by marker-word hits
+    over lowercase tokens; CJK detection by codepoint range; ties and
+    no-hits resolve to 'unknown'. Pure column expressions — at 100 TB
+    this is a scan-rate classifier, no model service in the hot path.
+    """
+    toks = tokens(F.lower(text))
+    has_cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", "")) > 0
+
+    def score(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = [(lang, score(m)) for lang, m in LANG_MARKERS.items()]
+    best_score = F.greatest(*[s for _, s in scores])
+    # first language reaching the max score wins (stable order)
+    result = F.lit("unknown")
+    for lang, s in reversed(scores):
+        result = F.when(s == best_score, F.lit(lang)).otherwise(result)
+    result = F.when(best_score == 0, F.lit("unknown")).otherwise(result)
+    return F.when(has_cjk, F.lit("zh")).otherwise(result)

@@ -23,6 +23,7 @@ _MODULES = (
     "jobhouse_domain",
     "relational_extra2",
     "analytics_shapes",
+    "relational_extra3",
 )
 
 _loaded = False

@@ -104,3 +104,19 @@ def t7_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sunk.groupBy("user_id").agg(F.max("n").alias("n")).orderBy("user_id")
     )
+
+
+@register("l8_language_id", oracle=None, tags=("llm", "text"))
+def l8_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: heuristic language-ID over document text (marker-word scoring,
+    CJK codepoint detection — functions/text.detect_language; exactness
+    on labeled samples asserted in tests/test_similarity.py)."""
+    from jobhouse_spark.functions.text import detect_language  # noqa: PLC0415
+
+    d = Tables(spark, sf_dir).documents
+    return (
+        d.select(detect_language(F.col("text")).alias("detected"))
+        .groupBy("detected")
+        .agg(F.count("*").alias("n"))
+        .orderBy("detected")
+    )

@@ -67,3 +67,30 @@ def test_simhash_near_duplicates_close(spark, sf_dir):
     )
     dists = [r.dist for r in joined.collect()]
     assert sum(d <= 4 for d in dists) / len(dists) >= 0.9, dists
+
+
+def test_approx_percentile_tolerance(spark, sf_dir):
+    from jobhouse_spark.tables import Tables
+
+    o = Tables(spark, sf_dir).orders
+    exact = o.selectExpr("percentile(o_totalprice, 0.5)").collect()[0][0]
+    approx = o.selectExpr("percentile_approx(o_totalprice, 0.5, 1000)").collect()[0][0]
+    assert abs(approx - exact) / exact < 0.02
+
+
+def test_language_id_heuristic(spark):
+    from jobhouse_spark.functions.text import detect_language
+    from pyspark.sql import functions as F
+
+    samples = [
+        ("the cat sat on the mat and looked at this dog", "en"),
+        ("der hund ist mit der katze und das haus nicht da", "de"),
+        ("le chat est dans la maison avec les enfants pour jouer", "fr"),
+        ("el perro y la casa es con los gatos para que salten", "es"),
+        ("这 是 一个 中文 句子", "zh"),
+        ("zzz qqq xxx", "unknown"),
+    ]
+    df = spark.createDataFrame(samples, "text string, expected string")
+    out = df.select("expected", detect_language(F.col("text")).alias("got")).collect()
+    for r in out:
+        assert r.got == r.expected, (r.expected, r.got)
