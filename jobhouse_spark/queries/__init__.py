@@ -24,6 +24,7 @@ _MODULES = (
     "relational_extra2",
     "analytics_shapes",
     "relational_extra3",
+    "tpch_suite",
 )
 
 _loaded = False
