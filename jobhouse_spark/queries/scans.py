@@ -123,6 +123,34 @@ def s5_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("s6_jdbc_roundtrip", oracle=_NATION_AGG_ORACLE, tags=("scan", "sink", "jdbc"))
+def s6_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: JDBC sink + source round trip — the reference's Postgres
+    metadata store path (docker-compose.yml:231-246, commented COPY load
+    dags/extract_raw_jobs.py:204-249). No database service runs in this
+    container, so the check uses the embedded Derby engine that ships
+    with Spark: same `spark.read/write.jdbc` code path, dialect and
+    type-mapping machinery as a networked Postgres — only the URL
+    differs. At scale, reads partition on a numeric column
+    (partitionColumn/lowerBound/upperBound) so executors fetch ranges
+    in parallel."""
+    n = Tables(spark, sf_dir).nation
+    db = tempfile.mkdtemp(prefix="jh_s6_") + "/db"
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    n.write.mode("overwrite").jdbc(url, "nation", properties=props)
+    back = spark.read.jdbc(
+        url,
+        "nation",
+        column="n_nationkey",
+        lowerBound=0,
+        upperBound=25,
+        numPartitions=4,
+        properties=props,
+    )
+    return _nation_agg(back)
+
+
 @register(
     "s8_values_literal",
     oracle="SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,'c')) t(i, s) ORDER BY i",

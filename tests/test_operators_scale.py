@@ -90,3 +90,36 @@ def test_metadata_store_roundtrip_and_dedup(spark):
     )
     new = store.filter_new_postings(incoming)
     assert {r.batch_id for r in new.collect()} == {"b3"}
+
+
+def test_metadata_store_jdbc_backend(spark):
+    """S6 for real: MetadataStore over embedded Derby JDBC — the same
+    read/write.jdbc path a networked Postgres would use (reference
+    docker-compose.yml:231-246)."""
+    from datetime import datetime
+
+    from jobhouse_spark.metadata_store import MetadataStore
+    from jobhouse_spark.sources.bronze import STORAGE_METADATA_SCHEMA
+
+    db = tempfile.mkdtemp(prefix="jh_meta_jdbc_") + "/db"
+    store = MetadataStore(
+        spark,
+        path="",
+        jdbc_options={
+            "url": f"jdbc:derby:{db};create=true",
+            "dbtable": "storage_metadata",
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        },
+    )
+    rows = [
+        ("HH", "b1", "HH/2024/03/05/14/b1.jsonl.gz", datetime(2024, 3, 5, 14), "e1"),
+        ("HH", "b2", "HH/2024/03/05/15/b2.jsonl.gz", datetime(2024, 3, 5, 15), "e2"),
+    ]
+    df = spark.createDataFrame(rows, STORAGE_METADATA_SCHEMA)
+    # first append auto-creates the table via createTableOptions defaults
+    df.limit(1).write.format("jdbc").options(**store.jdbc_options).mode(
+        "overwrite"
+    ).save()
+    store.append(df.where("batch_id = 'b2'"))
+    assert store.read().count() == 2
+    assert {r.batch_id for r in store.ingested_batch_ids().collect()} == {"b1", "b2"}

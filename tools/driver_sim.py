@@ -19,7 +19,13 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as contract
 from tests.oracle import compare_frames, duckdb_connect
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+# --only=name1,name2 runs a subset (substring match), skipping entry()
+ONLY = next(
+    (a.split("=", 1)[1].split(",") for a in sys.argv[1:] if a.startswith("--only=")),
+    None,
+)
 
 
 def main() -> None:
@@ -31,12 +37,15 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    df = contract.entry(spark)
-    rows = df.collect()
-    print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
-    assert len(rows) > 0
+    if ONLY is None:
+        df = contract.entry(spark)
+        rows = df.collect()
+        print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
+        assert len(rows) > 0
 
     qs = contract.queries()
+    if ONLY is not None:
+        qs = {k: v for k, v in qs.items() if any(pat in k for pat in ONLY)}
     oracles = contract.oracle_sql()
     duck = duckdb_connect(SF_DIR)
     n_pass = n_fail = n_rows_only = 0

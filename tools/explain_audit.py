@@ -71,6 +71,32 @@ def main() -> None:
     # group leave each map task, not whole groups
     check("WindowGroupLimit" in p, "w4: rank-limit pushdown missing")
 
+    p = plan_of(spark, "q6_forecast_revenue")
+    check("PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:300],
+          "q6: shipdate filter not pushed to scan")
+    check(
+        "l_extendedprice" in p.split("ReadSchema")[1][:300]
+        and "l_orderkey" not in p.split("ReadSchema")[1][:300],
+        "q6: scan not pruned to the 4 referenced columns",
+    )
+
+    p = plan_of(spark, "q19_disjunctive_revenue")
+    check("BroadcastHashJoin" in p, "q19: part dim not broadcast")
+    check("SortMergeJoin" not in p, "q19: unexpected SMJ on a dim join")
+
+    p = plan_of(spark, "q18_large_volume_customer")
+    check("LeftSemi" in p, "q18: IN-subquery not planned as semi join")
+    check("TakeOrderedAndProject" in p, "q18: top-100 not fused")
+
+    p = plan_of(spark, "q2_min_cost_supplier")
+    check("WindowGroupLimit" in p, "q2: rn=1 argmin missing rank-limit pushdown")
+
+    p = plan_of(spark, "q21_waiting_supplier")
+    check("CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "q21: existence probes fell back to nested-loop join")
+    check("LeftSemi" in p and "LeftAnti" in p,
+          "q21: EXISTS/NOT EXISTS not planned as semi/anti joins")
+
     if failures:
         print("PLAN AUDIT FAILED:")
         for f in failures:
