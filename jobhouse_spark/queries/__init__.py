@@ -25,6 +25,7 @@ _MODULES = (
     "analytics_shapes",
     "relational_extra3",
     "tpch_suite",
+    "sql_features",
 )
 
 _loaded = False

@@ -123,6 +123,56 @@ def s5_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s10_bucketed_join",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       {rev} AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""".format(rev=fin_sql("SUM(" + dec_sql("o_totalprice") + ")")),
+    tags=("scan", "sink", "bucketing", "join"),
+)
+def s10_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: bucketed tables + co-located join. Both sides are written
+    bucketed (and sorted) on the join key with the same bucket count, so
+    the subsequent sort-merge join reads matching buckets pairwise with
+    NO shuffle exchange on either side — the plan shape is asserted in
+    tests/test_operators_scale.py::test_bucketed_join_has_no_shuffle.
+    This is the 100 TB answer for fact-to-fact joins repeated across a
+    pipeline: pay the partitioning once at write time, never at read."""
+    t = Tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="jh_s10_")
+    spark.sql("DROP TABLE IF EXISTS jh_s10_orders")
+    spark.sql("DROP TABLE IF EXISTS jh_s10_customer")
+    (
+        t.orders.write.mode("overwrite")
+        .option("path", base + "/orders")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("jh_s10_orders")
+    )
+    (
+        t.customer.write.mode("overwrite")
+        .option("path", base + "/customer")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("jh_s10_customer")
+    )
+    o = spark.table("jh_s10_orders")
+    c = spark.table("jh_s10_customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            fin(F.sum(dec(F.col("o_totalprice")))).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 @register("s6_jdbc_roundtrip", oracle=_NATION_AGG_ORACLE, tags=("scan", "sink", "jdbc"))
 def s6_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: JDBC sink + source round trip — the reference's Postgres
