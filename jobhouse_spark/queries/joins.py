@@ -256,3 +256,45 @@ def j10_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.o_custkey") == F.col("b.o_custkey"))
         & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
     ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "j12_full_outer",
+    oracle="""
+WITH a AS (SELECT o_custkey AS k, COUNT(*) AS n_1995 FROM orders
+           WHERE year(o_orderdate) = 1995 GROUP BY 1),
+     b AS (SELECT o_custkey AS k, COUNT(*) AS n_1996 FROM orders
+           WHERE year(o_orderdate) = 1996 GROUP BY 1)
+SELECT COALESCE(a.k, b.k) AS custkey,
+       COALESCE(a.n_1995, 0) AS n_1995,
+       COALESCE(b.n_1996, 0) AS n_1996
+FROM a FULL OUTER JOIN b ON a.k = b.k
+ORDER BY custkey
+""",
+    tags=("join", "outer"),
+)
+def j12_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: full outer join — year-over-year customer activity where
+    either side may be absent. Scale note: both inputs are pre-aggregated
+    to one row per customer BEFORE the join, so the full outer join
+    shuffles the reduced keyspace, not the fact table."""
+    o = Tables(spark, sf_dir).orders
+    a = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_custkey").alias("ka"))
+        .agg(F.count("*").alias("n_1995"))
+    )
+    b = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .groupBy(F.col("o_custkey").alias("kb"))
+        .agg(F.count("*").alias("n_1996"))
+    )
+    return (
+        a.join(b, a.ka == b.kb, "full_outer")
+        .select(
+            F.coalesce("ka", "kb").alias("custkey"),
+            F.coalesce("n_1995", F.lit(0)).alias("n_1995"),
+            F.coalesce("n_1996", F.lit(0)).alias("n_1996"),
+        )
+        .orderBy("custkey")
+    )

@@ -176,3 +176,30 @@ def x6_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM jh_x6_docs, LATERAL jh_tokenize(text) t "
         "ORDER BY doc_id, t.pos"
     )
+
+
+@register(
+    "x7_map_in_arrow",
+    oracle=(
+        "SELECT event_id, value * 2.0 AS v2 "
+        "FROM events WHERE event_id < 400 ORDER BY event_id"
+    ),
+    tags=("udf", "arrow"),
+)
+def x7_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: mapInArrow — zero-copy Arrow RecordBatch transform, the
+    fastest Python extension point (no pandas materialization at all).
+    Per-row IEEE multiply is bit-identical across engines, so the
+    doubles hash-match."""
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.compute as pc  # noqa: PLC0415
+
+    def double_value(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("event_id"), pc.multiply(batch.column("value"), 2.0)],
+                names=["event_id", "v2"],
+            )
+
+    e = Tables(spark, sf_dir).events.filter(F.col("event_id") < 400)
+    return e.mapInArrow(double_value, "event_id long, v2 double").orderBy("event_id")

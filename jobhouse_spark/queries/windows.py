@@ -142,3 +142,44 @@ def w5_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Tables(spark, sf_dir).events
     latest = latest_per_key(e, "user_id", "ts", "event_id")
     return latest.select("user_id", "event_id", "event_type").orderBy("user_id")
+
+
+@register(
+    "w6_value_windows",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, "
+        f"DENSE_RANK() OVER ({_ORDER_W}) AS drk, "
+        f"PERCENT_RANK() OVER ({_ORDER_W}) AS prk, "
+        f"CUME_DIST() OVER ({_ORDER_W}) AS cd, "
+        f"FIRST_VALUE(o_orderkey) OVER ({_ORDER_W} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key, "
+        f"LAST_VALUE(o_orderkey) OVER ({_ORDER_W} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key, "
+        f"NTH_VALUE(o_orderkey, 2) OVER ({_ORDER_W} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key "
+        "FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, o_orderkey"
+    ),
+    tags=("window",),
+)
+def w6_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: distribution (dense_rank/percent_rank/cume_dist) and value
+    (first/last/nth_value) window functions. percent_rank and cume_dist
+    are exact rational arithmetic in IEEE double — identical across
+    engines. The value functions use an explicit unbounded ROWS frame
+    (the default frame stops at CURRENT ROW, a classic silent-wrong)."""
+    o = Tables(spark, sf_dir).orders.filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.dense_rank().over(w).alias("drk"),
+            F.percent_rank().over(w).alias("prk"),
+            F.cume_dist().over(w).alias("cd"),
+            F.first("o_orderkey").over(wf).alias("first_key"),
+            F.last("o_orderkey").over(wf).alias("last_key"),
+            F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
