@@ -16,6 +16,7 @@ from jobhouse_spark.streaming.jobs import (
     session_counts,
     sliding_counts,
     stream_events,
+    stream_stream_join,
     tumbling_counts,
 )
 
@@ -156,4 +157,40 @@ def t8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("category")
         .agg(F.count("*").alias("n"))
         .orderBy("category")
+    )
+
+
+@register(
+    "t11_stream_stream_join",
+    oracle="""
+WITH e AS (SELECT * FROM events WHERE event_id < 3000),
+     l AS (SELECT * FROM e WHERE event_type = 'click'),
+     r AS (SELECT * FROM e WHERE event_type = 'view')
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(l.event_id + r.event_id) AS BIGINT) AS id_sum
+FROM l JOIN r ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 24 HOUR
+""",
+    tags=("streaming", "join"),
+)
+def t11_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: stream-stream inner join with watermarks + time-range bound
+    (state-evicting). Full AvailableNow replay is deterministic, so the
+    batch SQL join is an exact oracle."""
+    src = stream_events(spark, sf_dir).filter(F.col("event_id") < 3000)
+    left = src.filter(F.col("event_type") == "click")
+    right = src.filter(F.col("event_type") == "view")
+    joined = stream_stream_join(left, right, range_="24 hours")
+    # each shuffle partition materializes a state store PER JOIN SIDE per
+    # micro-batch; at a vanilla 200 partitions that is 400 stores of
+    # overhead for a small keyspace — pin a modest count for this query
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sunk = run_to_memory(joined, mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return sunk.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("left_id") + F.col("right_id")).alias("id_sum"),
     )

@@ -142,3 +142,40 @@ def write_stream_bronze(events: DataFrame, root: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "1 hour",
+    range_: str = "15 minutes",
+) -> DataFrame:
+    """T11: stream-stream inner join with watermarks and a time-range
+    condition. Both sides carry watermarks so the join state store can
+    evict rows once the range condition can no longer match — without
+    the range bound the state would grow unboundedly at 100 TB/day.
+    Physical shape: both streams shuffle on user_id once; the range
+    predicate is a residual on the matched pairs."""
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            "l.user_id = r.user_id AND "
+            f"r.ts >= l.ts AND r.ts <= l.ts + interval {range_}"
+        ),
+    ).select(
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+
+
+def dedup_stream_within_watermark(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """T6b: dropDuplicatesWithinWatermark — dedup whose state is bounded
+    by the watermark horizon instead of growing forever. The semantics
+    a production at-least-once Kafka feed needs: duplicates arrive close
+    together, so keys older than the horizon are safe to forget."""
+    return events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -156,3 +156,61 @@ def test_t10_trigger_available_now(spark, sf_dir):
     from jobhouse_spark.tables import Tables
 
     assert spark.table(name).count() == Tables(spark, sf_dir).events.count()
+
+
+def test_t11_stream_stream_join_equals_batch(spark, sf_dir):
+    """T11: stream-stream time-range join over the real events feed
+    equals the identical batch join."""
+    from jobhouse_spark.streaming.jobs import stream_stream_join
+    from jobhouse_spark.tables import Tables
+
+    def split(df):
+        small = df.filter(F.col("event_id") < 3000)
+        return (
+            small.filter(F.col("event_type") == "click"),
+            small.filter(F.col("event_type") == "view"),
+        )
+
+    sl, sr = split(stream_events(spark, sf_dir))
+    streamed = run_to_memory(stream_stream_join(sl, sr, range_="24 hours")).collect()
+
+    bl, br = split(Tables(spark, sf_dir).events)
+    batch = (
+        bl.alias("l")
+        .join(
+            br.alias("r"),
+            F.expr(
+                "l.user_id = r.user_id AND "
+                "r.ts >= l.ts AND r.ts <= l.ts + interval 24 hours"
+            ),
+        )
+        .select(
+            F.col("l.event_id").alias("left_id"),
+            F.col("r.event_id").alias("right_id"),
+            F.col("l.user_id").alias("user_id"),
+        )
+        .collect()
+    )
+    assert len(batch) > 0
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_t6b_dedup_within_watermark(spark):
+    """T6b: duplicates inside the watermark horizon are dropped; state
+    for expired keys is released (behavioral: output has unique ids)."""
+    from jobhouse_spark.streaming.jobs import dedup_stream_within_watermark
+
+    src = tempfile.mkdtemp(prefix="jh_dwm_src_")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, datetime(2024, 1, 1, 0, 0), 1, 1.0),
+            (1, datetime(2024, 1, 1, 0, 5), 1, 1.0),  # dup within horizon
+            (2, datetime(2024, 1, 1, 0, 10), 1, 1.0),
+        ],
+        "b1.parquet",
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    out = run_to_memory(dedup_stream_within_watermark(stream)).collect()
+    assert sorted(r.event_id for r in out) == [1, 2]
