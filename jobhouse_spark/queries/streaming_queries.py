@@ -15,6 +15,7 @@ from jobhouse_spark.streaming.jobs import (
     run_to_memory,
     session_counts,
     sliding_counts,
+    pinned_shuffle,
     stream_events,
     stream_stream_join,
     tumbling_counts,
@@ -44,9 +45,13 @@ def t1_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "headline"),
 )
 def t2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2: tumbling 1h windowed aggregation, complete output mode."""
+    """T2: tumbling 1h windowed aggregation, complete output mode. The
+    (window × event_type) keyspace is small, so the stateful shuffle is
+    pinned narrow (see pinned_shuffle)."""
     agg = tumbling_counts(stream_events(spark, sf_dir))
-    return run_to_memory(agg, mode="complete").orderBy("w", "event_type")
+    with pinned_shuffle(spark, 8):
+        sunk = run_to_memory(agg, mode="complete")
+    return sunk.orderBy("w", "event_type")
 
 
 @register(
@@ -119,7 +124,8 @@ def t6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6: streaming dropDuplicates on the key — the A15 dedup check in
     streaming form."""
     deduped = dedup_stream(stream_events(spark, sf_dir)).select("event_id")
-    sunk = run_to_memory(deduped, mode="append")
+    with pinned_shuffle(spark, 8):
+        sunk = run_to_memory(deduped, mode="append")
     return sunk.agg(F.count("*").alias("n"))
 
 
@@ -181,15 +187,8 @@ def t11_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = src.filter(F.col("event_type") == "click")
     right = src.filter(F.col("event_type") == "view")
     joined = stream_stream_join(left, right, range_="24 hours")
-    # each shuffle partition materializes a state store PER JOIN SIDE per
-    # micro-batch; at a vanilla 200 partitions that is 400 stores of
-    # overhead for a small keyspace — pin a modest count for this query
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with pinned_shuffle(spark, 8):
         sunk = run_to_memory(joined, mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return sunk.agg(
         F.count("*").alias("n_pairs"),
         F.sum(F.col("left_id") + F.col("right_id")).alias("id_sum"),
