@@ -239,3 +239,31 @@ def g10_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "g16_bit_aggs",
+    oracle="""
+SELECT event_type,
+       CAST(bit_and(CAST(event_id % 256 AS BIGINT)) AS BIGINT) AS band,
+       CAST(bit_or(CAST(event_id % 256 AS BIGINT)) AS BIGINT) AS bor,
+       CAST(bit_xor(CAST(event_id % 256 AS BIGINT)) AS BIGINT) AS bxor
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("agg", "bitwise"),
+)
+def g16_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G16: bitwise aggregates — commutative/associative, so partial
+    aggregation is exact under any partitioning (bitmask rollups,
+    permission-flag folds)."""
+    e = Tables(spark, sf_dir).events
+    b = (F.col("event_id") % 256).cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.bit_and(b).alias("band"),
+            F.bit_or(b).alias("bor"),
+            F.bit_xor(b).alias("bxor"),
+        )
+        .orderBy("event_type")
+    )

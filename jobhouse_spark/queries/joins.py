@@ -298,3 +298,37 @@ def j12_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@register(
+    "j13_null_safe_join",
+    oracle="""
+WITH k AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey % 50 END AS k
+  FROM orders WHERE o_orderkey < 2000)
+SELECT COALESCE(CAST(a.k AS VARCHAR), 'NULL') AS key_str, COUNT(*) AS n_pairs
+FROM k a JOIN k b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("join", "nullsafe"),
+)
+def j13_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: null-safe equality join (<=>) — NULL keys match each other,
+    unlike plain '=' which silently drops them. Catalyst still plans
+    <=> as a hash join (the key is hashable with NULL as a value), so
+    this scales like j1, not like a nested loop."""
+    o = Tables(spark, sf_dir).orders.filter(F.col("o_orderkey") < 2000)
+    k = o.select(
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_custkey") % 50)
+        .alias("k")
+    )
+    a, b = k.alias("a"), k.alias("b")
+    return (
+        a.join(b, F.col("a.k").eqNullSafe(F.col("b.k")))
+        .groupBy(
+            F.coalesce(F.col("a.k").cast("string"), F.lit("NULL")).alias("key_str")
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("key_str")
+    )

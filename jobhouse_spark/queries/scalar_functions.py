@@ -272,3 +272,32 @@ def f8_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "f10_try_arithmetic",
+    oracle=(
+        "SELECT o_orderkey, "
+        "o_totalprice / nullif(o_orderkey % 5, 0) AS safe_div, "
+        "TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num "
+        "FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"
+    ),
+    tags=("function", "ansi"),
+)
+def f10_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: try_* arithmetic — NULL instead of error under ANSI mode
+    (division by zero here). The engine runs ANSI SQL (session.py), so
+    un-guarded x/0 would throw at 100 TB three hours into a job;
+    try_divide is the contract for dirty data."""
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5).alias(
+                "safe_div"
+            ),
+            F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
+        )
+        .orderBy("o_orderkey")
+    )
