@@ -32,6 +32,46 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-style pre-tokenization: runs of letters, runs of digits, and
+    runs of punctuation become separate tokens, each absorbing one
+    leading space (the GPT-2 pre-tokenizer shape, ASCII classes so the
+    regex semantics are engine-portable). JVM-side regexp_extract_all —
+    no Python in the path."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
+def rolling_min_fingerprint(col_name: str, k: int = 8, base: int = 31) -> Column:
+    """Rolling-hash document fingerprint: polynomial hash of every
+    character k-gram, fingerprint = the minimum (min-sampling, the
+    winnowing idea collapsed to one value per document). Pure integer
+    arithmetic in JVM higher-order functions — deterministic on any
+    engine, no hash-library dependence. NULL for texts shorter than k.
+
+    Takes the column NAME (the expression is built as SQL text for the
+    lambda-scoped HOF variables)."""
+    powers = ", ".join(f"{base**j}L" for j in range(k))
+    gram_hash = (
+        f"aggregate(sequence(0, {k - 1}), 0L, (acc, j) -> "
+        f"acc + ascii(substring({col_name}, i + j, 1)) * "
+        f"element_at(array({powers}), j + 1))"
+    )
+    expr = (
+        f"array_min(transform(sequence(1, char_length({col_name}) - {k} + 1), "
+        f"i -> {gram_hash}))"
+    )
+    return F.when(F.char_length(F.col(col_name)) >= k, F.expr(expr)).otherwise(
+        F.lit(None).cast("long")
+    )
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     stripped = F.regexp_replace(text, r"[a-zA-Z0-9 ]", "")

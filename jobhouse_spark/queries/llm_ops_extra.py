@@ -120,3 +120,60 @@ def l8_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("detected")
     )
+
+
+@register(
+    "l4c_bpe_tokens",
+    oracle=r"""
+SELECT doc_id,
+       length(string_split_regex(trim(text), '\s+')) AS n_ws,
+       length(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe
+FROM documents WHERE doc_id < 500 ORDER BY doc_id
+""",
+    tags=("llm", "text", "tokens"),
+)
+def l4c_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4c: token counting both ways — whitespace and BPE-style
+    pre-tokenization (letter-runs / digit-runs / punctuation-runs with
+    leading-space absorption). Entirely JVM regexp — the shape of a
+    100 TB token-budget accounting job."""
+    from jobhouse_spark.functions.text import bpe_ish_token_count, token_count  # noqa: PLC0415
+
+    d = Tables(spark, sf_dir).documents
+    return (
+        d.filter(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            token_count(F.trim(F.col("text"))).alias("n_ws"),
+            bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "l9_rolling_fingerprint",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+    list_min(list_transform(range(1, length(text) - 8 + 2),
+      i -> list_sum(list_transform(range(0, 8),
+        j -> ascii(substr(text, i + j, 1)) * CAST(power(31, j) AS BIGINT))))) AS fp
+  FROM documents WHERE length(text) >= 8)
+SELECT doc_id, CAST(fp AS BIGINT) AS fp FROM fp WHERE doc_id < 500 ORDER BY doc_id
+""",
+    tags=("llm", "text", "fingerprint"),
+)
+def l9_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9: rolling-hash (Rabin-Karp polynomial) document fingerprint,
+    min-sampled per document — the winnowing primitive for content-
+    defined dedup. Exact integer arithmetic, hash-checked against the
+    identical formulation in DuckDB (no hash-library dependence)."""
+    from jobhouse_spark.functions.text import rolling_min_fingerprint  # noqa: PLC0415
+
+    d = Tables(spark, sf_dir).documents
+    return (
+        d.filter((F.col("doc_id") < 500) & (F.char_length("text") >= 8))
+        .select("doc_id", rolling_min_fingerprint("text").alias("fp"))
+        .orderBy("doc_id")
+    )
