@@ -177,3 +177,23 @@ def l9_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", rolling_min_fingerprint("text").alias("fp"))
         .orderBy("doc_id")
     )
+
+
+@register("l10_stratified_sample", oracle=None, tags=("llm", "sampling"))
+def l10_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10: stratified sampling by document language — the per-stratum
+    mixture-balancing draw of a training-data pipeline (rows-only:
+    seed-stable within Spark, not reproducible cross-engine; proportion
+    and determinism properties asserted in
+    tests/test_operators_scale.py::test_stratified_sample_properties)."""
+    from jobhouse_spark.operators.sampling import stratified_sample  # noqa: PLC0415
+
+    d = Tables(spark, sf_dir).documents
+    sampled = stratified_sample(
+        d, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1}, seed=42
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("lang")
+    )

@@ -164,3 +164,32 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         assert n_bucketed == n_plain
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_stratified_sample_properties(spark, sf_dir):
+    """L10: per-stratum proportions near targets, same-seed determinism,
+    strict-subset property; split partitions exactly."""
+    from jobhouse_spark.operators.sampling import stratified_sample, train_eval_split
+
+    d = Tables(spark, sf_dir).documents
+    fr = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1}
+    s1 = stratified_sample(d, "lang", fr, seed=42)
+    s2 = stratified_sample(d, "lang", fr, seed=42)
+    # same seed -> identical draw
+    assert sorted(r.doc_id for r in s1.collect()) == sorted(
+        r.doc_id for r in s2.collect()
+    )
+    # subset of source, dropped stratum absent
+    assert s1.filter(F.col("lang") == "zh").count() == 0
+    totals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, frac in fr.items():
+        # Bernoulli draw: allow generous tolerance on small strata
+        expect = totals[lang] * frac
+        assert abs(got.get(lang, 0) - expect) <= max(10, 0.5 * expect), (lang, got, expect)
+
+    train, ev = train_eval_split(d, eval_fraction=0.2, seed=7)
+    n_train, n_eval, n_all = train.count(), ev.count(), d.count()
+    assert n_train + n_eval == n_all
+    # disjoint: no doc_id on both sides
+    assert train.join(ev, "doc_id", "inner").count() == 0

@@ -97,6 +97,25 @@ def main() -> None:
     check("LeftSemi" in p and "LeftAnti" in p,
           "q21: EXISTS/NOT EXISTS not planned as semi/anti joins")
 
+    p = plan_of(spark, "sq5_lateral_topk")
+    check("WindowGroupLimit" in p,
+          "sq5: lateral LIMIT not decorrelated into a rank-limit window")
+    check("CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "sq5: lateral join fell back to nested loop")
+
+    p = plan_of(spark, "j13_null_safe_join")
+    check("CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "j13: null-safe equality not planned as a hash-able join")
+
+    p = plan_of(spark, "f9_variant")
+    check("props" in p.split("ReadSchema")[1][:200]
+          and "user_id" not in p.split("ReadSchema")[1][:200],
+          "f9: variant scan not pruned to (event_type, props)")
+
+    p = plan_of(spark, "l9_rolling_fingerprint")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "l9: rolling fingerprint left the JVM")
+
     if failures:
         print("PLAN AUDIT FAILED:")
         for f in failures:
