@@ -183,3 +183,46 @@ def w6_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "w7_ignore_nulls_locf",
+    oracle="""
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 3 = 0 THEN NULL ELSE CAST(event_id % 1000 AS BIGINT) END AS v
+  FROM events WHERE event_id < 2000)
+SELECT event_id,
+       last_value(v IGNORE NULLS) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+       lag(v IGNORE NULLS) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) AS prev_obs
+FROM v ORDER BY event_id
+""",
+    tags=("window", "nulls"),
+)
+def w7_ignore_nulls_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: IGNORE NULLS windows — last-observation-carried-forward
+    gap-fill (the sensor/time-series staple) and previous-non-null
+    lookback. One shuffle on user_id, evaluated in-sort like every W
+    query."""
+    e = Tables(spark, sf_dir).events.filter(F.col("event_id") < 2000)
+    v = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, None)
+        .otherwise((F.col("event_id") % 1000).cast("long"))
+        .alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return v.select(
+        "event_id",
+        F.last("v", ignorenulls=True).over(wf).alias("locf"),
+        F.expr(
+            "lag(v) IGNORE NULLS OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)"
+        ).alias("prev_obs"),
+    ).orderBy("event_id")
