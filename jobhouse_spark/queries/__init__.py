@@ -26,6 +26,7 @@ _MODULES = (
     "relational_extra3",
     "tpch_suite",
     "sql_features",
+    "llm_ops_pipeline",
 )
 
 _loaded = False

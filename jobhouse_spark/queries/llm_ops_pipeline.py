@@ -1,0 +1,295 @@
+"""Training-data pipeline operators beyond L1-L10: document chunking,
+repetition-based quality scoring, eval-set contamination detection, and
+BM25 relevance ranking. All four are hash-checked against DuckDB — the
+scoring math follows the §2.C discipline (exact-integer token counts,
+decimal-before-aggregate, DOUBLE finals).
+
+Scale notes (100 TB): every query here is scan → per-row array work →
+one keyed aggregate; no shuffle wider than the final groupBy(doc_id),
+and the contamination join broadcasts the (tiny) eval-shingle side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobhouse_spark.queries.registry import dec, fin, register
+from jobhouse_spark.tables import Tables
+
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+@register(
+    "l11_doc_chunking",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id < 500),
+s AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS start FROM t)
+SELECT doc_id,
+       CAST(start AS BIGINT) AS chunk_start,
+       CAST(len(toks[start:start + 63]) AS BIGINT) AS n_tok,
+       md5(array_to_string(toks[start:start + 63], ' ')) AS chunk_md5
+FROM s ORDER BY doc_id, chunk_start
+""",
+    tags=("llm", "text", "chunking"),
+)
+def l11_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11: overlapping token-window chunking (64-token windows, stride
+    48) — the context-window packing step of a pretraining pipeline.
+    Pure JVM array ops (split → sequence → explode → slice), so chunking
+    100 TB is a narrow scan with no shuffle at all; chunk identity is
+    md5 over the joined tokens, hash-checked cross-engine."""
+    d = Tables(spark, sf_dir).documents.filter(F.col("doc_id") < 500)
+    toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    chunks = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.expr("sequence(1, size(toks), 48)")).alias("start"),
+    ).select(
+        "doc_id",
+        F.col("start").cast("long").alias("chunk_start"),
+        F.expr("size(slice(toks, start, 64))").cast("long").alias("n_tok"),
+        F.md5(F.expr("concat_ws(' ', slice(toks, start, 64))")).alias("chunk_md5"),
+    )
+    return chunks.orderBy("doc_id", "chunk_start")
+
+
+@register(
+    "l12_repetition_ratio",
+    oracle=rf"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, len({_TOKS}) - 1),
+           i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]) AS grams
+  FROM documents WHERE len({_TOKS}) >= 3)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       CAST(CAST(CAST(len(list_distinct(grams)) AS DOUBLE) /
+                 CAST(len(grams) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+         AS uniq_ratio
+FROM g ORDER BY doc_id
+""",
+    tags=("llm", "text", "quality"),
+)
+def l12_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12: repetition-based quality signal — distinct-trigram ratio per
+    document (the Gopher/RefinedWeb "repetition fraction" filter). The
+    ratio divides two exact integers in IEEE double, then rounds through
+    decimal, so both engines emit identical bits. Narrow per-row work;
+    no shuffle beyond the final sort."""
+    d = Tables(spark, sf_dir).documents
+    g = (
+        d.select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(toks) - 2), i -> "
+                "concat_ws(' ', element_at(toks, i), element_at(toks, i+1), "
+                "element_at(toks, i+2)))"
+            ).alias("grams"),
+        )
+    )
+    n_grams = F.size("grams").cast("long")
+    n_distinct = F.size(F.array_distinct("grams")).cast("long")
+    return g.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        fin(n_distinct.cast("double") / n_grams.cast("double"), 6).alias("uniq_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "l13_contamination_overlap",
+    oracle=rf"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len({_TOKS}) - 2),
+           i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+                || ' ' || {_TOKS}[i+3])) AS shingles
+  FROM documents WHERE len({_TOKS}) >= 4),
+eval_sh AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0),
+train AS (
+  SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle
+  FROM sh WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT t.doc_id, t.n_shingles, COUNT(*) AS n_overlap
+  FROM train t JOIN eval_sh e ON t.shingle = e.shingle
+  GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       CAST(CAST(CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+                 AS DECIMAL(18,6)) AS DOUBLE) AS contaminated_frac
+FROM hits ORDER BY doc_id
+""",
+    tags=("llm", "text", "dedup", "contamination"),
+)
+def l13_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L13: train/eval contamination check — 4-gram shingle overlap of
+    every training document against a held-out eval set (doc_id % 97),
+    the decontamination step every benchmark-clean corpus needs. The
+    eval shingle set is tiny by construction, so Spark broadcasts it:
+    at 100 TB this is a map-side hash probe per shingle, one shuffle
+    only for the per-doc count aggregate."""
+    d = Tables(spark, sf_dir).documents
+    sh = (
+        d.select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .filter(F.size("toks") >= 4)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 3), i -> "
+                    "concat_ws(' ', element_at(toks, i), element_at(toks, i+1), "
+                    "element_at(toks, i+2), element_at(toks, i+3)))"
+                )
+            ).alias("shingles"),
+        )
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_sh = (
+        sh.filter(is_eval)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    train = sh.filter(~is_eval).select(
+        "doc_id",
+        F.size("shingles").cast("long").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
+    hits = (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return hits.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        fin(
+            F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double"), 6
+        ).alias("contaminated_frac"),
+    ).orderBy("doc_id")
+
+
+_BM25_TERMS = ("data", "query", "hash")
+_K1 = 1.2
+_B = 0.75
+
+
+@register(
+    "l14_bm25",
+    oracle=rf"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM d),
+terms AS (SELECT * FROM (VALUES ('data'), ('query'), ('hash')) v(term)),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM d JOIN terms ON list_contains(toks, term) GROUP BY term),
+idf AS (
+  SELECT term,
+         CAST(CAST(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                      (CAST(df AS DOUBLE) + 0.5) + 1.0)
+              AS DECIMAL(18,6)) AS DOUBLE) AS idf
+  FROM dfreq, stats),
+tfs AS (
+  SELECT doc_id, term,
+         CAST(len(list_filter(toks, x -> x = term)) AS DOUBLE) AS tf,
+         CAST(len(toks) AS DOUBLE) AS dl
+  FROM d CROSS JOIN terms),
+scored AS (
+  SELECT doc_id,
+         CAST(idf * (tf * ({_K1} + 1.0)) /
+              (tf + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))
+           AS DECIMAL(18,6)) AS s
+  FROM tfs JOIN idf USING (term), stats
+  WHERE tf > 0)
+SELECT doc_id, CAST(CAST(SUM(s) AS DECIMAL(18,6)) AS DOUBLE) AS bm25
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("llm", "text", "ranking"),
+)
+def l14_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L14: BM25 relevance ranking (k1=1.2, b=0.75) of every document
+    against a fixed term set — the retrieval/quality-ranking primitive.
+
+    Determinism: tf/df/dl are exact integers; avgdl is an exact-integer
+    sum divided once in IEEE double; idf is rounded through DECIMAL(18,6)
+    immediately after the single `ln`, and per-term scores are rounded
+    to decimal BEFORE the per-doc SUM so accumulation order can't matter.
+    At scale: doc-frequency is one broadcastable 3-row aggregate, the
+    per-doc score is one groupBy(doc_id) — two narrow shuffles total."""
+    d = Tables(spark, sf_dir).documents.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    stats = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum(F.size("toks")).cast("double") / F.count("*").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    terms = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    dfreq = (
+        d.crossJoin(F.broadcast(terms))
+        .filter(F.array_contains(F.col("toks"), F.col("term")))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        fin(
+            F.log(
+                (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+                / (F.col("df").cast("double") + 0.5)
+                + 1.0
+            ),
+            6,
+        ).alias("idf"),
+    )
+    tfs = d.crossJoin(F.broadcast(terms)).select(
+        "doc_id",
+        "term",
+        F.expr("size(filter(toks, x -> x = term))").cast("double").alias("tf"),
+        F.size("toks").cast("double").alias("dl"),
+    )
+    k1, b = F.lit(_K1), F.lit(_B)
+    scored = (
+        tfs.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats).select("avgdl"))
+        .filter(F.col("tf") > 0)
+        .select(
+            "doc_id",
+            dec(
+                F.col("idf")
+                * (F.col("tf") * (k1 + F.lit(1.0)))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(fin(F.sum("s"), 6).alias("bm25"))
+        .orderBy("doc_id")
+    )
