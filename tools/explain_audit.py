@@ -116,6 +116,21 @@ def main() -> None:
     check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
           "l9: rolling fingerprint left the JVM")
 
+    p = plan_of(spark, "l11_doc_chunking")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "l11: chunking left the JVM")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE))
+    check(n_exchanges <= 1, f"l11: {n_exchanges} shuffles (expect final sort only)")
+
+    p = plan_of(spark, "l13_contamination_overlap")
+    check("BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+          "l13: eval shingle set not broadcast")
+
+    p = plan_of(spark, "l14_bm25")
+    check("SortMergeJoin" not in p, "l14: idf/stats joins not broadcast")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "l14: scoring left the JVM")
+
     if failures:
         print("PLAN AUDIT FAILED:")
         for f in failures:
