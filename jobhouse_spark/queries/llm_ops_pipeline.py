@@ -185,6 +185,79 @@ def l13_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "l15_dedup_clusters",
+    oracle=r"""
+WITH RECURSIVE shingled AS (
+  SELECT doc_id AS doc,
+         list_distinct(list_transform(
+           range(1, len(string_split_regex(lower(text), '\s+')) - 1),
+           i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
+                string_split_regex(lower(text), '\s+')[i+2]
+         )) AS shingles
+  FROM documents WHERE doc_id < 120
+),
+sized AS (SELECT doc, shingles, len(shingles) AS set_size FROM shingled),
+inv AS (SELECT doc, set_size, unnest(shingles) AS shingle FROM sized),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, a.set_size AS size_a,
+         b.set_size AS size_b, COUNT(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.18
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id < 120),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+labeled AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT node AS doc_id,
+       CAST(component AS BIGINT) AS component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+       (node = component) AS is_survivor
+FROM labeled ORDER BY doc_id
+""",
+    tags=("llm", "dedup", "graph"),
+)
+def l15_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L15: near-dup cluster formation — transitively close the exact
+    3-gram Jaccard pair graph (l2b) into duplicate clusters via
+    distributed min-label connected components (operators/graph.py),
+    then elect the min-doc_id survivor per cluster. This is the step
+    that turns pairwise similarity into a keep/drop decision; the
+    DuckDB oracle closes the same graph with a recursive CTE."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from jobhouse_spark.operators.graph import connected_components  # noqa: PLC0415
+    from jobhouse_spark.operators.similarity import ngram_jaccard_pairs  # noqa: PLC0415
+
+    d = Tables(spark, sf_dir).documents.filter(F.col("doc_id") < 120)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.18)
+    labels = connected_components(
+        d.select(F.col("doc_id").alias("node")),
+        pairs,
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+    w = Window.partitionBy("component")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+        (F.col("node") == F.col("component")).alias("is_survivor"),
+    ).orderBy("doc_id")
+
+
 _BM25_TERMS = ("data", "query", "hash")
 _K1 = 1.2
 _B = 0.75

@@ -193,3 +193,20 @@ def test_stratified_sample_properties(spark, sf_dir):
     assert n_train + n_eval == n_all
     # disjoint: no doc_id on both sides
     assert train.join(ev, "doc_id", "inner").count() == 0
+
+
+def test_connected_components_exact(spark):
+    """Chain, triangle, and singleton all resolve to min-id components
+    in O(diameter) rounds."""
+    from jobhouse_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "node long")
+    # chain 1-2-3-4, triangle 5-6-7 (with redundant edge), singleton 8
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)], "src long, dst long"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
