@@ -258,6 +258,114 @@ def l15_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "l16_embedding_centroids",
+    oracle="""
+WITH cells AS (
+  SELECT label, CAST(t.i AS INT) AS dim_idx,
+         CAST(SUM(CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(18,6)))
+              * 1000000 AS BIGINT) AS su_micro,
+         COUNT(*) AS n
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY label, t.i),
+r AS (
+  SELECT label, dim_idx, n,
+         (2 * abs(su_micro) + n) // (2 * n) AS mag, sign(su_micro) AS sg
+  FROM cells)
+SELECT label, dim_idx,
+       CAST(sg * mag AS BIGINT) AS centroid_micro,
+       CAST(sg * mag AS DOUBLE) / 1000000.0 AS centroid
+FROM r ORDER BY label, dim_idx
+""",
+    tags=("llm", "embeddings", "features"),
+)
+def l16_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L16: per-label embedding centroids (mean pooling) — the class-
+    prototype / cluster-seed computation of an embedding pipeline.
+
+    Determinism: element values round once to micro-units (float widened
+    to double first), sums stay in exact decimal, and the mean rounds
+    half-away-from-zero in PURE INTEGER arithmetic ((2|s|+n) div 2n) —
+    no floating division anywhere, because a scale-6 fp mean with
+    divisors like 47 lands on rounding half-boundaries that Spark and
+    DuckDB resolve differently. The final double is bigint/10^6, exact
+    inputs, correctly rounded identically in both engines.
+    At scale: posexplode → groupBy(label, dim) shuffles only
+    64 x n_labels cells — map-side partial aggregation does the heavy
+    lifting."""
+    emb = Tables(spark, sf_dir).embeddings
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim_idx"),
+        dec(F.col("x").cast("double"), 6).alias("xd"),
+    )
+    cells = exploded.groupBy("label", "dim_idx").agg(
+        (F.sum("xd") * 1000000).cast("long").alias("su_micro"),
+        F.count("*").alias("n"),
+    )
+    mag = F.expr("(2 * abs(su_micro) + n) DIV (2 * n)")
+    sg = F.signum("su_micro").cast("long")
+    return cells.select(
+        "label",
+        "dim_idx",
+        (sg * mag).cast("long").alias("centroid_micro"),
+        ((sg * mag).cast("double") / F.lit(1000000.0)).alias("centroid"),
+    ).orderBy("label", "dim_idx")
+
+
+@register(
+    "l17_token_budget_packing",
+    oracle=r"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tok
+  FROM t)
+SELECT source, doc_id, n_tok,
+       CAST(floor(CAST(cum_tok - n_tok AS DOUBLE) / 512.0) AS BIGINT) AS shard_id
+FROM c ORDER BY source, doc_id
+""",
+    tags=("llm", "text", "sharding"),
+)
+def l17_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L17: token-budget shard packing — assign documents to fixed-token
+    training shards (512-token budget) by cumulative fill within each
+    source. The running sum partitions by source, so at 100 TB every
+    source packs in parallel (no global single-partition window); shard
+    identity is the doc's starting offset divided by the budget, exact
+    integer math."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = Tables(spark, sf_dir).documents
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")).cast("double") / F.lit(512.0)
+        )
+        .cast("long")
+        .alias("shard_id"),
+    ).orderBy("source", "doc_id")
+
+
 _BM25_TERMS = ("data", "query", "hash")
 _K1 = 1.2
 _B = 0.75

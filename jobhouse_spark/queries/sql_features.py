@@ -184,6 +184,70 @@ def f9_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "g17_group_by_all",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       {rev} AS revenue
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+""".format(rev=fin_sql("SUM(" + dec_sql("o_totalprice") + ")")),
+    tags=("aggregation", "sql4"),
+)
+def g17_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G17: GROUP BY ALL — the modern-SQL ergonomic form (every
+    non-aggregate select item becomes a grouping key). Resolves to the
+    identical hash-aggregate plan as an explicit GROUP BY; the oracle
+    spells the keys out to prove the equivalence."""
+    Tables(spark, sf_dir).orders.createOrReplaceTempView("jh_sqf_orders")
+    return spark.sql(
+        """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4))
+            AS DOUBLE) AS revenue
+FROM jh_sqf_orders
+GROUP BY ALL
+ORDER BY o_orderstatus, o_orderpriority
+"""
+    )
+
+
+@register(
+    "sq6_pipe_syntax",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {rev} AS revenue
+FROM orders
+WHERE o_orderstatus IN ('F', 'O')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""".format(rev=fin_sql("SUM(" + dec_sql("o_totalprice") + ")")),
+    tags=("sql4", "pipe"),
+)
+def sq6_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ6: SQL pipe syntax (Spark 4 `|>` operators) — the linear
+    filter → aggregate → project → order form. Purely surface syntax:
+    Catalyst lowers it to the same logical plan as the oracle's classic
+    formulation, so pushdown/pruning/partial-agg all apply unchanged."""
+    Tables(spark, sf_dir).orders.createOrReplaceTempView("jh_sqf_orders")
+    return spark.sql(
+        """
+FROM jh_sqf_orders
+|> WHERE o_orderstatus IN ('F', 'O')
+|> EXTEND CAST(o_totalprice AS DECIMAL(18,4)) AS p
+|> AGGREGATE COUNT(*) AS n_orders,
+             CAST(CAST(SUM(p) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+   GROUP BY o_orderpriority
+|> SELECT o_orderpriority, n_orders, revenue
+|> ORDER BY o_orderpriority
+"""
+    )
+
+
 # keep the import visible to linters — dec is the documented accumulation
 # discipline even though this module inlines its one decimal cast in SQL
 _ = dec
