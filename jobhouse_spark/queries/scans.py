@@ -209,3 +209,68 @@ def s6_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s8_values_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8: in-memory literal relation."""
     return spark.sql("SELECT * FROM VALUES (1,'a'),(2,'b'),(3,'c') AS t(i, s) ORDER BY i")
+
+
+@register("s11_xml_roundtrip", oracle=_NATION_AGG_ORACLE, tags=("scan", "sink"))
+def s11_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: XML sink + schema-explicit scan (Spark 4 native XML source —
+    no external package). Career-page/feed ingestion in the reference's
+    declared multi-source design (docs/Pipeline Architecture.mermaid:3-7)
+    is XML-shaped; round-trip must reproduce the source aggregate."""
+    n = Tables(spark, sf_dir).nation
+    out = tempfile.mkdtemp(prefix="jh_s11_")
+    n.write.mode("overwrite").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).format("xml").save(out)
+    back = (
+        spark.read.schema(n.schema)
+        .option("rowTag", "nation")
+        .format("xml")
+        .load(out)
+    )
+    return _nation_agg(back)
+
+
+@register("s12_text_scan", oracle=_NATION_AGG_ORACLE, tags=("scan",))
+def s12_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: raw line-oriented text scan + in-engine parse — the
+    schema-on-read fallback for feeds that no structured reader accepts
+    (one record per line, parsed with F-family string ops, the
+    raw_content philosophy of the reference's bronze layer)."""
+    n = Tables(spark, sf_dir).nation
+    out = tempfile.mkdtemp(prefix="jh_s12_")
+    n.select(
+        F.concat_ws(
+            "\x1f",
+            F.col("n_nationkey").cast("string"),
+            "n_name",
+            F.col("n_regionkey").cast("string"),
+        ).alias("value")
+    ).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    parts = F.split(F.col("value"), "\x1f")
+    back = lines.select(
+        F.element_at(parts, 1).cast("long").alias("n_nationkey"),
+        F.element_at(parts, 2).alias("n_name"),
+        F.element_at(parts, 3).cast("long").alias("n_regionkey"),
+    )
+    return _nation_agg(back)
+
+
+@register("s13_catalog_table", oracle=_NATION_AGG_ORACLE, tags=("scan", "catalog"))
+def s13_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: managed catalog table — saveAsTable into the session
+    warehouse, read back via the catalog (`spark.table`). The catalog
+    registration path is what a multi-team 100 TB deployment uses
+    instead of raw paths (central schema, stats, grants)."""
+    import shutil  # noqa: PLC0415
+    from urllib.parse import urlparse  # noqa: PLC0415
+
+    n = Tables(spark, sf_dir).nation
+    # idempotent re-run: a fresh session may inherit a stale warehouse
+    # dir without the catalog entry, which saveAsTable refuses to reuse
+    spark.sql("DROP TABLE IF EXISTS jh_s13_nation")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/jh_s13_nation", ignore_errors=True)
+    n.write.mode("overwrite").saveAsTable("jh_s13_nation")
+    return _nation_agg(spark.table("jh_s13_nation"))
