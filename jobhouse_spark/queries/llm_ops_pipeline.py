@@ -140,10 +140,17 @@ def l13_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decontamination step every benchmark-clean corpus needs. The
     eval shingle set is tiny by construction, so Spark broadcasts it:
     at 100 TB this is a map-side hash probe per shingle, one shuffle
-    only for the per-doc count aggregate."""
+    only for the per-doc count aggregate.
+
+    The early repartition spreads the CPU-heavy shingling across all
+    cores even when the input arrives in few splits (one parquet file
+    locally — the small-file/heavy-compute case where scan parallelism
+    understates compute parallelism)."""
     d = Tables(spark, sf_dir).documents
     sh = (
-        d.select(
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
             "doc_id",
             F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
         )
@@ -159,16 +166,22 @@ def l13_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingles"),
         )
     )
+    # explode_outer, not explode: InferFiltersFromGenerate would infer
+    # size(shingles)>0 from a plain explode and push the ENTIRE shingle
+    # expression below the exchange into the scan filter — re-shingling
+    # the whole corpus serially. The outer variant infers nothing, and
+    # size(toks)>=4 already guarantees a non-empty shingle array (a
+    # null row couldn't survive the inner join anyway).
     is_eval = F.col("doc_id") % 97 == 0
     eval_sh = (
         sh.filter(is_eval)
-        .select(F.explode("shingles").alias("shingle"))
+        .select(F.explode_outer("shingles").alias("shingle"))
         .distinct()
     )
     train = sh.filter(~is_eval).select(
         "doc_id",
         F.size("shingles").cast("long").alias("n_shingles"),
-        F.explode("shingles").alias("shingle"),
+        F.explode_outer("shingles").alias("shingle"),
     )
     hits = (
         train.join(F.broadcast(eval_sh), "shingle")
