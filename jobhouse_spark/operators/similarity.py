@@ -176,9 +176,14 @@ def ngram_jaccard_pairs(
     index!) → count common shingles per pair → Jaccard from set sizes.
     No cross product: pairs sharing zero shingles are never materialized.
     """
+    # coalesce makes the token array provably non-nullable: otherwise
+    # Catalyst infers isnotnull(set_size) downstream and pushes the
+    # whole shingle expression into the scan filter (per-row recompute).
+    # Semantics unchanged: null text -> [''] -> below the n-token
+    # minimum -> empty shingle set, exactly as the null path produced.
     toked = docs.select(
         F.col(id_col).alias("doc"),
-        F.split(F.lower(F.col(text_col)), r"\s+").alias("toks"),
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+").alias("toks"),
     )
     shingle_expr = F.when(
         F.size("toks") >= n,
@@ -195,8 +200,14 @@ def ngram_jaccard_pairs(
         "set_size", F.size("shingles")
     )
 
+    # explode_outer, not explode: InferFiltersFromGenerate would infer
+    # size(shingles)>0 from a plain explode and push the whole shingle
+    # expression into the scan filter, re-shingling the corpus per row
+    # (seen as a 17x slowdown in the contamination query). Null rows
+    # can't pair with themselves in the self-join (null != null), so
+    # the pair set is unchanged.
     inv = shingled.select(
-        "doc", "set_size", F.explode("shingles").alias("shingle")
+        "doc", "set_size", F.explode_outer("shingles").alias("shingle")
     )
     a = inv.alias("a")
     b = inv.alias("b")

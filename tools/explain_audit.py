@@ -125,6 +125,14 @@ def main() -> None:
     p = plan_of(spark, "l13_contamination_overlap")
     check("BroadcastHashJoin" in p and "SortMergeJoin" not in p,
           "l13: eval shingle set not broadcast")
+    check(p.count("transform(") <= 2,
+          "l13: shingle expr duplicated into pushed filters "
+          "(InferFiltersFromGenerate regression)")
+
+    p = plan_of(spark, "l2b_ngram_jaccard")
+    check(p.count("transform(") <= 2,
+          "l2b: shingle expr duplicated into pushed filters "
+          "(InferFiltersFromGenerate regression)")
 
     p = plan_of(spark, "l14_bm25")
     check("SortMergeJoin" not in p, "l14: idf/stats joins not broadcast")
