@@ -6,7 +6,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jobhouse_spark.functions.vectors import exact_dot_decimal
 from jobhouse_spark.queries.registry import register
 from jobhouse_spark.tables import Tables
 
@@ -14,24 +13,30 @@ from jobhouse_spark.tables import Tables
 @register(
     "l7_embedding_neardup",
     oracle="""
-WITH norms AS (
+WITH m AS (
   SELECT vec_id,
-         list_sum(list_transform(list_zip(embedding, embedding),
-           t -> CAST(CAST(t[1] AS DOUBLE) AS DECIMAL(18,6)) *
-                CAST(CAST(t[2] AS DOUBLE) AS DECIMAL(18,6)))) AS nrm2,
-         embedding
+         list_transform(embedding,
+           x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) * 1000000
+                     AS BIGINT)) AS mv
   FROM embeddings WHERE vec_id < 300
+),
+norms AS (
+  SELECT vec_id, mv,
+         CAST(list_sum(list_transform(list_zip(mv, mv), t -> t[1] * t[2]))
+              AS BIGINT) AS n2
+  FROM m
 ),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_sum(list_transform(list_zip(a.embedding, b.embedding),
-           t -> CAST(CAST(t[1] AS DOUBLE) AS DECIMAL(18,6)) *
-                CAST(CAST(t[2] AS DOUBLE) AS DECIMAL(18,6)))) AS dot,
-         a.nrm2 AS na2, b.nrm2 AS nb2
+         CAST(list_sum(list_transform(list_zip(a.mv, b.mv), t -> t[1] * t[2]))
+              AS BIGINT) AS dot,
+         a.n2 AS na2, b.n2 AS nb2
   FROM norms a JOIN norms b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b FROM pairs
-WHERE dot > 0 AND dot * dot >= CAST(0.25 AS DECIMAL(8,4)) * na2 * nb2
+WHERE dot > 0
+  AND 4 * CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)
+      >= CAST(na2 AS HUGEINT) * CAST(nb2 AS HUGEINT)
 ORDER BY id_a, id_b
 """,
     tags=("llm", "similarity", "dedup"),
@@ -39,33 +44,45 @@ ORDER BY id_a, id_b
 def l7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7: embedding-cosine near-duplicate pairs, fully deterministic.
 
-    cos(a,b) >= τ is evaluated as dot² >= τ²·‖a‖²·‖b‖² entirely in exact
-    decimal arithmetic — no sqrt, no fp comparison, so the pair set is
-    bit-identical across engines (the canonical trick for reproducible
-    near-dup audits). Brute-force over a bounded slice here; the scale
-    path pre-buckets with BRP-LSH (l3b) and applies the same exact test
-    within buckets.
+    cos(a,b) >= τ (τ=0.5) is evaluated as 4·dot² >= ‖a‖²·‖b‖² in EXACT
+    INTEGER arithmetic: elements quantize once to micro-units (same
+    rounding as the decimal path), dots are int64 multiply-adds inside
+    whole-stage codegen (~10x cheaper per pair than BigDecimal folds),
+    and only the final squared comparison widens to 128-bit
+    (DECIMAL(38,0) / HUGEINT — dot² reaches ~4e27). No sqrt, no fp
+    comparison, so the pair set is bit-identical across engines.
+    Brute-force over a bounded slice here; the scale path pre-buckets
+    with BRP-LSH (l3b) and applies the same exact test within buckets.
     """
+    from jobhouse_spark.functions.vectors import dot_micro, micro_vec  # noqa: PLC0415
+
     emb = Tables(spark, sf_dir).embeddings.filter(F.col("vec_id") < 300)
     norms = emb.select(
         "vec_id",
-        "embedding",
-        exact_dot_decimal(F.col("embedding"), F.col("embedding")).alias("nrm2"),
+        micro_vec(F.col("embedding")).alias("mv"),
+    ).select(
+        "vec_id",
+        "mv",
+        dot_micro(F.col("mv"), F.col("mv")).alias("n2"),
     )
     a = norms.alias("a")
     b = norms.alias("b")
+    big = "decimal(38,0)"
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("id_a"),
         F.col("b.vec_id").alias("id_b"),
-        exact_dot_decimal(F.col("a.embedding"), F.col("b.embedding")).alias("dot"),
-        F.col("a.nrm2").alias("na2"),
-        F.col("b.nrm2").alias("nb2"),
+        dot_micro(F.col("a.mv"), F.col("b.mv")).alias("dot"),
+        F.col("a.n2").alias("na2"),
+        F.col("b.n2").alias("nb2"),
     )
-    tau2 = F.lit(0.25).cast("decimal(8,4)")
+    dot_b = F.col("dot").cast(big)
     return (
         pairs.filter(
             (F.col("dot") > 0)
-            & (F.col("dot") * F.col("dot") >= tau2 * F.col("na2") * F.col("nb2"))
+            & (
+                F.lit(4).cast(big) * dot_b * dot_b
+                >= F.col("na2").cast(big) * F.col("nb2").cast(big)
+            )
         )
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
