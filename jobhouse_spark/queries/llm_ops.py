@@ -119,24 +119,28 @@ def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "l3_cosine_topk",
     oracle="""
-WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
-c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+WITH m AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) * 1000000
+                     AS BIGINT)) AS mv
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, mv AS q_vec FROM m WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, mv AS c_vec FROM m),
 scored AS (
   SELECT query_id, neighbor_id,
-         list_sum(list_transform(
-           list_zip(q_vec, c_vec),
-           t -> CAST(CAST(t[1] AS DOUBLE) AS DECIMAL(18,6)) *
-                CAST(CAST(t[2] AS DOUBLE) AS DECIMAL(18,6))
-         )) AS score
+         CAST(list_sum(list_transform(list_zip(q_vec, c_vec),
+                                      t -> t[1] * t[2])) AS BIGINT) AS s
   FROM q CROSS JOIN c WHERE query_id <> neighbor_id
 ),
 ranked AS (
-  SELECT query_id, neighbor_id, score,
+  SELECT query_id, neighbor_id, s,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, neighbor_id) AS rn
+                            ORDER BY s DESC, neighbor_id) AS rn
   FROM scored
 )
-SELECT query_id, neighbor_id, CAST(score AS DOUBLE) AS score, rn
+SELECT query_id, neighbor_id,
+       CAST(s AS DOUBLE) / 1000000000000.0 AS score, rn
 FROM ranked WHERE rn <= 10 ORDER BY query_id, rn
 """,
     tags=("llm", "similarity", "headline"),
@@ -144,18 +148,22 @@ FROM ranked WHERE rn <= 10 ORDER BY query_id, rn
 def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: exact brute-force top-10 by dot product for 5 probe vectors.
 
-    Ranking happens on the exact-decimal dot product so the order is
-    engine-independent (double dot products would rank differently when
-    two candidates are within fp noise). Candidates stream map-only
-    against a broadcast probe set — no shuffle of the big side.
+    Ranking happens on the exact integer micro-unit dot product so the
+    order is engine-independent (double dot products would rank
+    differently when two candidates are within fp noise) and ~10x
+    cheaper than BigDecimal folds. Candidates stream map-only against a
+    broadcast probe set — no shuffle of the big side.
     """
     emb = Tables(spark, sf_dir).embeddings
     probes = emb.filter(F.col("vec_id") < 5)
     topk = brute_force_top_k(probes, emb, k=10, exact_decimal=True)
+    # micro-unit integer score -> decimal-scale double: |s| < 2^53 so
+    # the int64->double conversion is exact and the single division is
+    # correctly rounded identically in both engines
     return topk.select(
         "query_id",
         "neighbor_id",
-        F.col("score").cast("double").alias("score"),
+        (F.col("score").cast("double") / F.lit(1e12)).alias("score"),
         "rn",
     ).orderBy("query_id", "rn")
 
