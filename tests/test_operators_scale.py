@@ -210,3 +210,47 @@ def test_connected_components_exact(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
+
+
+def test_connected_components_random_graphs(spark):
+    """Distributed min-label propagation agrees with a driver-side
+    union-find on randomized graphs (including long chains, which
+    stress the iteration bound)."""
+    import random
+
+    from jobhouse_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 35))
+        ]
+        # a deliberate 12-node chain to force multi-round propagation
+        chain0 = rng.randrange(n - 12)
+        edges += [(i, i + 1) for i in range(chain0, chain0 + 11)]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {v: find(v) for v in range(n)}
+
+        nodes_df = spark.createDataFrame([(i,) for i in range(n)], "node long")
+        edges_df = spark.createDataFrame(
+            [(a, b) for a, b in edges], "src long, dst long"
+        )
+        got = {
+            r.node: r.component
+            for r in connected_components(nodes_df, edges_df).collect()
+        }
+        assert got == expect, f"trial {trial}: {got} != {expect}"
