@@ -91,3 +91,34 @@ def jh3_datasource_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("page")
     )
+
+
+@register("t12_python_stream_source", oracle=None, tags=("streaming", "source"))
+def t12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: Python STREAMING DataSource (Spark 4) — the replay fixture
+    served as a micro-batch source, one API page per batch with
+    replayable {page: N} offsets (incremental ingestion the way the
+    reference's daily DAG intended, but with exactly-once offsets).
+    Rows-only: batch-equivalence with the jh3 batch scan is asserted in
+    tests/test_streaming.py::test_t12_stream_source_equals_batch."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from jobhouse_spark.sources.hh_datasource import HHReplayDataSource  # noqa: PLC0415
+    from jobhouse_spark.streaming.jobs import run_to_memory  # noqa: PLC0415
+
+    try:
+        spark.dataSource.register(HHReplayDataSource)
+    except Exception:  # already registered in this session
+        pass
+    stream = (
+        spark.readStream.format("hh_replay").option("fixture", FIXTURE).load()
+    )
+    sunk = run_to_memory(stream)
+    return (
+        sunk.groupBy("page")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("employer_name").alias("n_employers"),
+        )
+        .orderBy("page")
+    )

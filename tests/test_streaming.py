@@ -214,3 +214,23 @@ def test_t6b_dedup_within_watermark(spark):
     stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
     out = run_to_memory(dedup_stream_within_watermark(stream)).collect()
     assert sorted(r.event_id for r in out) == [1, 2]
+
+
+def test_t12_stream_source_equals_batch(spark):
+    """The Python streaming DataSource (one page per micro-batch,
+    replayable offsets) delivers exactly the batch scan's rows."""
+    from jobhouse_spark.queries.jobhouse_domain import FIXTURE
+    from jobhouse_spark.sources.hh_datasource import HHReplayDataSource
+    from jobhouse_spark.streaming.jobs import run_to_memory
+
+    try:
+        spark.dataSource.register(HHReplayDataSource)
+    except Exception:
+        pass
+    batch = spark.read.format("hh_replay").option("fixture", FIXTURE).load()
+    stream = spark.readStream.format("hh_replay").option("fixture", FIXTURE).load()
+    sunk = run_to_memory(stream)
+    key = lambda r: (r.id, r.page)  # noqa: E731
+    assert sorted(map(key, sunk.collect())) == sorted(map(key, batch.collect()))
+    # offsets advanced one page per micro-batch over the whole fixture
+    assert sunk.select("page").distinct().count() == batch.select("page").distinct().count()
