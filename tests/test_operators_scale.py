@@ -254,3 +254,94 @@ def test_connected_components_random_graphs(spark):
             for r in connected_components(nodes_df, edges_df).collect()
         }
         assert got == expect, f"trial {trial}: {got} != {expect}"
+
+
+def test_chunking_and_packing_invariants(spark, sf_dir):
+    """l11/l17 invariants: chunks tile every token with stride overlap;
+    every document lands in exactly one shard and shards respect the
+    fill order."""
+    from jobhouse_spark.queries import all_queries
+
+    chunks = all_queries()["l11_doc_chunking"].fn(spark, sf_dir).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_start)
+        # starts advance by exactly the stride; first chunk starts at 1
+        starts = [r.chunk_start for r in rows]
+        assert starts[0] == 1
+        assert all(b - a == 48 for a, b in zip(starts, starts[1:]))
+        # every chunk is non-empty and at most the window size
+        assert all(1 <= r.n_tok <= 64 for r in rows)
+        # consecutive chunks overlap by window - stride (except the tail)
+        for a, b in zip(rows, rows[1:]):
+            assert a.chunk_start + a.n_tok > b.chunk_start
+
+    packed = all_queries()["l17_token_budget_packing"].fn(spark, sf_dir).collect()
+    seen = set()
+    per_source = {}
+    for r in packed:
+        assert r.doc_id not in seen  # exactly one shard per doc
+        seen.add(r.doc_id)
+        per_source.setdefault(r.source, []).append(r)
+    for source, rows in per_source.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.shard_id == (cum // 512), (source, r)
+            cum += r.n_tok
+
+
+def test_bm25_dominance(spark, sf_dir):
+    """BM25 sanity: scores are positive, and for two docs of equal
+    length, a componentwise >= per-term tf vector (with one strictly
+    greater) must score higher — BM25 is monotone in each tf. (Total
+    match count is NOT monotone across term mixes: idf weights differ.)
+    """
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from jobhouse_spark.queries import all_queries
+    from jobhouse_spark.tables import Tables
+
+    scores = {
+        r.doc_id: r.bm25
+        for r in all_queries()["l14_bm25"].fn(spark, sf_dir).collect()
+    }
+    assert scores and all(v > 0 for v in scores.values())
+
+    d = Tables(spark, sf_dir).documents
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def tf_of(term):
+        # a dedicated closure: a 2-arg lambda (x, t=term) would be
+        # treated by the HOF as the (element, index) form
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    rows = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        tf_of("data").alias("t1"),
+        tf_of("query").alias("t2"),
+        tf_of("hash").alias("t3"),
+    ).collect()
+    by_len = {}
+    for r in rows:
+        if r.doc_id in scores:
+            by_len.setdefault(r.dl, []).append(
+                ((r.t1, r.t2, r.t3), scores[r.doc_id])
+            )
+    checked = 0
+    for dl, entries in by_len.items():
+        for (v1, s1), (v2, s2) in combinations(entries, 2):
+            if v1 == v2:
+                assert s1 == s2, (dl, v1, s1, s2)
+            elif all(a >= b for a, b in zip(v1, v2)):
+                assert s1 > s2, (dl, v1, s1, v2, s2)
+                checked += 1
+            elif all(b >= a for a, b in zip(v1, v2)):
+                assert s2 > s1, (dl, v1, s1, v2, s2)
+                checked += 1
+    assert checked > 0
