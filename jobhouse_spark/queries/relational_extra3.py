@@ -49,3 +49,86 @@ def g14_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
         F.percentile_approx("o_totalprice", 0.9, 1000).alias("approx_p90"),
     )
+
+
+@register(
+    "g18_table_profile",
+    oracle="""
+SELECT 'o_custkey' AS col, COUNT(*) AS n,
+       COUNT(*) - COUNT(o_custkey) AS n_null,
+       COUNT(DISTINCT o_custkey) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+       COUNT(DISTINCT o_orderdate),
+       CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+       CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR)
+FROM orders
+ORDER BY col
+""",
+    tags=("aggregation", "profiling", "quality"),
+)
+def g18_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G18: data-profiling operator — per-column row/null/distinct
+    counts and min/max, the first thing a data-quality gate computes
+    over a new 100 TB drop. One pass per column family; Catalyst merges
+    the three single-pass aggregates into scans that each read exactly
+    one column (min/max serialized as strings so one schema fits every
+    column type; doubles excluded to stay §2.C-deterministic)."""
+    o = Tables(spark, sf_dir).orders
+
+    def profile(col: str, min_max_cast: str = "string"):
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n"),
+            (F.count("*") - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast(min_max_cast).cast("string").alias("min_v"),
+            F.max(col).cast(min_max_cast).cast("string").alias("max_v"),
+        )
+
+    return (
+        profile("o_custkey")
+        .unionAll(profile("o_orderstatus"))
+        .unionAll(profile("o_orderdate", "date"))
+        .orderBy("col")
+    )
+
+
+@register(
+    "g19_histogram",
+    oracle="""
+SELECT CAST(least(floor(o_totalprice / 50000.0), 11.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
+         AS sum_price
+FROM orders WHERE o_totalprice IS NOT NULL
+GROUP BY bucket ORDER BY bucket
+""",
+    tags=("aggregation", "profiling", "histogram"),
+)
+def g19_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G19: fixed-width histogram (50k-wide bins, top bin open) — the
+    distribution sketch of a profiling pass and the binning primitive
+    for skew detection. Literal bin edges keep bucket ids
+    engine-identical (one double division + floor, same value both
+    sides); one hash aggregate over 12 keys, map-side combined."""
+    o = Tables(spark, sf_dir).orders.filter(F.col("o_totalprice").isNotNull())
+    from jobhouse_spark.queries.registry import dec, fin  # noqa: PLC0415
+
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(50000.0)), F.lit(11)
+    ).cast("long")
+    return (
+        o.select(bucket.alias("bucket"), dec(F.col("o_totalprice")).alias("p"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), fin(F.sum("p")).alias("sum_price"))
+        .orderBy("bucket")
+    )
