@@ -345,3 +345,42 @@ def test_bm25_dominance(spark, sf_dir):
                 assert s2 > s1, (dl, v1, s1, v2, s2)
                 checked += 1
     assert checked > 0
+
+
+def test_compaction_rewrites_small_files(spark, sf_dir):
+    """Maintenance: 64 drip-fed files compact to the handful their
+    volume warrants, content-identical; sort_by clusters ranges so each
+    output file covers a disjoint key span (min/max prunable)."""
+    import os
+
+    from jobhouse_spark.operators.maintenance import compact_parquet, plan_compaction
+
+    assert plan_compaction(10, 3) == 4 and plan_compaction(1, 100) == 1
+
+    o = Tables(spark, sf_dir).orders
+    base = tempfile.mkdtemp(prefix="jh_compact_")
+    frag, dst = base + "/frag", base + "/compacted"
+    o.repartition(64).write.parquet(frag)  # simulate batch-drip sprawl
+
+    def data_files(p):
+        return [f for f in os.listdir(p) if f.endswith(".parquet")]
+
+    assert len(data_files(frag)) == 64
+    back = compact_parquet(
+        spark, frag, dst, target_file_bytes=256 * 1024, sort_by="o_orderkey"
+    )
+    assert 1 <= len(data_files(dst)) < 64
+    # content identical
+    key = lambda r: r.o_orderkey  # noqa: E731
+    assert sorted(map(key, back.collect())) == sorted(map(key, o.collect()))
+    # range clustering: per-file key spans are disjoint
+    spans = []
+    for f in data_files(dst):
+        part = spark.read.parquet(os.path.join(dst, f))
+        row = part.agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).collect()[0]
+        spans.append((row.lo, row.hi))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans
