@@ -193,3 +193,55 @@ def t11_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.sum(F.col("left_id") + F.col("right_id")).alias("id_sum"),
     )
+
+
+@register(
+    "t13_dynamic_session_window",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN INTERVAL '15 minutes'
+              ELSE INTERVAL '45 minutes' END AS gap
+  FROM events),
+w AS (
+  SELECT user_id, ts,
+         MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM g)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev_end IS NULL OR ts >= prev_end
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM w GROUP BY user_id ORDER BY user_id
+""",
+    tags=("streaming", "session"),
+)
+def t13_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: DYNAMIC-gap session windows — the gap depends on the event
+    (15 min after clicks, 45 min otherwise), Spark's
+    `session_window(ts, expr)` form. The batch oracle is the
+    running-max gaps-and-islands generalization: a session breaks when
+    ts >= max(prev ts+gap) (half-open, ties to Spark's merge-on-overlap
+    semantics). Same one-shuffle-per-user shape as T4 at scale."""
+    from jobhouse_spark.tables import Tables  # noqa: PLC0415
+
+    e = Tables(spark, sf_dir).events
+    # session_window's dynamic gap must be CalendarIntervalType;
+    # INTERVAL literals parse as DayTimeIntervalType — make_interval
+    # yields the calendar type
+    gap = F.expr(
+        "CASE WHEN event_type = 'click' THEN make_interval(0,0,0,0,0,15,0) "
+        "ELSE make_interval(0,0,0,0,0,45,0) END"
+    )
+    sess = e.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
