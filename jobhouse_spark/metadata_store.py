@@ -9,6 +9,7 @@ import-try so a real Postgres plugs in with one option dict.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from jobhouse_spark.operators.dedup import dedup_anti_join
@@ -39,8 +40,13 @@ class MetadataStore:
             return self.spark.read.format("jdbc").options(**self.jdbc_options).load()
         try:
             return self.spark.read.parquet(self.path)
-        except Exception:  # first run: empty store
-            return self.spark.createDataFrame([], STORAGE_METADATA_SCHEMA)
+        except AnalysisException as e:
+            # Only a MISSING store means "first run". A corrupt/unreadable
+            # store must raise — silently returning empty would restart
+            # dedup history and re-ingest everything.
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return self.spark.createDataFrame([], STORAGE_METADATA_SCHEMA)
+            raise
 
     def ingested_batch_ids(self) -> DataFrame:
         return self.read().select("batch_id").distinct()

@@ -71,5 +71,9 @@ def connected_components(
         n_changed = updated.filter("changed").limit(1).count()
         labels = updated.drop("changed")
         if n_changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        "(component diameter exceeds the iteration budget); raising instead "
+        "of returning partially-propagated labels. Increase max_iterations."
+    )

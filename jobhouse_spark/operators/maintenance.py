@@ -13,17 +13,24 @@ Z-order for one key).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _dir_bytes(path: str) -> int:
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Recursive data-file byte count via the Hadoop FileSystem API —
+    works for any supported scheme (file://, hdfs://, s3a://…), unlike
+    os.walk which silently returns 0 for non-local URIs and would make
+    compaction coalesce a 100 TB lake into one file."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
     total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if not name.startswith(("_", ".")):
+            total += status.getLen()
     return total
 
 
@@ -55,7 +62,7 @@ def compact_parquet(
       snappy at comparable scan cost on modern CPUs).
     """
     df = spark.read.parquet(src)
-    n_files = plan_compaction(_dir_bytes(src), target_file_bytes)
+    n_files = plan_compaction(_dir_bytes(spark, src), target_file_bytes)
     if sort_by:
         out = df.repartitionByRange(n_files, sort_by).sortWithinPartitions(sort_by)
     else:

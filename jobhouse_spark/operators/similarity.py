@@ -74,25 +74,33 @@ def lsh_top_k(
     bucket_length: float = 2.0,
     num_hash_tables: int = 3,
     seed: int = 42,
+    radius: float | None = None,
 ) -> DataFrame:
     """Approximate top-k via BucketedRandomProjection LSH (pyspark.ml).
 
-    Scale path for L3: hash both sides into buckets; the join only
-    explores colliding buckets instead of the full cross product.
-    Euclidean-distance based (BRP) — callers re-rank the candidate set
-    by exact cosine if needed.
+    Scale path for L3: hash both sides into buckets (pyspark.ml BRP
+    hash functions), then an explicit equi-join on (hash_table, bucket)
+    so only colliding buckets are explored. The candidate set is
+    bounded **per bucket**: within each (query, table, bucket) only the
+    k nearest survive before the global merge, so a skewed/dense bucket
+    contributes at most k rows per query instead of its full population
+    — the unbounded-candidate failure mode of
+    ``approxSimilarityJoin(…, inf)`` at 100 TB. ``radius`` optionally
+    also discards candidates beyond a Euclidean distance.
+    Euclidean-distance based (BRP) — callers re-rank by exact cosine if
+    needed.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH  # noqa: PLC0415
-    from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: PLC0415
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
+        F.col(vec_col).cast("array<double>").alias("q_arr"),
+    ).withColumn("features", array_to_vector("q_arr"))
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
+        F.col(vec_col).cast("array<double>").alias("c_arr"),
+    ).withColumn("features", array_to_vector("c_arr"))
     brp = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -101,21 +109,44 @@ def lsh_top_k(
         seed=seed,
     )
     model = brp.fit(c)
-    joined = model.approxSimilarityJoin(q, c, float("inf"), distCol="dist").filter(
-        F.col("datasetA.query_id") != F.col("datasetB.neighbor_id")
+
+    def buckets(df: DataFrame, keep: str, arr: str) -> DataFrame:
+        hashed = model.transform(df).select(
+            keep, arr, F.posexplode("hashes").alias("table_idx", "h")
+        )
+        return hashed.withColumn("bucket", vector_to_array("h")[0]).drop("h")
+
+    qb = buckets(q, "query_id", "q_arr")
+    cb = buckets(c, "neighbor_id", "c_arr")
+    # probes are few: broadcast them so the bucket join never shuffles
+    # the (huge) candidate side
+    joined = cb.join(F.broadcast(qb), ["table_idx", "bucket"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
-    w = Window.partitionBy("datasetA.query_id").orderBy(
-        F.col("dist").asc(), F.col("datasetB.neighbor_id").asc()
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("q_arr", "c_arr", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = joined.withColumn("dist", dist)
+    if radius is not None:
+        scored = scored.filter(F.col("dist") <= radius)
+    # per-bucket cap: at most k candidates leave any single bucket
+    wb = Window.partitionBy("query_id", "table_idx", "bucket").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    pruned = scored.withColumn("bn", F.row_number().over(wb)).filter(F.col("bn") <= k)
+    # a pair colliding in several hash tables appears once per table
+    cand = pruned.groupBy("query_id", "neighbor_id").agg(F.min("dist").alias("dist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
     )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select(
-            F.col("datasetA.query_id").alias("query_id"),
-            F.col("datasetB.neighbor_id").alias("neighbor_id"),
-            F.col("dist").alias("dist"),
-            "rn",
-        )
+        .select("query_id", "neighbor_id", "dist", "rn")
     )
 
 

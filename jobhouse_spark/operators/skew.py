@@ -5,18 +5,42 @@ explicit fallback when one key dominates so heavily that even split
 partitions bottleneck (e.g. the null-key or a celebrity entity in a
 100 TB join). Semantics are proven equal to the unsalted ops in
 tests/test_operators_scale.py.
+
+Salts are DETERMINISTIC functions of row content — never
+monotonically_increasing_id() or rand(). Those change value when a
+failed task re-executes (Spark recomputes the partition, ids/draws come
+out different), and a shuffle key that changes across attempts can
+silently drop or duplicate rows during stage retry — a correctness
+hazard that only manifests at scale with failures, so local tests pass
+either way. Hashing the row's own columns gives the same salt on every
+recompute. The trade-off is that *identical* rows share a salt; skew
+driven by one hot KEY (many distinct payloads) still spreads fully,
+and callers with literally-duplicate rows can pass ``salt_cols`` with
+any higher-cardinality subset.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def salted_group_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+def _row_salt(df: DataFrame, n_salts: int, salt_cols: Sequence[str] | None) -> Column:
+    cols = list(salt_cols) if salt_cols else list(df.columns)
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
+
+
+def salted_group_count(
+    df: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    salt_cols: Sequence[str] | None = None,
+) -> DataFrame:
     """Two-phase skew-safe count: group on (key, salt) first — the hot
     key spreads over n_salts partitions — then combine partials."""
-    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
+    salted = df.withColumn("__salt", _row_salt(df, n_salts, salt_cols))
     partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").cast("bigint").alias("n"))
 
@@ -27,28 +51,32 @@ def salted_join(
     key: str,
     n_salts: int = 16,
     fact_cols: list[str] | None = None,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Replicated-dim salted equi join.
 
-    The fact side gets a random salt in [0, n_salts); the dim side is
-    replicated n_salts times with every salt value. The join key becomes
-    (key, salt), so a hot fact key spreads across n_salts reducers while
-    each dim row still meets every fact row exactly once.
+    The fact side gets a content-derived salt in [0, n_salts); the dim
+    side is replicated n_salts times with every salt value. The join key
+    becomes (key, salt), so a hot fact key spreads across n_salts
+    reducers while each dim row still meets every fact row exactly once.
     """
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
-    fact_s = fact.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
-    )
+    fact_s = fact.withColumn("__salt", _row_salt(fact, n_salts, salt_cols))
     dim_s = dim.withColumn("__salt", F.explode(salts))
     joined = fact_s.join(dim_s, on=[key, "__salt"], how="inner").drop("__salt")
     return joined.select(fact_cols) if fact_cols else joined
 
 
-def null_safe_join_key(col: Column, sentinel_salts: int = 64) -> Column:
+def null_safe_join_key(col: Column, spread_cols: Sequence[Column], sentinel_salts: int = 64) -> Column:
     """Nulls are the classic mega-skew key in outer joins: map NULL to
     one of N sentinel values so null rows spread, then post-filter.
-    (Inner joins should just drop nulls pre-join.)"""
+    (Inner joins should just drop nulls pre-join.)
+
+    The sentinel index is a hash of ``spread_cols`` (other columns of
+    the same row) — deterministic under task retry, unlike rand().
+    """
+    idx = F.pmod(F.xxhash64(*spread_cols), F.lit(sentinel_salts))
     return F.when(
         col.isNull(),
-        F.concat(F.lit("__null_"), (F.rand(seed=42) * sentinel_salts).cast("int").cast("string")),
+        F.concat(F.lit("__null_"), idx.cast("string")),
     ).otherwise(col.cast("string"))

@@ -19,6 +19,7 @@ from jobhouse_spark.queries.registry import register
 from jobhouse_spark.sources.bronze import (
     envelope_projection,
     read_bronze,
+    read_bronze_day_slice,
     write_bronze_partitioned,
 )
 from jobhouse_spark.tables import Tables
@@ -49,6 +50,44 @@ def a8_bronze_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("posting_id").alias("n_ids"),
         F.min("posting_id").alias("min_id"),
         F.max("posting_id").alias("max_id"),
+    )
+
+
+@register(
+    "a8b_bronze_hive_pruned",
+    oracle=(
+        "SELECT COUNT(*) AS n, MIN(n_nationkey) AS min_id, MAX(n_nationkey) AS max_id "
+        "FROM nation WHERE n_nationkey % 3 = 1"
+    ),
+    tags=("ingestion", "scan", "pruning"),
+)
+def a8b_bronze_hive_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 at scale: write bronze across three hive day-partitions, then
+    read back ONE day through a partition-column filter.
+
+    The `day = '02'` predicate is a partition filter (directory-level
+    pruning, no data read from the other days) — the 100 TB contract for
+    the bronze lake: a one-day slice touches 1/N of the files.
+    tools/explain_audit.py asserts the scan's PartitionFilters carry it.
+    """
+    n = Tables(spark, sf_dir).nation.withColumnRenamed("n_nationkey", "id")
+    postings = envelope_projection(
+        n, search_text="parity", source="HH",
+        extracted_at=datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc),
+    )
+    # spread rows over day 01..03 by id so each hive partition is non-empty
+    day = (F.col("posting_id").cast("int") % 3 + 1).cast("string")
+    postings = postings.withColumn(
+        "extracted_at",
+        F.to_timestamp(F.concat(F.lit("2024-03-0"), day, F.lit(" 12:00:00"))),
+    )
+    root = tempfile.mkdtemp(prefix="jh_bronze_hive_")
+    write_bronze_partitioned(postings, root)
+    sliced = read_bronze_day_slice(spark, root, day="02")
+    return sliced.agg(
+        F.count("*").alias("n"),
+        F.min(F.col("posting_id").cast("int")).alias("min_id"),
+        F.max(F.col("posting_id").cast("int")).alias("max_id"),
     )
 
 

@@ -78,10 +78,9 @@ def jh3_datasource_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from jobhouse_spark.sources.hh_datasource import HHReplayDataSource  # noqa: PLC0415
 
-    try:
-        spark.dataSource.register(HHReplayDataSource)
-    except Exception:  # already registered in this session
-        pass
+    # re-registration is a silent overwrite in PySpark 4 — no guard
+    # needed, and a genuine failure (bad import, API change) propagates
+    spark.dataSource.register(HHReplayDataSource)
     df = spark.read.format("hh_replay").option("fixture", FIXTURE).load()
     return (
         df.groupBy("page")
@@ -106,10 +105,7 @@ def t12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobhouse_spark.sources.hh_datasource import HHReplayDataSource  # noqa: PLC0415
     from jobhouse_spark.streaming.jobs import run_to_memory  # noqa: PLC0415
 
-    try:
-        spark.dataSource.register(HHReplayDataSource)
-    except Exception:  # already registered in this session
-        pass
+    spark.dataSource.register(HHReplayDataSource)
     stream = (
         spark.readStream.format("hh_replay").option("fixture", FIXTURE).load()
     )

@@ -35,8 +35,8 @@ pairs AS (
 )
 SELECT id_a, id_b FROM pairs
 WHERE dot > 0
-  AND 4 * CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)
-      >= CAST(na2 AS HUGEINT) * CAST(nb2 AS HUGEINT)
+  AND 400 * CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)
+      >= 49 * CAST(na2 AS HUGEINT) * CAST(nb2 AS HUGEINT)
 ORDER BY id_a, id_b
 """,
     tags=("llm", "similarity", "dedup"),
@@ -44,8 +44,10 @@ ORDER BY id_a, id_b
 def l7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7: embedding-cosine near-duplicate pairs, fully deterministic.
 
-    cos(a,b) >= τ (τ=0.5) is evaluated as 4·dot² >= ‖a‖²·‖b‖² in EXACT
-    INTEGER arithmetic: elements quantize once to micro-units (same
+    cos(a,b) >= τ (τ=0.35, i.e. τ²=49/400 — low enough that the
+    synthetic sf0.01 embeddings, whose max pairwise cosine is ~0.46,
+    produce a non-empty pair set for the oracle to hash) is evaluated
+    as 400·dot² >= 49·‖a‖²·‖b‖² in EXACT INTEGER arithmetic: elements quantize once to micro-units (same
     rounding as the decimal path), dots are int64 multiply-adds inside
     whole-stage codegen (~10x cheaper per pair than BigDecimal folds),
     and only the final squared comparison widens to 128-bit
@@ -80,8 +82,8 @@ def l7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.filter(
             (F.col("dot") > 0)
             & (
-                F.lit(4).cast(big) * dot_b * dot_b
-                >= F.col("na2").cast(big) * F.col("nb2").cast(big)
+                F.lit(400).cast(big) * dot_b * dot_b
+                >= F.lit(49).cast(big) * F.col("na2").cast(big) * F.col("nb2").cast(big)
             )
         )
         .select("id_a", "id_b")

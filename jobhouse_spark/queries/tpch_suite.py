@@ -859,17 +859,19 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent order" — every driver customer has some order). Phone
     country codes don't exist, so cntrycode = c_nationkey % 10. The avg threshold is
     computed on exact decimals and re-cast to decimal(18,4) so the
-    comparison is identical in both engines."""
+    comparison is identical in both engines. The threshold stays IN the
+    plan (broadcast 1-row aggregate joined to the customer side) — no
+    driver collect, the whole query is one Catalyst plan."""
     t = Tables(spark, sf_dir)
     band = F.col("c_nationkey") % 10
     eligible = t.customer.filter(band.isin(1, 3, 5, 7))
     avg_bal = (
         eligible.filter(F.col("c_acctbal") > 0)
-        .agg(dec(F.avg(dec(F.col("c_acctbal")))).alias("ab"))
-        .collect()[0]["ab"]
+        .agg(dec(F.avg(dec(F.col("c_acctbal")))).alias("__avg_bal"))
     )
     return (
-        eligible.filter(dec(F.col("c_acctbal")) > F.lit(avg_bal))
+        eligible.crossJoin(F.broadcast(avg_bal))
+        .filter(dec(F.col("c_acctbal")) > F.col("__avg_bal"))
         .join(t.orders.filter(F.col("o_orderpriority") == "1-URGENT"),
               F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select(band.cast("int").alias("cntrycode"), "c_acctbal")

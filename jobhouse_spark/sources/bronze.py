@@ -153,6 +153,31 @@ def read_bronze(spark: SparkSession, root: str, layout: str = "hive") -> DataFra
     return reader.option("recursiveFileLookup", "true").json(root)
 
 
+def read_bronze_day_slice(
+    spark: SparkSession,
+    root: str,
+    *,
+    day: str,
+    source: str | None = None,
+) -> DataFrame:
+    """Prunable day-slice read over the hive-partitioned bronze lake.
+
+    The filter targets the *partition columns* (`day`, optionally
+    `source`) that partition discovery derives from directory names, so
+    Catalyst turns it into PartitionFilters — only that day's
+    directories are listed/read. This is the operative difference from
+    filtering on `extracted_at` (a data column), which would scan every
+    file. At 100 TB of bronze, a one-day slice is the difference
+    between reading 1/365th of the lake and reading all of it.
+    """
+    schema = RAW_POSTING_SCHEMA
+    df = spark.read.schema(schema).option("basePath", root).json(root)
+    df = df.filter(F.col("day") == day)
+    if source is not None:
+        df = df.filter(F.col("source") == source)
+    return df.select(*[f.name for f in schema.fields])
+
+
 def quarantine_corrupt(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame]:
     """PERMISSIVE read splitting good rows from corrupt JSON lines
     (SURVEY §1.3 bad-record quarantine)."""

@@ -35,13 +35,16 @@ def _canon_value(v) -> str:
     """Canonical string for one cell — engine-representation agnostic."""
     if v is None:
         return r"\N"
+    # NaN gets its OWN token: NULL-vs-NaN is a real cross-engine
+    # divergence (e.g. Spark stddev of one sample → NaN, DuckDB → NULL)
+    # and must not pass the differential check silently.
     if isinstance(v, float):
         if math.isnan(v):
-            return r"\N"
+            return "NaN"
         return repr(v)
     if isinstance(v, (np.floating,)):
         f = float(v)
-        return r"\N" if math.isnan(f) else repr(f)
+        return "NaN" if math.isnan(f) else repr(f)
     if isinstance(v, (np.integer,)):
         return str(int(v))
     if isinstance(v, decimal.Decimal):

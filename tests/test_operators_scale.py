@@ -92,6 +92,25 @@ def test_metadata_store_roundtrip_and_dedup(spark):
     assert {r.batch_id for r in new.collect()} == {"b3"}
 
 
+def test_metadata_store_corrupt_raises(spark):
+    """A CORRUPT store must raise, not silently restart dedup history:
+    only a missing path means 'first run'."""
+    import os
+
+    import pytest
+
+    from jobhouse_spark.metadata_store import MetadataStore
+
+    path = tempfile.mkdtemp(prefix="jh_meta_corrupt_") + "/meta"
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    store = MetadataStore(spark, path)
+    with pytest.raises(Exception) as exc_info:
+        store.read().collect()
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)
+
+
 def test_metadata_store_jdbc_backend(spark):
     """S6 for real: MetadataStore over embedded Derby JDBC — the same
     read/write.jdbc path a networked Postgres would use (reference

@@ -223,10 +223,7 @@ def test_t12_stream_source_equals_batch(spark):
     from jobhouse_spark.sources.hh_datasource import HHReplayDataSource
     from jobhouse_spark.streaming.jobs import run_to_memory
 
-    try:
-        spark.dataSource.register(HHReplayDataSource)
-    except Exception:
-        pass
+    spark.dataSource.register(HHReplayDataSource)
     batch = spark.read.format("hh_replay").option("fixture", FIXTURE).load()
     stream = spark.readStream.format("hh_replay").option("fixture", FIXTURE).load()
     sunk = run_to_memory(stream)
