@@ -175,12 +175,20 @@ def minhash_near_duplicates(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer  # noqa: PLC0415
 
+    base = docs.select(id_col, text_col)
+    # A small corpus read from one parquet file arrives as ONE partition
+    # and the whole featurize chain runs in a single task; spread it.
+    # Gated so a big (already well-partitioned) corpus is NOT given an
+    # extra full shuffle.
+    sc = docs.sparkSession.sparkContext
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism)
     tok = Tokenizer(inputCol=text_col, outputCol="__tokens")
     ng = NGram(n=shingle_n, inputCol="__tokens", outputCol="__shingles")
     tf = HashingTF(
         inputCol="__shingles", outputCol="__features", numFeatures=num_features, binary=True
     )
-    featured = tf.transform(ng.transform(tok.transform(docs.select(id_col, text_col))))
+    featured = tf.transform(ng.transform(tok.transform(base)))
     mh = MinHashLSH(
         inputCol="__features", outputCol="__hashes", numHashTables=num_hash_tables, seed=seed
     )

@@ -61,7 +61,7 @@ def l1b_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l2_minhash_neardup", oracle=None, tags=("llm", "dedup", "approx"))
+@register("l2_minhash_neardup", oracle=None, tags=("llm", "dedup", "approx", "headline"))
 def l2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: MinHash-LSH near-duplicate candidate pairs (recall-checked in
     tests with planted duplicates; model-specific, not hash-checked).

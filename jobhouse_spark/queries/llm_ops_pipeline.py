@@ -132,7 +132,7 @@ SELECT doc_id,
                  AS DECIMAL(18,6)) AS DOUBLE) AS contaminated_frac
 FROM hits ORDER BY doc_id
 """,
-    tags=("llm", "text", "dedup", "contamination"),
+    tags=("llm", "text", "dedup", "contamination", "headline"),
 )
 def l13_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L13: train/eval contamination check — 4-gram shingle overlap of
@@ -240,7 +240,7 @@ SELECT node AS doc_id,
        (node = component) AS is_survivor
 FROM labeled ORDER BY doc_id
 """,
-    tags=("llm", "dedup", "graph"),
+    tags=("llm", "dedup", "graph", "headline"),
 )
 def l15_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15: near-dup cluster formation — transitively close the exact
@@ -418,7 +418,7 @@ scored AS (
 SELECT doc_id, CAST(CAST(SUM(s) AS DECIMAL(18,6)) AS DOUBLE) AS bm25
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """,
-    tags=("llm", "text", "ranking"),
+    tags=("llm", "text", "ranking", "headline"),
 )
 def l14_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L14: BM25 relevance ranking (k1=1.2, b=0.75) of every document

@@ -139,6 +139,53 @@ def main() -> None:
     check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
           "l14: scoring left the JVM")
 
+    p = plan_of(spark, "a8b_bronze_hive_pruned")
+    check("PartitionFilters" in p and "day" in p.split("PartitionFilters")[1][:200],
+          "a8b: day predicate not a partition filter (directory pruning lost)")
+
+    # --- runtime check: AQE skew-join actually fires -------------------
+    # SCALE.md claims skew-split handling; prove it on a 90%-hot-key join
+    # with thresholds shrunk so local data volumes qualify as skewed.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    skew_confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in skew_confs}
+    try:
+        for k, v in skew_confs.items():
+            spark.conf.set(k, v)
+        fact = (
+            spark.range(300_000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000),
+            )
+            .withColumn("pad", F.concat_ws("", *[F.lit("xxxxxxxx")] * 8))
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        # global agg (not groupBy(k)): a downstream requirement of
+        # hashpartitioning(k) would forbid splitting the join's partitions
+        j = fact.join(dim, "k").agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        j.collect()
+        exec_plan = j._jdf.queryExecution().executedPlan().toString()
+        check("skew=true" in exec_plan,
+              "skew: AQE did not split the hot partition (no skew=true in final plan)")
+        check("isFinalPlan=true" in exec_plan, "skew: adaptive plan not finalized")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
     if failures:
         print("PLAN AUDIT FAILED:")
         for f in failures:
