@@ -150,6 +150,11 @@ def lsh_top_k(
     )
 
 
+# Same Mersenne-ish prime pyspark.ml's MinHashLSH uses for its
+# universal hash family (public Spark source: ml/feature/MinHashLSH).
+_MINHASH_PRIME = 2038074743
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -159,21 +164,40 @@ def minhash_near_duplicates(
     num_features: int = 1 << 16,
     seed: int = 42,
     shingle_n: int = 3,
+    max_bucket_size: int = 500,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs over word-shingle sets.
 
-    Pipeline: tokenize → n-gram shingles → hashingTF (binary=true: set
-    semantics) → MinHashLSH → approxSimilarityJoin at Jaccard distance
-    (1 - threshold). Returns (doc_a, doc_b, jaccard_dist), doc_a < doc_b.
+    Pipeline: tokenize → n-gram shingles → hash to a binary feature set
+    (set semantics) → per-band minhash signature → **explicit band-bucket
+    equi-join** with a **per-bucket membership cap** → exact Jaccard on
+    the surviving pairs. Returns (doc_a, doc_b, jaccard_dist),
+    doc_a < doc_b. Entirely native DataFrame ops (whole-stage codegen);
+    the minhash permutations are ``pmod(a*f + b, p)`` expressions over
+    the feature array, the same universal hash family pyspark.ml's
+    MinHashLSH draws from.
+
+    100 TB design — why not ``approxSimilarityJoin``: its bucket join
+    has no candidate bound, so one degenerate band bucket (near-empty
+    docs, boilerplate-heavy corpora) yields O(b²) pairs in a single
+    task. Here each (band, signature) bucket keeps at most
+    ``max_bucket_size`` members (deterministic: lowest doc ids), so a
+    bucket contributes ≤ C(cap, 2) pairs no matter how degenerate the
+    corpus. Overflowing docs are usually exact/boilerplate duplicates —
+    the L1 exact-dedup pass, run first in any real pipeline, is the
+    right tool for those.
 
     Shingles, not single words: over a small vocabulary every document
     contains most words, so word-set MinHash collapses into a handful of
-    buckets and the LSH join degenerates toward a cross product. The
-    n-gram shingle space is |vocab|^n — documents separate, buckets
-    spread, and the join stays bucket-local (this is the standard
+    buckets. The n-gram shingle space is |vocab|^n — documents separate,
+    buckets spread, and the join stays bucket-local (the standard
     shingle→minhash→band pipeline for web-scale text dedup).
+
+    Docs with an empty shingle set (< ``shingle_n`` tokens) are
+    excluded: Jaccard is undefined on empty sets (pyspark.ml raises on
+    them outright).
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer  # noqa: PLC0415
+    import random  # noqa: PLC0415
 
     base = docs.select(id_col, text_col)
     # A small corpus read from one parquet file arrives as ONE partition
@@ -183,26 +207,90 @@ def minhash_near_duplicates(
     sc = docs.sparkSession.sparkContext
     if base.rdd.getNumPartitions() < sc.defaultParallelism:
         base = base.repartition(sc.defaultParallelism)
-    tok = Tokenizer(inputCol=text_col, outputCol="__tokens")
-    ng = NGram(n=shingle_n, inputCol="__tokens", outputCol="__shingles")
-    tf = HashingTF(
-        inputCol="__shingles", outputCol="__features", numFeatures=num_features, binary=True
-    )
-    featured = tf.transform(ng.transform(tok.transform(base)))
-    mh = MinHashLSH(
-        inputCol="__features", outputCol="__hashes", numHashTables=num_hash_tables, seed=seed
-    )
-    model = mh.fit(featured)
-    pairs = model.approxSimilarityJoin(
-        featured, featured, 1.0 - jaccard_threshold, distCol="jaccard_dist"
-    )
-    return (
-        pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
-        .select(
-            F.col(f"datasetA.{id_col}").alias("doc_a"),
-            F.col(f"datasetB.{id_col}").alias("doc_b"),
-            "jaccard_dist",
+
+    # Row-filter short docs up front instead of a when()-guarded empty
+    # shingle array: transform() over a CaseWhen child defeats codegen
+    # and ran ~100x slower than transform() over a plain nested
+    # expression (measured at sf0.1); the excluded rows are exactly the
+    # empty-set docs the contract drops anyway.
+    toked = base.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+").alias("toks"),
+    ).filter(F.size("toks") >= shingle_n)
+    shingle_expr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (shingle_n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + j) for j in range(shingle_n)]
+            ),
         )
+    )
+    # binary feature set: hashed shingle indices, deduped (set semantics)
+    feat_expr = F.array_distinct(
+        F.transform(shingle_expr, lambda s: F.pmod(F.xxhash64(s), F.lit(num_features)))
+    )
+    featured = toked.select("doc", feat_expr.alias("features"))
+
+    # one minhash function per band (r=1, matching MinHashLSH):
+    # sig_i = min over features of (a_i*f + b_i) mod p
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randint(1, _MINHASH_PRIME - 1), rng.randint(0, _MINHASH_PRIME - 1))
+        for _ in range(num_hash_tables)
+    ]
+    def _perm(a: int, b: int):
+        # closure factory: pyspark's higher-order-function binding counts
+        # lambda params, so the coefficients can't ride as default args
+        return lambda f: F.pmod(
+            a * F.pmod(f, F.lit(_MINHASH_PRIME)) + b, F.lit(_MINHASH_PRIME)
+        )
+
+    sigs = F.array(
+        *[F.array_min(F.transform("features", _perm(a, b))) for a, b in coeffs]
+    )
+    banded = featured.select(
+        "doc", F.posexplode(sigs).alias("band_idx", "sig")
+    )
+
+    # per-bucket membership cap: a (band, signature) bucket admits at
+    # most max_bucket_size docs (lowest ids — deterministic), bounding
+    # its pair fan-out to C(cap, 2) instead of C(bucket, 2).
+    wb = Window.partitionBy("band_idx", "sig").orderBy(F.col("doc").asc())
+    capped = (
+        banded.withColumn("__bn", F.row_number().over(wb))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
+
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact Jaccard on surviving candidates only: join the feature sets
+    # back (two key-joins — shuffles bounded by the capped pair count)
+    fa = featured.select(F.col("doc").alias("doc_a"), F.col("features").alias("fa"))
+    fb = featured.select(F.col("doc").alias("doc_b"), F.col("features").alias("fb"))
+    scored = (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn(
+            "jaccard_dist",
+            1.0
+            - F.size(F.array_intersect("fa", "fb"))
+            / F.size(F.array_union("fa", "fb")),
+        )
+    )
+    return scored.filter(F.col("jaccard_dist") <= 1.0 - jaccard_threshold).select(
+        "doc_a", "doc_b", "jaccard_dist"
     )
 
 

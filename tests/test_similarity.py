@@ -30,6 +30,33 @@ def test_minhash_recall_on_planted_duplicates(spark, sf_dir):
     assert recall >= 0.9, f"recall {recall}: {sorted(found)[:10]}"
 
 
+def test_minhash_degenerate_bucket_bounded(spark):
+    """Adversarial: 1k boilerplate docs sharing one text land in ONE
+    band bucket per band. Uncapped LSH would emit C(1000,2)=499,500
+    pairs from a single bucket; the per-bucket membership cap bounds
+    output to C(cap,2) — and the job must finish quickly."""
+    rows = [(i, "lorem ipsum dolor sit amet the same boilerplate text") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    cap = 50
+    pairs = minhash_near_duplicates(
+        docs, jaccard_threshold=0.5, num_hash_tables=3, max_bucket_size=cap
+    ).collect()
+    # identical docs: every surviving pair matches, but the bucket cap
+    # bounds candidates to C(cap,2) regardless of bucket population
+    assert 0 < len(pairs) <= cap * (cap - 1) // 2, len(pairs)
+    assert all(r.jaccard_dist == 0.0 for r in pairs)
+
+
+def test_minhash_short_docs_excluded(spark):
+    """Docs below the shingle length can't be featurized (empty set —
+    Jaccard undefined); they must be silently excluded, not crash."""
+    rows = [(1, "only two"), (2, "only two"), (3, None), (4, "a proper document with many words here"), (5, "a proper document with many words here")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5, num_hash_tables=3).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert found == {(4, 5)}, found
+
+
 def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     """BRP-LSH candidates must include most of the exact top-10
     (Euclidean vs cosine mismatch allowed, so threshold is loose)."""
