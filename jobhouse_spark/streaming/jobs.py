@@ -23,16 +23,28 @@ from pyspark.sql import types as T
 
 _SINK_COUNTER = itertools.count()
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """File-stream sources require a user-supplied schema, so we must know
+    whether the fixture stores `ts` as TIMESTAMP(NANOS) (old generator) or
+    TIMESTAMP(MICROS) (current). Spark can't read nanos as TimestampType
+    directly — that case needs the nanosAsLong long-read + DIV 1000 shim."""
+    import pyarrow.parquet as pa_pq  # noqa: PLC0415
+
+    ts = pa_pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    return getattr(ts, "unit", None) == "ns"
 
 
 _STREAM_DIRS: dict[str, str] = {}
@@ -54,14 +66,23 @@ def _events_stream_dir(sf_dir: str) -> str:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1: file-stream source over the events parquet (ns ts → µs)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """T1: file-stream source over the events parquet. `ts` lands as a
+    proper TimestampType either way; nanos fixtures go through the
+    legacy long-read shim, micros read natively."""
+    if _events_ts_is_nanos(sf_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_events_stream_schema(T.LongType()))
+            .format("parquet")
+            .load(_events_stream_dir(sf_dir))
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(T.TimestampType()))
         .format("parquet")
         .load(_events_stream_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
 
 
 def run_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
