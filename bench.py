@@ -9,6 +9,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -23,10 +24,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", default="headline", help="'all' or a registry tag")
-    # best-of-2 by default: the second run measures steady-state plan
-    # execution (codegen/classloading warm), which is what a long-lived
-    # cluster actually sees; raise for lower-variance numbers
-    ap.add_argument("--repeat", type=int, default=2)
+    # median-of-3 by default: the sandbox shows multi-x wall-clock variance
+    # under concurrent load, so a single (or best-of) sample misattributes
+    # machine noise to the plan; the median of three is stable and the first
+    # run's codegen/classloading warm-up can't dominate it
+    ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     args = ap.parse_args()
 
@@ -39,16 +41,21 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    cpu_timings: dict[str, float] = {}
     for name in sorted(qs):
         q = qs[name]
-        best = float("inf")
+        walls: list[float] = []
+        cpus: list[float] = []
         for _ in range(max(1, args.repeat)):
             t0 = time.perf_counter()
+            c0 = time.process_time()
             df = q.fn(spark, args.sf_dir)
             n = df.count()  # force full execution
-            best = min(best, time.perf_counter() - t0)
+            walls.append(time.perf_counter() - t0)
+            cpus.append(time.process_time() - c0)
             assert n >= 0
-        timings[name] = round(best, 4)
+        timings[name] = round(statistics.median(walls), 4)
+        cpu_timings[name] = round(statistics.median(cpus), 4)
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 4)
@@ -59,6 +66,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # driver-process CPU medians: near-zero per query (work is
+                # JVM-side); a machine-load confound inflates wall but not
+                # these, so divergence flags a noisy run
+                "cpu_sec": cpu_timings,
+                "repeat": max(1, args.repeat),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -213,9 +213,14 @@ def minhash_near_duplicates(
     # and ran ~100x slower than transform() over a plain nested
     # expression (measured at sf0.1); the excluded rows are exactly the
     # empty-set docs the contract drops anyway.
+    # trim before splitting: split on \s+ keeps a leading empty token for
+    # whitespace-padded text, which would shift every shingle (" a b" vs
+    # "a b") and stop padded duplicates from colliding
     toked = base.select(
         F.col(id_col).alias("doc"),
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+").alias("toks"),
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ).alias("toks"),
     ).filter(F.size("toks") >= shingle_n)
     shingle_expr = F.array_distinct(
         F.transform(
@@ -229,7 +234,11 @@ def minhash_near_duplicates(
     feat_expr = F.array_distinct(
         F.transform(shingle_expr, lambda s: F.pmod(F.xxhash64(s), F.lit(num_features)))
     )
-    featured = toked.select("doc", feat_expr.alias("features"))
+    # consumed three times below (signatures + both sides of the exact-
+    # Jaccard rejoin); persist so the tokenize/shingle/hash chain runs
+    # one corpus scan, not three. The cached relation is one int-array
+    # column — far smaller than the text — and spills to disk if not.
+    featured = toked.select("doc", feat_expr.alias("features")).persist()
 
     # one minhash function per band (r=1, matching MinHashLSH):
     # sig_i = min over features of (a_i*f + b_i) mod p
@@ -275,22 +284,23 @@ def minhash_near_duplicates(
         .distinct()
     )
 
-    # exact Jaccard on surviving candidates only: join the feature sets
-    # back (two key-joins — shuffles bounded by the capped pair count)
+    # exact Jaccard on surviving candidates only. The pair set is small
+    # (bounded by the bucket caps) while `featured` spans the corpus, so
+    # these joins hash-shuffle both sides on doc id unless the pair side
+    # is broadcast — mark it so the featured relation is probed in place.
     fa = featured.select(F.col("doc").alias("doc_a"), F.col("features").alias("fa"))
     fb = featured.select(F.col("doc").alias("doc_b"), F.col("features").alias("fb"))
-    scored = (
-        cand.join(fa, "doc_a")
+    # filter on similarity directly (inclusive boundary: sim >= threshold
+    # keeps the pair) instead of a derived 1-x distance comparison whose
+    # rounding can flip exact-boundary pairs
+    sim = F.size(F.array_intersect("fa", "fb")) / F.size(F.array_union("fa", "fb"))
+    return (
+        F.broadcast(cand)
+        .join(fa, "doc_a")
         .join(fb, "doc_b")
-        .withColumn(
-            "jaccard_dist",
-            1.0
-            - F.size(F.array_intersect("fa", "fb"))
-            / F.size(F.array_union("fa", "fb")),
-        )
-    )
-    return scored.filter(F.col("jaccard_dist") <= 1.0 - jaccard_threshold).select(
-        "doc_a", "doc_b", "jaccard_dist"
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim") >= jaccard_threshold)
+        .select("doc_a", "doc_b", (1.0 - F.col("__sim")).alias("jaccard_dist"))
     )
 
 

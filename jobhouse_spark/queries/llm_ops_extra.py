@@ -101,7 +101,11 @@ def t7_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T  # noqa: PLC0415
     from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
 
-    from jobhouse_spark.streaming.jobs import run_to_memory, stream_events  # noqa: PLC0415
+    from jobhouse_spark.streaming.jobs import (  # noqa: PLC0415
+        pinned_shuffle,
+        run_to_memory,
+        stream_events,
+    )
 
     events = stream_events(spark, sf_dir).select("user_id")
     out_schema = T.StructType(
@@ -119,7 +123,10 @@ def t7_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = events.groupBy("user_id").applyInPandasWithState(
         count_fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    sunk = run_to_memory(counted, mode="update")
+    # ~150 user keys: a vanilla 200-partition shuffle materializes 200
+    # state stores per micro-batch for mostly-empty partitions
+    with pinned_shuffle(spark):
+        sunk = run_to_memory(counted, mode="update")
     return (
         sunk.groupBy("user_id").agg(F.max("n").alias("n")).orderBy("user_id")
     )
