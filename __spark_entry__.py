@@ -56,11 +56,11 @@ _HEAD = (
     "u1_union",
     "u2_intersect",
     "u3_except",
-    # F — scalar function surface
+    # F — scalar function surface (f5_map verified in driver_sim/tests;
+    # its head slot goes to the jobhouse gold mart family below)
     "f1_string",
     "f2_datetime",
     "f4_array",
-    "f5_map",
     "f6_json",
     "f8_cast",
     # T — structured streaming (batch-equivalent oracles)
@@ -83,6 +83,9 @@ _HEAD = (
     "l13_contamination_overlap",
     "l14_bm25",
     "l15_dedup_clusters",
+    # JH — the reference's gold marts (replay fixture -> bronze ->
+    # silver -> gold, hash-checked against a fixture-rebuilding oracle)
+    "jh1_gold_daily_mart",
     # A — ingestion/bronze
     "a8_bronze_roundtrip",
     "a8b_bronze_hive_pruned",

@@ -9,7 +9,6 @@ import-try so a real Postgres plugs in with one option dict.
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from jobhouse_spark.operators.dedup import dedup_anti_join
@@ -35,18 +34,24 @@ class MetadataStore:
             return
         metadata.write.mode("append").parquet(self.path)
 
+    def _exists(self) -> bool:
+        """Hadoop-FileSystem existence check — works for any scheme the
+        session can reach (file://, s3a://, hdfs://), unlike os.path."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+
     def read(self) -> DataFrame:
         if self.jdbc_options is not None:
             return self.spark.read.format("jdbc").options(**self.jdbc_options).load()
-        try:
-            return self.spark.read.parquet(self.path)
-        except AnalysisException as e:
-            # Only a MISSING store means "first run". A corrupt/unreadable
-            # store must raise — silently returning empty would restart
-            # dedup history and re-ingest everything.
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                return self.spark.createDataFrame([], STORAGE_METADATA_SCHEMA)
-            raise
+        # Only a MISSING store means "first run" — checked explicitly, not
+        # by sniffing error text. A corrupt/unreadable store must raise:
+        # silently returning empty would restart dedup history and
+        # re-ingest everything.
+        if not self._exists():
+            return self.spark.createDataFrame([], STORAGE_METADATA_SCHEMA)
+        return self.spark.read.parquet(self.path)
 
     def ingested_batch_ids(self) -> DataFrame:
         return self.read().select("batch_id").distinct()

@@ -75,6 +75,7 @@ def lsh_top_k(
     num_hash_tables: int = 3,
     seed: int = 42,
     radius: float | None = None,
+    broadcast_queries: bool | str = "auto",
 ) -> DataFrame:
     """Approximate top-k via BucketedRandomProjection LSH (pyspark.ml).
 
@@ -89,6 +90,14 @@ def lsh_top_k(
     also discards candidates beyond a Euclidean distance.
     Euclidean-distance based (BRP) — callers re-rank by exact cosine if
     needed.
+
+    ``broadcast_queries``: True forces the probe side broadcast (bucket
+    join never shuffles the candidate corpus — right for few probes);
+    False forces a shuffled equi-join on (table, bucket) — right when
+    the probe set itself is large (an unconditional broadcast there
+    OOMs every executor); "auto" (default) picks by the optimizer's
+    size estimate for the probe side vs the session's
+    autoBroadcastJoinThreshold.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH  # noqa: PLC0415
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: PLC0415
@@ -118,9 +127,14 @@ def lsh_top_k(
 
     qb = buckets(q, "query_id", "q_arr")
     cb = buckets(c, "neighbor_id", "c_arr")
-    # probes are few: broadcast them so the bucket join never shuffles
-    # the (huge) candidate side
-    joined = cb.join(F.broadcast(qb), ["table_idx", "bucket"]).filter(
+    if broadcast_queries == "auto":
+        est = int(qb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        threshold = int(
+            qb.sparkSession._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold()
+        )
+        broadcast_queries = 0 <= est <= max(threshold, 0)
+    probe = F.broadcast(qb) if broadcast_queries else qb
+    joined = cb.join(probe, ["table_idx", "bucket"]).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     dist = F.sqrt(

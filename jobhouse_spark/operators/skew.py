@@ -13,10 +13,10 @@ out different), and a shuffle key that changes across attempts can
 silently drop or duplicate rows during stage retry — a correctness
 hazard that only manifests at scale with failures, so local tests pass
 either way. Hashing the row's own columns gives the same salt on every
-recompute. The trade-off is that *identical* rows share a salt; skew
-driven by one hot KEY (many distinct payloads) still spreads fully,
-and callers with literally-duplicate rows can pass ``salt_cols`` with
-any higher-cardinality subset.
+recompute. ``spark_partition_id()`` is mixed in as an extra hash input:
+it is stable under task retry (re-executing partition i still reports
+i), but differs across partitions, so even literally-duplicate hot rows
+spread instead of collapsing onto one salt.
 """
 
 from __future__ import annotations
@@ -25,11 +25,30 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _hashable(dt: T.DataType) -> bool:
+    """xxhash64 rejects MapType (maps have no canonical element order),
+    at any nesting depth; every other type hashes fine."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
 
 
 def _row_salt(df: DataFrame, n_salts: int, salt_cols: Sequence[str] | None) -> Column:
-    cols = list(salt_cols) if salt_cols else list(df.columns)
-    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
+    if salt_cols:
+        cols = list(salt_cols)
+    else:
+        cols = [f.name for f in df.schema.fields if _hashable(f.dataType)]
+    return F.pmod(
+        F.xxhash64(F.spark_partition_id(), *[F.col(c) for c in cols]),
+        F.lit(n_salts),
+    )
 
 
 def salted_group_count(

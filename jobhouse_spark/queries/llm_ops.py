@@ -181,6 +181,24 @@ def l3b_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rn")
 
 
+@register("l3c_ivf_topk", oracle=None, tags=("llm", "similarity", "approx"))
+def l3c_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3c: IVF (inverted-file) approximate top-k — k-means coarse
+    quantizer, corpus assigned to cells map-only, queries probe only the
+    n_probe nearest cells. Complements l3b: IVF adapts to the data
+    distribution where LSH is data-independent. Rows-only registration
+    (k-means is model-derived, not SQL-expressible); recall vs exact
+    brute force is asserted in tests/test_operators_scale.py."""
+    from jobhouse_spark.operators.ann import ivf_top_k, train_centroids  # noqa: PLC0415
+
+    emb = Tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 5)
+    centroids = train_centroids(emb, n_cells=8)
+    return ivf_top_k(probes, emb, centroids, k=10, n_probe=4).select(
+        "query_id", "neighbor_id", "rn"
+    ).orderBy("query_id", "rn")
+
+
 @register(
     "l4_text_stats",
     oracle=(

@@ -111,6 +111,57 @@ def replay_client(pages: list[dict]) -> Callable[[dict], dict]:
     return client
 
 
+def http_client(
+    base_url: str,
+    *,
+    timeout: float = 30.0,
+    headers: dict[str, str] | None = None,
+) -> Callable[[dict], dict]:
+    """Real HTTP transport for the PageClient protocol (stdlib urllib —
+    no extra dependencies; reference transport: src/extract/hh_api.py:85-133).
+
+    429 and 5xx raise :class:`RetryableStatus` so ``PaginatedFetcher``'s
+    bounded backoff applies; other HTTP errors propagate. Auth rides as
+    headers on EVERY request (the reference's missed-_ensure_session bug,
+    SURVEY §3.4, cannot recur by construction).
+    """
+    import urllib.error  # noqa: PLC0415
+    import urllib.parse  # noqa: PLC0415
+    import urllib.request  # noqa: PLC0415
+
+    def client(params: dict) -> dict:
+        url = base_url + "?" + urllib.parse.urlencode(params)
+        req = urllib.request.Request(url, headers=headers or {})
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if e.code == 429 or e.code >= 500:
+                raise RetryableStatus(e.code) from e
+            raise
+
+    return client
+
+
+def client_from_env(environ=None) -> Callable[[dict], dict] | None:
+    """Env-gated live transport: returns an :func:`http_client` when
+    ``JOBHOUSE_API_BASE_URL`` is set (``JOBHOUSE_API_TOKEN`` optionally
+    adds a Bearer header), else None — callers fall back to replay.
+    The sandbox has no network, so everything up to the socket is
+    exercised by the localhost contract test (tests/test_rest_http.py)."""
+    import os  # noqa: PLC0415
+
+    env = os.environ if environ is None else environ
+    base = env.get("JOBHOUSE_API_BASE_URL")
+    if not base:
+        return None
+    headers = {}
+    token = env.get("JOBHOUSE_API_TOKEN")
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
+    return http_client(base, headers=headers)
+
+
 def items_to_dataframe(spark: SparkSession, items: list[dict]) -> DataFrame:
     """Driver-side JSON items → DataFrame via an RDD of JSON strings so
     nested nullable structs infer consistently."""

@@ -39,6 +39,39 @@ def test_salted_join_equals_plain(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_group_count_map_column_schema(spark, sf_dir):
+    """Default salt columns must skip unhashable (Map) columns — the
+    bronze envelope carries a map<string,string> metadata column and
+    xxhash64 rejects MapType outright."""
+    e = Tables(spark, sf_dir).events.limit(200).withColumn(
+        "meta", F.create_map(F.lit("k"), F.col("event_type"))
+    )
+    plain = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    salted = {r.event_type: r.n for r in salted_group_count(e, "event_type").collect()}
+    assert salted == plain
+
+
+def test_salted_count_duplicate_rows_spread(spark):
+    """Literally-identical hot rows must still land on >1 salt (the
+    partition-id hash input spreads them); counts stay exact."""
+    from jobhouse_spark.operators.skew import _row_salt
+
+    dup = (
+        spark.range(10_000)
+        .repartition(8)
+        .select(F.lit("hot").alias("k"), F.lit(1).alias("v"))
+    )
+    n_salts = dup.withColumn("__salt", _row_salt(dup, 16, None)).select(
+        "__salt"
+    ).distinct().count()
+    assert n_salts > 1
+    counted = salted_group_count(dup, "k").collect()
+    assert counted[0].n == 10_000
+
+
 def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     emb = Tables(spark, sf_dir).embeddings
     probes = emb.filter(F.col("vec_id") < 5)

@@ -71,6 +71,33 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_lsh_topk_shuffled_fallback_matches_broadcast(spark, sf_dir):
+    """A large probe set must run with the shuffled bucket join (no
+    query-side broadcast) and produce identical candidates: the
+    broadcast flag changes the physical join strategy only."""
+    emb = Tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 200)  # probe set ~ corpus-sized
+    via_bcast = lsh_top_k(probes, emb, k=5, broadcast_queries=True).collect()
+    via_shuffle = lsh_top_k(probes, emb, k=5, broadcast_queries=False).collect()
+    assert via_bcast and {tuple(r) for r in via_bcast} == {tuple(r) for r in via_shuffle}
+
+
+def test_lsh_topk_auto_broadcast_gate(spark, sf_dir):
+    """auto must broadcast a tiny probe set and fall back for a probe set
+    whose optimizer size estimate exceeds the broadcast threshold."""
+    emb = Tables(spark, sf_dir).embeddings
+    small = emb.filter(F.col("vec_id") < 3)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        out = lsh_top_k(small, emb, k=5).collect()  # auto -> shuffled path
+        assert len(out) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    out_b = lsh_top_k(small, emb, k=5).collect()  # auto -> broadcast path
+    assert {tuple(r) for r in out} == {tuple(r) for r in out_b}
+
+
 def test_approx_count_distinct_tolerance(spark, sf_dir):
     o = Tables(spark, sf_dir).orders
     exact = o.select(F.countDistinct("o_custkey")).collect()[0][0]
