@@ -1,0 +1,79 @@
+"""Synthesize an N-fold replica of an sf dir for scale-proof runs.
+
+/root/testdata is read-only and the driver provides no generator, so the
+larger corpus is built by replicating each FACT table N times with all
+primary/foreign keys offset per copy (referential integrity preserved:
+copy i of orders references copy i's customers). region/nation stay
+fixed — they are fixed-size dimensions at every TPC-H scale factor.
+Non-key payload columns (text, embeddings, timestamps) are repeated
+verbatim, which is the interesting stress for the dedup/similarity
+family: every bucket gets N-fold membership and the capped-pair designs
+must hold.
+
+Usage: python tools/make_scale_data.py [src_sf_dir] [dst_dir] [factor]
+Defaults: /root/testdata/sf0.1 /tmp/jh_scale_10x 10
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+# key columns offset per copy; every other column rides along unchanged
+KEYS: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+FIXED_DIMS = ("region", "nation")
+OFFSET = 100_000_000  # > any base key at sf0.1, so copies never collide
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/jh_scale_10x"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+
+    for name in FIXED_DIMS:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{name}.parquet')) "
+            f"TO '{dst}/{name}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{name}: copied fixed dim")
+
+    for name, keys in KEYS.items():
+        src_path = f"{src}/{name}.parquet"
+        if not os.path.exists(src_path):
+            print(f"{name}: missing in {src}, skipped")
+            continue
+        # cast back to the original column type so the scaled parquet
+        # schema is byte-identical to the driver's (bigint widening from
+        # the offset arithmetic would change int32 columns)
+        types = {
+            r[0]: r[1]
+            for r in con.execute(f"DESCRIBE SELECT * FROM read_parquet('{src_path}')").fetchall()
+        }
+        repl = ", ".join(
+            f"CAST({k} + i * {OFFSET} AS {types[k]}) AS {k}" for k in keys
+        )
+        con.execute(
+            f"COPY (SELECT t.* REPLACE ({repl}) "
+            f"FROM read_parquet('{src_path}') t "
+            f"CROSS JOIN (SELECT unnest(range({factor})) AS i) copies) "
+            f"TO '{dst}/{name}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{dst}/{name}.parquet')").fetchone()[0]
+        print(f"{name}: {n} rows ({factor}x)")
+
+
+if __name__ == "__main__":
+    main()
