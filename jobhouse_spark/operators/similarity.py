@@ -298,10 +298,14 @@ def minhash_near_duplicates(
         .distinct()
     )
 
-    # exact Jaccard on surviving candidates only. The pair set is small
-    # (bounded by the bucket caps) while `featured` spans the corpus, so
-    # these joins hash-shuffle both sides on doc id unless the pair side
-    # is broadcast — mark it so the featured relation is probed in place.
+    # exact Jaccard on surviving candidates only: two equi-joins pulling
+    # the (persisted) feature sets back onto the pair list. No broadcast
+    # hint on purpose — the candidate side is bucket-cap-bounded per
+    # bucket but NOT globally small (a duplicate-heavy corpus yields
+    # C(cap,2) pairs per saturated bucket x bands; measured multi-GB at
+    # 10x replication, where a forced broadcast OOMs a small driver).
+    # AQE converts to broadcast at runtime when the pair set is actually
+    # tiny, and shuffles on the doc key otherwise.
     fa = featured.select(F.col("doc").alias("doc_a"), F.col("features").alias("fa"))
     fb = featured.select(F.col("doc").alias("doc_b"), F.col("features").alias("fb"))
     # filter on similarity directly (inclusive boundary: sim >= threshold
@@ -309,8 +313,7 @@ def minhash_near_duplicates(
     # rounding can flip exact-boundary pairs
     sim = F.size(F.array_intersect("fa", "fb")) / F.size(F.array_union("fa", "fb"))
     return (
-        F.broadcast(cand)
-        .join(fa, "doc_a")
+        cand.join(fa, "doc_a")
         .join(fb, "doc_b")
         .withColumn("__sim", sim)
         .filter(F.col("__sim") >= jaccard_threshold)
