@@ -82,15 +82,19 @@ def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t4_session_window",
     oracle="""
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    >= INTERVAL '30 minutes'
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          THEN 1 ELSE 0 END AS new_session
   FROM events),
 sessions AS (
+  -- the running sum must use the SAME total order as the lag above:
+  -- with duplicate timestamps, ordering by ts alone lets an unflagged
+  -- duplicate sort before its group's flagged row and take session_no 0,
+  -- inflating COUNT(DISTINCT session_no) by one
   SELECT user_id,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_no
   FROM flagged)
 SELECT user_id, COUNT(DISTINCT session_no) AS n_sessions, COUNT(*) AS n_events

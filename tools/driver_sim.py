@@ -29,6 +29,13 @@ ONLY = next(
 
 
 def main() -> None:
+    # JH_SIM_DRIVER_MEM=8g etc. sizes the (single local) JVM for scale
+    # runs — the default 1g heap shared by 32 executor threads is an
+    # artificial bound no real deployment has, and it heap-OOMs the
+    # heavier queries at 10x data. Must be set before gateway launch.
+    mem = os.environ.get("JH_SIM_DRIVER_MEM")
+    if mem and "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("driver_sim")
@@ -58,6 +65,10 @@ def main() -> None:
             n_fail += 1
             continue
         dt = time.perf_counter() - t0
+        # drop relations persisted inside the finished query (e.g. the
+        # minhash feature cache) so a 155-query session doesn't
+        # accumulate heap that an individual query would never see
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"rows  {name}: {len(pdf)} rows ({dt:.1f}s)")
             n_rows_only += 1
