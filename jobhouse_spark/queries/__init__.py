@@ -27,6 +27,7 @@ _MODULES = (
     "tpch_suite",
     "sql_features",
     "llm_ops_pipeline",
+    "llm_ops_cleaning",
 )
 
 _loaded = False

@@ -1,0 +1,178 @@
+"""LLM-pipeline cleaning/compliance operators (SURVEY §2 L-family
+extension): PII redaction, unicode sanitization, corpus n-gram counts —
+the standard pre-training text-cleanup stages between dedup (L1/L2) and
+quality filtering (L6/L12).
+
+The synthetic documents corpus contains no real PII/mojibake, so the
+queries plant deterministic specimens keyed off doc_id in BOTH engines
+(same expressions in the Spark fn and the DuckDB oracle) — the redaction
+and sanitization machinery is then provably exercised on every row while
+staying hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobhouse_spark.queries.registry import register
+from jobhouse_spark.tables import Tables
+
+# portable across Java regex (Spark) and RE2 (DuckDB): no lookarounds,
+# no backrefs, explicit classes
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+_CTL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+@register(
+    "l18_pii_redaction",
+    oracle=rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END AS text
+  FROM documents WHERE doc_id < 2000)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+FROM aug ORDER BY doc_id
+""",
+    tags=("llm", "text", "cleaning"),
+)
+def l18_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L18: PII redaction — regex email/phone detection counts + the
+    redacted text (hashed for compare). Entirely JVM regexp_replace /
+    regexp_count in whole-stage codegen: the per-row map-only shape that
+    runs at corpus scan speed on 100 TB; no shuffle beyond the sort."""
+    d = Tables(spark, sf_dir).documents.filter(F.col("doc_id") < 2000)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "l19_unicode_sanitize",
+    oracle=rf"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 1 THEN chr(7) || text ELSE text END
+           || CASE WHEN doc_id % 7 = 2 THEN chr(65533) ELSE '' END AS text
+  FROM documents WHERE doc_id < 2000)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_CTL_RE}')) AS INT) AS n_ctl,
+       CAST(len(regexp_extract_all(text, chr(65533))) AS INT) AS n_fffd,
+       md5(regexp_replace(regexp_replace(text, '{_CTL_RE}', '', 'g'),
+                          chr(65533), '', 'g')) AS clean_md5,
+       CAST(length(regexp_replace(regexp_replace(text, '{_CTL_RE}', '', 'g'),
+                                  chr(65533), '', 'g')) AS BIGINT) AS clean_len
+FROM aug ORDER BY doc_id
+""",
+    tags=("llm", "text", "cleaning"),
+)
+def l19_unicode_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L19: encoding sanitization — strip C0 control characters and
+    U+FFFD replacement chars (the mojibake marker), reporting how many
+    were found (a quality signal: high U+FFFD density = a botched
+    decode upstream). Same map-only codegen shape as L18."""
+    d = Tables(spark, sf_dir).documents.filter(F.col("doc_id") < 2000)
+    fffd = "�"
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 1, "\x07").otherwise(""),
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 2, fffd).otherwise(""),
+        ).alias("text"),
+    )
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _CTL_RE, ""), fffd, ""
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_CTL_RE)).cast("int").alias("n_ctl"),
+        F.regexp_count(F.col("text"), F.lit(fffd)).cast("int").alias("n_fffd"),
+        F.md5(cleaned).alias("clean_md5"),
+        F.length(cleaned).cast("long").alias("clean_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "l20_corpus_ngram_counts",
+    oracle=r"""
+WITH toks AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+  FROM toks WHERE len(t) >= 3)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+FROM grams GROUP BY gram
+ORDER BY n DESC, gram ASC LIMIT 50
+""",
+    tags=("llm", "text", "ngram"),
+)
+def l20_corpus_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L20: corpus-wide n-gram frequency counts (top-50 trigrams) — the
+    counting job behind n-gram LMs, contamination indexes, and stopword
+    inference. Scale shape: explode is map-side, the count is a single
+    partial+final hash aggregate on the gram key (map-side combine
+    collapses the heavy hitters before shuffle), and the top-50 is a
+    TakeOrderedAndProject — no global sort materialization."""
+    d = Tables(spark, sf_dir).documents
+    grams = (
+        d.select(F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2), i -> "
+                    "concat_ws(' ', element_at(t, i), element_at(t, i+1), "
+                    "element_at(t, i+2)))"
+                )
+            ).alias("gram")
+        )
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(50)
+    )
