@@ -134,6 +134,49 @@ def l19_unicode_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l5b_frame_sampling",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, sha256(text) AS base
+  FROM documents WHERE doc_id < 100),
+nf AS (
+  SELECT doc_id, base,
+         1 + ((strpos('0123456789abcdef', substr(base, 5, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(base, 6, 1)) - 1)) % 32
+           AS n_frames
+  FROM h),
+frames AS (
+  SELECT doc_id, base, unnest(range(0, n_frames, 4)) AS frame_idx FROM nf)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       sha256(base || ':' || CAST(frame_idx AS VARCHAR)) AS frame_sha256
+FROM frames ORDER BY doc_id, frame_idx
+""",
+    tags=("llm", "multimodal"),
+)
+def l5b_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5b: video frame sampling as a differential check of the Python
+    media pipeline — fake video bytes derived from document text run
+    through the REAL row-expanding mapInPandas stage
+    (sources/multimodal.sample_frames, stride 4); the oracle recomputes
+    the deterministic stub (n_frames = 1 + sha256[2] % 32, frame hash =
+    sha256(f"{content_sha}:{idx}")) in pure SQL. Verifies Arrow batch
+    transfer, binary columns through Python, and the fan-out schema —
+    the plumbing a real libav decoder drops into unchanged."""
+    from jobhouse_spark.sources.multimodal import sample_frames  # noqa: PLC0415
+
+    d = Tables(spark, sf_dir).documents.filter(F.col("doc_id") < 100)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.col("text").cast("binary").alias("content"),  # fake video bytes
+    )
+    return sample_frames(media, stride=4).orderBy(
+        F.col("media_id").cast("int"), F.col("frame_idx")
+    )
+
+
+@register(
     "l20_corpus_ngram_counts",
     oracle=r"""
 WITH toks AS (

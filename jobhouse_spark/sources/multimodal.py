@@ -117,3 +117,90 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_stub(content: bytes, width: int, height: int) -> bytes | None:
+    """Deterministic fake resize: a real implementation calls
+    PIL.Image.resize here. The stub emits width*height bytes derived by
+    cycling the source sha256 so output size tracks the target
+    dimensions and identical inputs produce identical outputs."""
+    if content is None:
+        return None
+    seed = hashlib.sha256(content).digest()
+    n = width * height
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+def resize_media(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Batch resize over binary columns (the thumbnail/model-input-prep
+    stage). Map-only mapInPandas: the binary payload is transformed in
+    place per Arrow batch — at 100 TB the only data movement is the
+    scan itself plus the (smaller) resized write."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "content": [resize_stub(c, width, height) for c in pdf["content"]],
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_sha256", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, stride: int = 4) -> DataFrame:
+    """Video frame sampling: one output row per kept frame (every
+    ``stride``-th of the stub-decoded ``n_frames``) — the fan-out stage
+    feeding a vision encoder. A real implementation seeks with
+    libav/ffmpeg per kept index (never decoding the skipped frames);
+    the stub derives each frame hash from (content sha, index).
+
+    Shape note: this is a ROW-EXPANDING mapInPandas (videos -> frames).
+    The expansion happens executor-side inside the Arrow batch, so the
+    (huge) source bytes are read once and never shuffled; only the
+    small frame rows move downstream.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, shas = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                base = hashlib.sha256(content).hexdigest()
+                n = decode_stub(content)["n_frames"]
+                for i in range(0, n, stride):
+                    ids.append(mid)
+                    idxs.append(i)
+                    shas.append(
+                        hashlib.sha256(f"{base}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_sha256": shas}
+            )
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

@@ -52,3 +52,37 @@ def test_decode_stub_is_deterministic():
     payload = b"same bytes"
     assert decode_stub(payload) == decode_stub(payload)
     assert decode_stub(None) == {"width": None, "height": None, "n_frames": None}
+
+
+def test_resize_media_plumbing(spark):
+    from jobhouse_spark.sources.multimodal import resize_media, resize_stub
+
+    d, files = _make_media_dir()
+    media = read_binary_dir(spark, d, "image")
+    out = {r.media_id: r for r in resize_media(media, 32, 16).collect()}
+    assert set(out) == set(files)
+    for name, payload in files.items():
+        r = out[name]
+        assert (r.width, r.height) == (32, 16)
+        assert len(bytes(r.content)) == 32 * 16
+        assert bytes(r.content) == resize_stub(payload, 32, 16)
+
+
+def test_sample_frames_expands_rows_deterministically(spark):
+    import hashlib as hl
+
+    from jobhouse_spark.sources.multimodal import sample_frames
+
+    d, files = _make_media_dir()
+    media = read_binary_dir(spark, d, "video")
+    frames = sample_frames(media, stride=4).collect()
+    by_id: dict[str, list] = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    for name, payload in files.items():
+        n = decode_stub(payload)["n_frames"]
+        expect_idx = list(range(0, n, 4))
+        got = sorted(by_id.get(name, []), key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in got] == expect_idx
+        base = hl.sha256(payload).hexdigest()
+        assert got[0].frame_sha256 == hl.sha256(f"{base}:0".encode()).hexdigest()
