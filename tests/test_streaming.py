@@ -231,3 +231,34 @@ def test_t12_stream_source_equals_batch(spark):
     assert sorted(map(key, sunk.collect())) == sorted(map(key, batch.collect()))
     # offsets advanced one page per micro-batch over the whole fixture
     assert sunk.select("page").distinct().count() == batch.select("page").distinct().count()
+
+
+def test_t14_rocksdb_state_store_equivalence(spark, sf_dir):
+    """The RocksDB state store provider (the bounded-memory backend a
+    100 TB streaming job runs — state lives off-heap/on-disk instead of
+    in the executor heap like the default HDFS-backed store) must
+    produce byte-identical aggregation results. Provider is a
+    runtime-settable per-query conf, so the same session runs both."""
+    from jobhouse_spark.streaming.jobs import pinned_shuffle, tumbling_counts
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+    def run():
+        with pinned_shuffle(spark, 8):
+            out = run_to_memory(
+                tumbling_counts(stream_events(spark, sf_dir)), mode="complete"
+            )
+            return sorted(map(tuple, out.collect()))
+
+    default = run()
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, rocks)
+        via_rocks = run()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert via_rocks == default and len(default) > 0
