@@ -143,6 +143,22 @@ def main() -> None:
     check("PartitionFilters" in p and "day" in p.split("PartitionFilters")[1][:200],
           "a8b: day predicate not a partition filter (directory pruning lost)")
 
+    p = plan_of(spark, "l18_pii_redaction")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "l18: redaction left the JVM")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE))
+    check(n_exchanges <= 1, f"l18: {n_exchanges} shuffles (map-only + final sort)")
+
+    p = plan_of(spark, "l20_corpus_ngram_counts")
+    check("TakeOrderedAndProject" in p, "l20: top-50 not fused (global sort!)")
+    check(p.count("HashAggregate") >= 2,
+          "l20: no partial+final aggregate (map-side combine lost)")
+
+    p = plan_of(spark, "l5b_frame_sampling")
+    check("ArrowEvalPython" in p or "MapInPandas" in p or "PythonMapInArrow" in p
+          or "FlatMapGroupsInPandas" in p or "MapInPandasExec" in p or "mapInPandas" in p.lower(),
+          "l5b: frame sampling not an Arrow-batched Python map stage")
+
     # --- runtime check: AQE skew-join actually fires -------------------
     # SCALE.md claims skew-split handling; prove it on a 90%-hot-key join
     # with thresholds shrunk so local data volumes qualify as skewed.
