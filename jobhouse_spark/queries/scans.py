@@ -274,3 +274,64 @@ def s13_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(f"{wh}/jh_s13_nation", ignore_errors=True)
     n.write.mode("overwrite").saveAsTable("jh_s13_nation")
     return _nation_agg(spark.table("jh_s13_nation"))
+
+
+@register(
+    "s14_corrupt_quarantine",
+    oracle="""
+SELECT CAST(COUNT(*) FILTER (WHERE i % 7 <> 0) AS BIGINT) AS n_good,
+       CAST(COUNT(*) FILTER (WHERE i % 7 = 0) AS BIGINT) AS n_bad,
+       CAST(MIN(CASE WHEN i % 7 <> 0 THEN i END) AS BIGINT) AS min_good,
+       CAST(MAX(CASE WHEN i % 7 <> 0 THEN i END) AS BIGINT) AS max_good,
+       CAST(SUM(CASE WHEN i % 7 <> 0 THEN i END) AS BIGINT) AS sum_good
+FROM (SELECT unnest(range(200)) AS i)
+""",
+    tags=("scan", "quarantine"),
+)
+def s14_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: bad-record quarantine — a PERMISSIVE JSONL scan that splits
+    parseable envelopes from corrupt lines (sources/bronze.py
+    quarantine_corrupt) instead of failing the job or silently dropping
+    rows. The corpus plants one corrupt line per 7 (a deterministic
+    generation rule the oracle recomputes from `range`, so the check
+    verifies exactly which rows survived). At 100 TB this is the scan
+    posture for any external feed: corrupt rows land in a quarantine
+    sink with full payload for replay, good rows flow on."""
+    import json as _json  # noqa: PLC0415
+    import os as _os  # noqa: PLC0415
+
+    from jobhouse_spark.queries.ingestion_queries import _session_bronze_root  # noqa: PLC0415
+    from jobhouse_spark.sources.bronze import quarantine_corrupt  # noqa: PLC0415
+
+    def build(root: str) -> None:
+        lines = []
+        for i in range(200):
+            if i % 7 == 0:
+                lines.append('{"posting_id": broken json %d' % i)
+            else:
+                lines.append(
+                    _json.dumps(
+                        {
+                            "posting_id": str(i),
+                            "raw_content": "{}",
+                            "metadata": {"search_text": "parity"},
+                            "source": "HH",
+                            "extracted_at": "2024-03-01T12:00:00",
+                        }
+                    )
+                )
+        with open(_os.path.join(root, "batch.jsonl"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    root = _session_bronze_root("quarantine", sf_dir, build)
+    good, bad = quarantine_corrupt(spark, root)
+    gid = F.col("posting_id").cast("long")
+    good_agg = good.agg(
+        F.count("*").alias("n_good"),
+        F.min(gid).alias("min_good"),
+        F.max(gid).alias("max_good"),
+        F.sum(gid).alias("sum_good"),
+    )
+    return good_agg.crossJoin(bad.agg(F.count("*").alias("n_bad"))).select(
+        "n_good", "n_bad", "min_good", "max_good", "sum_good"
+    )
