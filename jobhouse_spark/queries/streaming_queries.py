@@ -24,15 +24,31 @@ from jobhouse_spark.streaming.jobs import (
 
 @register(
     "t1_stream_source",
-    oracle="SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id FROM events",
+    oracle=(
+        "SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id, "
+        "MIN(ts) AS min_ts, MAX(ts) AS max_ts, "
+        "CAST(SUM(CAST(floor(epoch(ts)) AS BIGINT) % 86400) AS BIGINT) AS sum_secs "
+        "FROM events"
+    ),
     tags=("streaming",),
 )
 def t1_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1: file-stream source passthrough — stream count equals batch count.
-    Only the key column flows into the memory sink (the sink holds rows
-    in driver memory; never sink full-width streams)."""
-    sunk = run_to_memory(stream_events(spark, sf_dir).select("event_id"), mode="append")
-    return sunk.agg(F.count("*").alias("n"), F.sum("event_id").alias("sum_id"))
+    """T1: file-stream source passthrough — stream rows equal batch rows
+    INCLUDING the event-time column (min/max plus a seconds-of-day sum
+    over every row, so a unit-scale misread of `ts` — the round-3
+    regression class — fails the hash, not just the window queries).
+    Only key + ts flow into the memory sink (the sink holds rows in
+    driver memory; never sink full-width streams)."""
+    sunk = run_to_memory(
+        stream_events(spark, sf_dir).select("event_id", "ts"), mode="append"
+    )
+    return sunk.agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sum_id"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.sum(F.unix_timestamp("ts") % 86400).alias("sum_secs"),
+    )
 
 
 @register(
@@ -121,33 +137,43 @@ def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t6_stream_dedup",
-    oracle="SELECT COUNT(DISTINCT event_id) AS n FROM events",
+    oracle=(
+        "SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id "
+        "FROM (SELECT DISTINCT event_id FROM events)"
+    ),
     tags=("streaming", "dedup"),
 )
 def t6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6: streaming dropDuplicates on the key — the A15 dedup check in
-    streaming form."""
+    streaming form. The oracle checks the surviving key SET (count +
+    sum), not just its size; only key-derived values are emitted because
+    the survivor among same-key duplicates is first-seen, i.e.
+    arbitrary, for every other column."""
     deduped = dedup_stream(stream_events(spark, sf_dir)).select("event_id")
     with pinned_shuffle(spark, 8):
         sunk = run_to_memory(deduped, mode="append")
-    return sunk.agg(F.count("*").alias("n"))
+    return sunk.agg(F.count("*").alias("n"), F.sum("event_id").alias("sum_id"))
 
 
 @register(
     "t8_stream_static_join",
     oracle="""
-SELECT d.category, COUNT(*) AS n
+SELECT d.category, COUNT(*) AS n, {sv} AS sum_value
 FROM events e
 JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'),
              ('purchase', 'revenue'), ('signup', 'growth'),
              ('error', 'ops')) d(event_type, category)
   ON e.event_type = d.event_type
 GROUP BY 1 ORDER BY 1
-""",
+""".format(sv=fin_sql("SUM(" + dec_sql("e.value") + ")")),
     tags=("streaming", "join"),
 )
 def t8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T8: stream-static broadcast join enriching events with a dim."""
+    """T8: stream-static broadcast join enriching events with a dim —
+    value-checked per category (count + decimal-exact value sum), so a
+    row duplicated or dropped by the join surfaces in the hash."""
+    from jobhouse_spark.queries.registry import dec, fin  # noqa: PLC0415
+
     dim = spark.createDataFrame(
         [
             ("click", "engagement"),
@@ -159,13 +185,16 @@ def t8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, category string",
     )
     enriched = enrich_with_static(
-        stream_events(spark, sf_dir).select("event_type"), dim
-    ).select("category")
+        stream_events(spark, sf_dir).select("event_type", "value"), dim
+    ).select("category", "value")
     sunk = run_to_memory(enriched, mode="append")
     return (
         sunk.filter(F.col("category").isNotNull())
         .groupBy("category")
-        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n"),
+            fin(F.sum(dec(F.col("value")))).alias("sum_value"),
+        )
         .orderBy("category")
     )
 
