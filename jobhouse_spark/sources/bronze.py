@@ -181,7 +181,13 @@ def read_bronze_day_slice(
 def quarantine_corrupt(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame]:
     """PERMISSIVE read splitting good rows from corrupt JSON lines
     (SURVEY §1.3 bad-record quarantine)."""
-    schema = RAW_POSTING_SCHEMA.add(T.StructField("_corrupt_record", T.StringType(), True))
+    # build a NEW StructType: StructType.add mutates the receiver, so
+    # RAW_POSTING_SCHEMA.add(...) would permanently grow the shared
+    # schema on first call (and raise COLUMN_ALREADY_EXISTS on the next)
+    schema = T.StructType(
+        list(RAW_POSTING_SCHEMA.fields)
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
     df = (
         spark.read.schema(schema)
         .option("recursiveFileLookup", "true")
