@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jobhouse_spark.queries.registry import register
+from jobhouse_spark.queries.registry import fin, register
 from jobhouse_spark.tables import Tables
 
 # portable across Java regex (Spark) and RE2 (DuckDB): no lookarounds,
@@ -219,3 +219,87 @@ def l20_corpus_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("gram").asc())
         .limit(50)
     )
+
+
+@register(
+    "l21_duplicated_spans",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents),
+spans AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t) - 6),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+              || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])))
+           AS span
+  FROM toks WHERE len(t) >= 8),
+shared AS (
+  SELECT span FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+per_doc AS (
+  SELECT s.doc_id, COUNT(*) AS n_shared
+  FROM spans s JOIN shared USING (span) GROUP BY s.doc_id),
+sizes AS (
+  SELECT doc_id, CAST(len(list_distinct(list_transform(range(1, len(t) - 6),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+              || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])))
+           AS BIGINT) AS n_spans
+  FROM toks WHERE len(t) >= 8)
+SELECT z.doc_id,
+       z.n_spans,
+       CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(CAST(CAST(COALESCE(p.n_shared, 0) AS DOUBLE) / z.n_spans
+            AS DECIMAL(18,6)) AS DOUBLE) AS shared_ratio
+FROM sizes z LEFT JOIN per_doc p USING (doc_id)
+WHERE COALESCE(p.n_shared, 0) > 0
+ORDER BY z.doc_id
+""",
+    tags=("llm", "text", "dedup"),
+)
+def l21_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L21: exact-substring duplication detection — for every document,
+    how many of its distinct 8-token spans also occur in at least one
+    other document (the span-level signal behind suffix-array substring
+    dedup: cross-document boilerplate that document-level MinHash never
+    sees). Docs with zero shared spans are filtered out (the interesting
+    rows — and the join output — stay proportional to the duplicated
+    mass, not the corpus).
+
+    Scale shape: inverted index on the span — explode is map-side, the
+    shared-span set comes from one count-distinct aggregate, and the
+    rejoin is span-key equi (no pair enumeration, unlike minhash
+    candidates: output is per (doc, span), linear in corpus spans)."""
+    toked = Tables(spark, sf_dir).documents.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
+    ).filter(F.size("t") >= 8)
+    span_expr = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(t) - 7), i -> "
+            "concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2),"
+            " element_at(t,i+3), element_at(t,i+4), element_at(t,i+5),"
+            " element_at(t,i+6), element_at(t,i+7)))"
+        )
+    )
+    spans = toked.select(
+        "doc_id", F.size(span_expr).cast("long").alias("n_spans"),
+        F.explode(span_expr).alias("span"),
+    )
+    shared = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span")
+    )
+    per_doc = (
+        spans.join(shared, "span")
+        .groupBy("doc_id", "n_spans")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        fin(F.col("n_shared").cast("double") / F.col("n_spans").cast("double"), 6)
+          .alias("shared_ratio"),
+    ).orderBy("doc_id")
