@@ -129,10 +129,23 @@ def jh2_salary_by_experience(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold_salary_by_experience(_silver(spark))
 
 
-@register("jh3_datasource_v2", oracle=None, tags=("jobhouse", "source"))
+_PAGE_AGG_ORACLE = f"""
+WITH items AS (
+  SELECT page, unnest(items) AS v
+  FROM read_json('{FIXTURE}', format='array'))
+SELECT CAST(page AS INT) AS page,
+       COUNT(*) AS n,
+       COUNT(DISTINCT v.employer.name) AS n_employers
+FROM items GROUP BY page ORDER BY page
+"""
+
+
+@register("jh3_datasource_v2", oracle=_PAGE_AGG_ORACLE, tags=("jobhouse", "source"))
 def jh3_datasource_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JH3: Python DataSource V2 scan of the replay fixture — one input
-    partition per API page (S7 as a first-class Spark source)."""
+    partition per API page (S7 as a first-class Spark source); the
+    oracle re-derives the per-page aggregates from the fixture JSON, so
+    the custom source's row delivery is hash-checked, not just counted."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from jobhouse_spark.sources.hh_datasource import HHReplayDataSource  # noqa: PLC0415
@@ -151,14 +164,15 @@ def jh3_datasource_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("t12_python_stream_source", oracle=None, tags=("streaming", "source"))
+@register("t12_python_stream_source", oracle=_PAGE_AGG_ORACLE, tags=("streaming", "source"))
 def t12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T12: Python STREAMING DataSource (Spark 4) — the replay fixture
     served as a micro-batch source, one API page per batch with
     replayable {page: N} offsets (incremental ingestion the way the
     reference's daily DAG intended, but with exactly-once offsets).
-    Rows-only: batch-equivalence with the jh3 batch scan is asserted in
-    tests/test_streaming.py::test_t12_stream_source_equals_batch."""
+    Hash-checked against the fixture-derived page aggregates;
+    batch-equivalence with the jh3 batch scan is additionally asserted
+    in tests/test_streaming.py::test_t12_stream_source_equals_batch."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from jobhouse_spark.sources.hh_datasource import HHReplayDataSource  # noqa: PLC0415
