@@ -52,17 +52,19 @@ _HEAD = (
     "w5_latest_per_key",
     # O — ordering
     "o1_global_sort",
-    # U — set ops
+    # U — set ops (u2_intersect verified in driver_sim/tests; slot goes
+    # to the S-family quarantine scan)
     "u1_union",
-    "u2_intersect",
     "u3_except",
-    # F — scalar function surface (f5_map verified in driver_sim/tests;
-    # its head slot goes to the jobhouse gold mart family below)
+    "s14_corrupt_quarantine",
+    # F — scalar function surface (f4_array/f5_map verified in
+    # driver_sim/tests; slots go to the gold mart + cleaning families)
     "f1_string",
     "f2_datetime",
-    "f4_array",
     "f6_json",
     "f8_cast",
+    # L-cleaning — PII redaction representative
+    "l18_pii_redaction",
     # T — structured streaming (batch-equivalent oracles)
     "t2_tumbling_window",
     "t4_session_window",
