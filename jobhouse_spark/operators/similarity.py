@@ -169,6 +169,19 @@ def lsh_top_k(
 _MINHASH_PRIME = 2038074743
 
 
+def minhash_coefficients(seed: int, n: int) -> list[tuple[int, int]]:
+    """The (a, b) universal-hash coefficients for n minhash bands —
+    exposed so a differential oracle can interpolate the SAME constants
+    into its SQL."""
+    import random  # noqa: PLC0415
+
+    rng = random.Random(seed)
+    return [
+        (rng.randint(1, _MINHASH_PRIME - 1), rng.randint(0, _MINHASH_PRIME - 1))
+        for _ in range(n)
+    ]
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -179,6 +192,7 @@ def minhash_near_duplicates(
     seed: int = 42,
     shingle_n: int = 3,
     max_bucket_size: int = 500,
+    feature_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs over word-shingle sets.
 
@@ -210,9 +224,13 @@ def minhash_near_duplicates(
     Docs with an empty shingle set (< ``shingle_n`` tokens) are
     excluded: Jaccard is undefined on empty sets (pyspark.ml raises on
     them outright).
-    """
-    import random  # noqa: PLC0415
 
+    ``feature_hash``: "xxhash64" (default — fastest JVM hash, not
+    reproducible outside Spark) or "md5" (first 8 hex chars as an int;
+    ~identical distribution, computable bit-for-bit by any engine with
+    md5 — the knob a differential oracle uses to verify this exact
+    pipeline end-to-end, see l2c_minhash_checked).
+    """
     base = docs.select(id_col, text_col)
     # A small corpus read from one parquet file arrives as ONE partition
     # and the whole featurize chain runs in a single task; spread it.
@@ -245,9 +263,16 @@ def minhash_near_duplicates(
         )
     )
     # binary feature set: hashed shingle indices, deduped (set semantics)
-    feat_expr = F.array_distinct(
-        F.transform(shingle_expr, lambda s: F.pmod(F.xxhash64(s), F.lit(num_features)))
-    )
+    if feature_hash == "md5":
+        def _feat(s):
+            return F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+                F.lit(num_features),
+            )
+    else:
+        def _feat(s):
+            return F.pmod(F.xxhash64(s), F.lit(num_features))
+    feat_expr = F.array_distinct(F.transform(shingle_expr, _feat))
     # consumed three times below (signatures + both sides of the exact-
     # Jaccard rejoin); persist so the tokenize/shingle/hash chain runs
     # one corpus scan, not three. The cached relation is one int-array
@@ -256,11 +281,7 @@ def minhash_near_duplicates(
 
     # one minhash function per band (r=1, matching MinHashLSH):
     # sig_i = min over features of (a_i*f + b_i) mod p
-    rng = random.Random(seed)
-    coeffs = [
-        (rng.randint(1, _MINHASH_PRIME - 1), rng.randint(0, _MINHASH_PRIME - 1))
-        for _ in range(num_hash_tables)
-    ]
+    coeffs = minhash_coefficients(seed, num_hash_tables)
     def _perm(a: int, b: int):
         # closure factory: pyspark's higher-order-function binding counts
         # lambda params, so the coefficients can't ride as default args

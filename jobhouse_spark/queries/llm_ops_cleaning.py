@@ -303,3 +303,78 @@ def l21_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         fin(F.col("n_shared").cast("double") / F.col("n_spans").cast("double"), 6)
           .alias("shared_ratio"),
     ).orderBy("doc_id")
+
+
+def _l2c_oracle() -> str:
+    """DuckDB replica of the ENTIRE minhash pipeline with md5 features:
+    same trim/lower/split tokenizer, same 3-gram shingles, same
+    hex->int feature hash, the same seeded universal-hash coefficients
+    (minhash_coefficients — interpolated as literals), the same
+    per-(band, signature) membership cap, and the same exact-Jaccard
+    rescore. Any drift anywhere in the lattice flips the hash."""
+    from jobhouse_spark.operators.similarity import (  # noqa: PLC0415
+        _MINHASH_PRIME,
+        minhash_coefficients,
+    )
+
+    bands = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(minhash_coefficients(42, 5))
+    )
+    return rf"""
+WITH toked AS (
+  SELECT doc_id AS doc,
+         string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE doc_id < 400),
+sh AS (
+  SELECT doc, list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM toked WHERE len(toks) >= 3),
+feats AS (
+  SELECT doc, list_distinct(list_transform(shingles, s ->
+           CAST(list_sum(list_transform(range(1, 9), j ->
+             (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
+               * 16.0 ** (8 - j))) AS BIGINT) % 65536)) AS features
+  FROM sh),
+sigs AS (
+  SELECT doc, band_idx,
+         list_min(list_transform(features, f ->
+           (a * (f % {_MINHASH_PRIME}) + b) % {_MINHASH_PRIME})) AS sig
+  FROM feats CROSS JOIN (VALUES {bands}) bands(band_idx, a, b)),
+capped AS (
+  SELECT doc, band_idx, sig,
+         row_number() OVER (PARTITION BY band_idx, sig ORDER BY doc) AS bn
+  FROM sigs),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM (SELECT * FROM capped WHERE bn <= 500) a
+  JOIN (SELECT * FROM capped WHERE bn <= 500) b
+    ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc < b.doc),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(fa.features, fb.features)) AS DOUBLE)
+           / len(list_distinct(list_concat(fa.features, fb.features))) AS sim
+  FROM cand
+  JOIN feats fa ON fa.doc = cand.doc_a
+  JOIN feats fb ON fb.doc = cand.doc_b)
+SELECT doc_a, doc_b, 1.0 - sim AS jaccard_dist
+FROM scored WHERE sim >= 0.4 ORDER BY doc_a, doc_b
+"""
+
+
+@register("l2c_minhash_checked", oracle=_l2c_oracle(), tags=("llm", "similarity", "dedup"))
+def l2c_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2c: the MinHash-LSH near-dup pipeline, differentially verified
+    END-TO-END — the same operator as l2 (shingle -> minhash band ->
+    capped bucket join -> exact Jaccard) with the feature hash switched
+    from xxhash64 to an md5-derived int both engines compute
+    bit-identically. l2 keeps xxhash64 on the production path (faster);
+    this entry proves the ALGORITHM: tokenization, banding, the seeded
+    coefficient stream, bucket caps, candidate generation, and the
+    Jaccard rescore all hash-match a from-scratch DuckDB replica."""
+    from jobhouse_spark.operators.similarity import minhash_near_duplicates  # noqa: PLC0415
+
+    docs = Tables(spark, sf_dir).documents.filter(F.col("doc_id") < 400)
+    return minhash_near_duplicates(
+        docs, jaccard_threshold=0.4, feature_hash="md5"
+    ).orderBy("doc_a", "doc_b")
