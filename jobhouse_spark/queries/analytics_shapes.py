@@ -197,3 +197,97 @@ def sq3_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(SELECT COUNT(*) FROM jh_sq3_orders o WHERE o.o_custkey = c.c_custkey) AS n_orders "
         "FROM jh_sq3_customer c WHERE c_custkey < 100 ORDER BY c_custkey"
     )
+
+
+@register(
+    "e1_funnel_conversion",
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_click) AS n_click,
+       COUNT(CASE WHEN t_view >= t_click THEN 1 END) AS n_click_view,
+       COUNT(CASE WHEN t_view >= t_click AND t_purchase >= t_view THEN 1 END)
+         AS n_full_funnel
+FROM stages
+""",
+    tags=("analytics", "events", "funnel"),
+)
+def e1_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: ordered funnel conversion over the event log — users whose
+    first view is no earlier than their first click, and first purchase
+    no earlier than that view (the min-timestamp funnel definition:
+    deterministic, one aggregation pass — no per-user sequence scan).
+    Scale shape: a single groupBy(user_id) with conditional MIN partial
+    aggregation, then one global roll-up — two narrow shuffles, no
+    window, no self-join (the naive per-stage self-join triples the
+    shuffle volume)."""
+    e = Tables(spark, sf_dir).events
+    t = lambda typ: F.min(F.when(F.col("event_type") == typ, F.col("ts")))  # noqa: E731
+    stages = e.groupBy("user_id").agg(
+        t("click").alias("t_click"),
+        t("view").alias("t_view"),
+        t("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_click").alias("n_click"),
+        F.count(F.when(F.col("t_view") >= F.col("t_click"), 1)).alias("n_click_view"),
+        F.count(
+            F.when(
+                (F.col("t_view") >= F.col("t_click"))
+                & (F.col("t_purchase") >= F.col("t_view")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "e2_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         CAST(date_diff('day', f.cohort, date_trunc('week', e.ts)) / 7 AS INT)
+           AS week_offset
+  FROM events e JOIN firsts f USING (user_id))
+SELECT cohort, week_offset, COUNT(*) AS n_users
+FROM activity GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    tags=("analytics", "events", "retention"),
+)
+def e2_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: weekly cohort retention — cohort = ISO week of each user's
+    first event; one row per (cohort, week_offset) with the count of
+    users still active that week. Week offsets divide exact day
+    multiples of 7 (both engines truncate to Monday), so the matrix is
+    engine-exact. Scale shape: the firsts aggregate reuses the
+    user_id partitioning of the activity join (one shuffle each), and
+    the final cohort matrix is tiny."""
+    e = Tables(spark, sf_dir).events
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort", "week_offset")
+    )
