@@ -291,3 +291,91 @@ def e2_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort", "week_offset")
     )
+
+
+@register(
+    "e3_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events)
+SELECT prev, event_type AS next, COUNT(*) AS n
+FROM seq WHERE prev IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    tags=("analytics", "events", "sequence"),
+)
+def e3_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: event-to-event transition counts (the Markov matrix behind
+    path analysis / next-action models). The lag window orders by
+    (ts, event_id) — a total order, so duplicate timestamps cannot make
+    the matrix nondeterministic (the t4 tie-ordering lesson). Scale
+    shape: one shuffle on user_id for the window, then a tiny
+    (|types|^2) aggregate."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    return (
+        seq.groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("prev", "next")
+    )
+
+
+@register(
+    "e4_daily_anomalies",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(n) AS BIGINT) AS sum_n,
+         CAST(SUM(n * n) AS BIGINT) AS sum_n2
+  FROM daily)
+SELECT day, n,
+       {fin_sql(
+           "(CAST(n AS DOUBLE) - CAST(sum_n AS DOUBLE) / n_days) / "
+           "sqrt((CAST(sum_n2 AS DOUBLE) - CAST(sum_n AS DOUBLE) * sum_n / n_days)"
+           " / (n_days - 1))", 6)} AS z
+FROM daily, stats ORDER BY day
+""",
+    tags=("analytics", "events", "anomaly"),
+)
+def e4_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: daily volume z-scores (the monitoring/anomaly primitive).
+    Mean and variance come from EXACT integer sums (count, sum, sum of
+    squares) so the partial-aggregation order can't perturb them —
+    stddev_samp's float accumulation would differ between engines; this
+    formulation is bit-identical, rounded once through DECIMAL(18,6).
+    Scale shape: one date-truncated aggregate plus a 1-row broadcast
+    stats join."""
+    e = Tables(spark, sf_dir).events
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    stats = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("n").cast("long").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_n2"),
+    )
+    z = (
+        F.col("n").cast("double") - F.col("sum_n").cast("double") / F.col("n_days")
+    ) / F.sqrt(
+        (
+            F.col("sum_n2").cast("double")
+            - F.col("sum_n").cast("double") * F.col("sum_n") / F.col("n_days")
+        )
+        / (F.col("n_days") - 1)
+    )
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select("day", "n", fin(z, 6).alias("z"))
+        .orderBy("day")
+    )
