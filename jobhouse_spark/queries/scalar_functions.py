@@ -301,3 +301,45 @@ def f10_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "f11_url_functions",
+    oracle=r"""
+WITH urls AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/path/'
+           || CAST(doc_id AS VARCHAR) || '?q=term' || CAST(doc_id % 13 AS VARCHAR)
+           || '&page=' || CAST(doc_id % 5 AS VARCHAR) AS url
+  FROM documents WHERE doc_id < 500)
+SELECT doc_id,
+       regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]q=([^&]*)', 1) AS q_param,
+       regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+FROM urls ORDER BY doc_id
+""",
+    tags=("function", "url"),
+)
+def f11_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: URL parsing — host / path / query-parameter / protocol
+    extraction with Spark's native parse_url (a log-analytics staple:
+    clickstream and referrer decomposition). The oracle re-derives every
+    component with portable regexes over the same deterministic URLs, so
+    parse_url's semantics are value-verified, not assumed. Map-only
+    codegen; no shuffle beyond the sort."""
+    d = Tables(spark, sf_dir).documents.filter(F.col("doc_id") < 500)
+    url = F.concat(
+        F.lit("https://site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/path/"), F.col("doc_id").cast("string"),
+        F.lit("?q=term"), (F.col("doc_id") % 13).cast("string"),
+        F.lit("&page="), (F.col("doc_id") % 5).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("protocol"),
+    ).orderBy("doc_id")

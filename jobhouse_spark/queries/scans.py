@@ -335,3 +335,47 @@ def s14_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good_agg.crossJoin(bad.agg(F.count("*").alias("n_bad"))).select(
         "n_good", "n_bad", "min_good", "max_good", "sum_good"
     )
+
+
+@register(
+    "s15_schema_evolution",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(i * 2) AS BIGINT) AS sum_val,
+       CAST(COUNT(CASE WHEN i >= 100 THEN 1 END) AS BIGINT) AS n_extra,
+       CAST(SUM(CASE WHEN i >= 100 THEN i % 3 END) AS BIGINT) AS sum_extra
+FROM (SELECT unnest(range(200)) AS i)
+""",
+    tags=("scan", "schema"),
+)
+def s15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: schema-evolution read — two parquet batches with different
+    schemas (the second adds an `extra` column) land in one directory;
+    a mergeSchema scan unifies them, null-filling the old batch. This is
+    the contract a years-old 100 TB lake depends on: producers add
+    columns without rewriting history, readers see one schema. The
+    oracle recomputes every aggregate from the generation rule, so a
+    dropped batch, a mis-merged column, or wrong null-filling all flip
+    the hash."""
+    from jobhouse_spark.queries.ingestion_queries import _session_bronze_root  # noqa: PLC0415
+
+    def build(root: str) -> None:
+        b1 = spark.range(100).select(
+            F.col("id"), (F.col("id") * 2).alias("val")
+        )
+        b1.write.mode("append").parquet(root)
+        b2 = spark.range(100, 200).select(
+            F.col("id"),
+            (F.col("id") * 2).alias("val"),
+            (F.col("id") % 3).alias("extra"),
+        )
+        b2.write.mode("append").parquet(root)
+
+    root = _session_bronze_root("schema_evo", sf_dir, build)
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.agg(
+        F.count("*").alias("n"),
+        F.sum("val").alias("sum_val"),
+        F.count("extra").alias("n_extra"),
+        F.sum("extra").alias("sum_extra"),
+    )
