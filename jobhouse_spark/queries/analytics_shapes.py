@@ -379,3 +379,107 @@ def e4_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "n", fin(z, 6).alias("z"))
         .orderBy("day")
     )
+
+
+@register(
+    "e5_dau_wau_stickiness",
+    oracle=f"""
+WITH days AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+dau AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY 1),
+wau AS (
+  SELECT d.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+  FROM days d JOIN events e
+    ON date_trunc('day', e.ts) BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY d.day)
+SELECT day, dau, wau,
+       {fin_sql("CAST(dau AS DOUBLE) / wau", 6)} AS stickiness
+FROM dau JOIN wau USING (day) ORDER BY day
+""",
+    tags=("analytics", "events", "engagement"),
+)
+def e5_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: DAU / trailing-7-day WAU stickiness per day — the engagement
+    ratio every product dashboard runs. Rolling DISTINCT doesn't compose
+    as a window aggregate, so the trailing week is a range join of the
+    (tiny, broadcast) day spine against the event log — the standard
+    shape; at 100 TB the same query swaps COUNT(DISTINCT) for an HLL
+    sketch union to avoid re-scanning seven days per day."""
+    e = Tables(spark, sf_dir).events
+    day = F.date_trunc("day", F.col("ts"))
+    days = e.select(day.alias("day")).distinct()
+    dau = (
+        e.select(day.alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("dau"))
+    )
+    ev = e.select(day.alias("eday"), "user_id")
+    wau = (
+        ev.join(
+            F.broadcast(days),
+            (F.col("eday") >= F.col("day") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("eday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day", "dau", "wau",
+            fin(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "w8_sequence_pattern",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         lag(ts, 2) OVER w AS t2,
+         lag(event_type, 1) OVER w AS e1,
+         lag(event_type, 2) OVER w AS e2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triples
+FROM seq
+WHERE e1 = event_type AND e2 = event_type
+  AND ts - t2 <= INTERVAL 4 HOUR
+GROUP BY user_id ORDER BY user_id
+""",
+    tags=("analytics", "events", "sequence", "window"),
+)
+def w8_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: sequential pattern detection — per user, count runs of three
+    consecutive same-type events within four hours (the MATCH_RECOGNIZE
+    shape expressed as lag compositions, since Spark has no native
+    row-pattern clause). One shuffle on user_id; the lag chain rides a
+    single total-ordered (ts, event_id) window, so duplicate timestamps
+    can't flip matches."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("ts", 2).over(w).alias("t2"),
+        F.lag("event_type", 1).over(w).alias("e1"),
+        F.lag("event_type", 2).over(w).alias("e2"),
+    )
+    hits = seq.filter(
+        (F.col("e1") == F.col("event_type"))
+        & (F.col("e2") == F.col("event_type"))
+        & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 4 HOURS"))
+    )
+    return (
+        hits.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_triples"))
+        .orderBy("user_id")
+    )
