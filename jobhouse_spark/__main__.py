@@ -27,6 +27,17 @@ def _spark():
     return get_spark(app_name="jobhouse_cli")
 
 
+def _parse_utc(iso: str) -> datetime:
+    """ISO timestamp -> aware UTC. Offset-aware inputs are CONVERTED
+    (2024-03-05T14:30:45+03:00 -> 11:30:45Z); only naive inputs get UTC
+    attached — .replace() on an aware value would silently discard the
+    offset and reinterpret the wall-clock."""
+    dt = datetime.fromisoformat(iso)
+    if dt.tzinfo is not None:
+        return dt.astimezone(timezone.utc)
+    return dt.replace(tzinfo=timezone.utc)
+
+
 def cmd_ingest(args: argparse.Namespace) -> int:
     from jobhouse_spark.sources.bronze import (  # noqa: PLC0415
         envelope_projection,
@@ -47,11 +58,7 @@ def cmd_ingest(args: argparse.Namespace) -> int:
             client = replay_client(json.load(f))
     items = PaginatedFetcher(client=client).fetch_all(args.search)
     spark = _spark()
-    at = (
-        datetime.fromisoformat(args.at).replace(tzinfo=timezone.utc)
-        if args.at
-        else datetime.now(timezone.utc)
-    )
+    at = _parse_utc(args.at) if args.at else datetime.now(timezone.utc)
     env = envelope_projection(
         items_to_dataframe(spark, items), args.search, extracted_at=at
     )

@@ -333,13 +333,24 @@ def minhash_near_duplicates(
     # keeps the pair) instead of a derived 1-x distance comparison whose
     # rounding can flip exact-boundary pairs
     sim = F.size(F.array_intersect("fa", "fb")) / F.size(F.array_union("fa", "fb"))
-    return (
+    out = (
         cand.join(fa, "doc_a")
         .join(fb, "doc_b")
         .withColumn("__sim", sim)
         .filter(F.col("__sim") >= jaccard_threshold)
         .select("doc_a", "doc_b", (1.0 - F.col("__sim")).alias("jaccard_dist"))
     )
+    # Materialize eagerly, then release the cache: without this, every
+    # invocation in a long-lived session (bench repeats, library callers
+    # that never clearCache()) leaks one more cached relation. The
+    # localCheckpoint truncates lineage so the unpersisted `featured` is
+    # never recomputed; its blocks are ContextCleaner-managed — freed
+    # when the returned DataFrame is garbage-collected, not accumulated
+    # in the catalog cache. The checkpointed relation is the OUTPUT pair
+    # list (threshold-filtered), far smaller than the corpus.
+    out = out.localCheckpoint(eager=True)
+    featured.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

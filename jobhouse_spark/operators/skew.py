@@ -13,10 +13,20 @@ out different), and a shuffle key that changes across attempts can
 silently drop or duplicate rows during stage retry — a correctness
 hazard that only manifests at scale with failures, so local tests pass
 either way. Hashing the row's own columns gives the same salt on every
-recompute. ``spark_partition_id()`` is mixed in as an extra hash input:
-it is stable under task retry (re-executing partition i still reports
-i), but differs across partitions, so even literally-duplicate hot rows
-spread instead of collapsing onto one salt.
+recompute.
+
+``spread_identical_rows=True`` additionally mixes
+``spark_partition_id()`` into the hash so literally-duplicate hot rows
+(every column equal) spread over salts instead of collapsing onto one.
+That is a TRADE: spark_partition_id() is marked non-deterministic, so
+if the *upstream* distribution is itself non-deterministic (round-robin
+``repartition()``, shuffle ordering races), a recomputed row can land
+in a different partition and get a different salt across attempts —
+reintroducing the retry hazard content salts exist to prevent. It is
+therefore opt-in, OFF by default, and never applied when the caller
+supplies explicit high-cardinality ``salt_cols`` (which already spread
+without it). Enable it only for idempotent-input pipelines (stable
+scans, no upstream repartition) where whole-row duplicates dominate.
 """
 
 from __future__ import annotations
@@ -40,15 +50,22 @@ def _hashable(dt: T.DataType) -> bool:
     return True
 
 
-def _row_salt(df: DataFrame, n_salts: int, salt_cols: Sequence[str] | None) -> Column:
+def _row_salt(
+    df: DataFrame,
+    n_salts: int,
+    salt_cols: Sequence[str] | None,
+    spread_identical_rows: bool = False,
+) -> Column:
     if salt_cols:
         cols = list(salt_cols)
+        mix_partition_id = False  # explicit salt cols already spread
     else:
         cols = [f.name for f in df.schema.fields if _hashable(f.dataType)]
-    return F.pmod(
-        F.xxhash64(F.spark_partition_id(), *[F.col(c) for c in cols]),
-        F.lit(n_salts),
-    )
+        mix_partition_id = spread_identical_rows
+    inputs: list[Column] = [F.col(c) for c in cols]
+    if mix_partition_id:
+        inputs = [F.spark_partition_id(), *inputs]
+    return F.pmod(F.xxhash64(*inputs), F.lit(n_salts))
 
 
 def salted_group_count(
@@ -56,10 +73,13 @@ def salted_group_count(
     key: str,
     n_salts: int = 16,
     salt_cols: Sequence[str] | None = None,
+    spread_identical_rows: bool = False,
 ) -> DataFrame:
     """Two-phase skew-safe count: group on (key, salt) first — the hot
     key spreads over n_salts partitions — then combine partials."""
-    salted = df.withColumn("__salt", _row_salt(df, n_salts, salt_cols))
+    salted = df.withColumn(
+        "__salt", _row_salt(df, n_salts, salt_cols, spread_identical_rows)
+    )
     partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").cast("bigint").alias("n"))
 
@@ -71,6 +91,7 @@ def salted_join(
     n_salts: int = 16,
     fact_cols: list[str] | None = None,
     salt_cols: Sequence[str] | None = None,
+    spread_identical_rows: bool = False,
 ) -> DataFrame:
     """Replicated-dim salted equi join.
 
@@ -80,7 +101,9 @@ def salted_join(
     reducers while each dim row still meets every fact row exactly once.
     """
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
-    fact_s = fact.withColumn("__salt", _row_salt(fact, n_salts, salt_cols))
+    fact_s = fact.withColumn(
+        "__salt", _row_salt(fact, n_salts, salt_cols, spread_identical_rows)
+    )
     dim_s = dim.withColumn("__salt", F.explode(salts))
     joined = fact_s.join(dim_s, on=[key, "__salt"], how="inner").drop("__salt")
     return joined.select(fact_cols) if fact_cols else joined

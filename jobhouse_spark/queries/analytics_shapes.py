@@ -343,7 +343,7 @@ SELECT day, n,
        {fin_sql(
            "(CAST(n AS DOUBLE) - CAST(sum_n AS DOUBLE) / n_days) / "
            "sqrt((CAST(sum_n2 AS DOUBLE) - CAST(sum_n AS DOUBLE) * sum_n / n_days)"
-           " / (n_days - 1))", 6)} AS z
+           " / NULLIF(n_days - 1, 0))", 6)} AS z
 FROM daily, stats ORDER BY day
 """,
     tags=("analytics", "events", "anomaly"),
@@ -365,6 +365,9 @@ def e4_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("sum_n"),
         F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_n2"),
     )
+    # NULLIF guards the single-day corpus: (n_days - 1) == 0 would give
+    # NaN/Inf here but a different divide-by-zero result in the DuckDB
+    # oracle; NULL z in BOTH engines is the well-defined degenerate answer
     z = (
         F.col("n").cast("double") - F.col("sum_n").cast("double") / F.col("n_days")
     ) / F.sqrt(
@@ -372,7 +375,7 @@ def e4_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_n2").cast("double")
             - F.col("sum_n").cast("double") * F.col("sum_n") / F.col("n_days")
         )
-        / (F.col("n_days") - 1)
+        / F.nullif(F.col("n_days") - 1, F.lit(0))
     )
     return (
         daily.crossJoin(F.broadcast(stats))

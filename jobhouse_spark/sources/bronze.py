@@ -194,7 +194,15 @@ def quarantine_corrupt(spark: SparkSession, root: str) -> tuple[DataFrame, DataF
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(root)
-    ).cache()  # required: corrupt-record column can't be queried from a bare scan
+    )
+    # Materialization is REQUIRED: _corrupt_record can't be queried off a
+    # bare JSON scan (Spark raises AnalysisException on corrupt-column-
+    # only plans). localCheckpoint instead of .cache(): the parsed rows
+    # land in ContextCleaner-managed blocks freed when the returned
+    # frames are garbage-collected, rather than a catalog-cache entry
+    # that leaks per call in a long-lived session unless the caller
+    # remembers to unpersist.
+    df = df.localCheckpoint(eager=True)
     good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
     return good, bad

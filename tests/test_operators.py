@@ -101,3 +101,32 @@ def test_dedup_anti_join_null_safety(spark):
     )
     # left_anti keeps non-matching rows including the null-key row
     assert out == [1]
+
+
+def test_e4_single_day_degenerate_null_z(spark, tmp_path):
+    """ADVICE r4: a corpus whose events span ONE day makes the z-score
+    denominator (n_days - 1) zero. NULLIF must turn that into NULL in
+    BOTH engines — not Spark NaN/Inf vs DuckDB's own division behavior."""
+    import duckdb
+
+    from jobhouse_spark.queries import all_queries
+    from tests.oracle import compare_frames
+
+    one_day = spark.createDataFrame(
+        [(i, "2024-03-05 10:00:00", i, "click", 1.0, "{}") for i in range(5)],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf = str(tmp_path)
+    one_day.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    q = all_queries()["e4_daily_anomalies"]
+    spark_pdf = q.fn(spark, sf).toPandas()
+    assert len(spark_pdf) == 1 and spark_pdf["z"].isna().all()
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    duck_pdf = con.execute(q.oracle).fetchdf()
+    assert not compare_frames(spark_pdf, duck_pdf)

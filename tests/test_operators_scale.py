@@ -55,8 +55,10 @@ def test_salted_group_count_map_column_schema(spark, sf_dir):
 
 
 def test_salted_count_duplicate_rows_spread(spark):
-    """Literally-identical hot rows must still land on >1 salt (the
-    partition-id hash input spreads them); counts stay exact."""
+    """With spread_identical_rows=True, literally-identical hot rows land
+    on >1 salt (the partition-id hash input spreads them); counts stay
+    exact. The DEFAULT salt is pure row content — retry-deterministic —
+    so identical rows collapse onto a single salt value."""
     from jobhouse_spark.operators.skew import _row_salt
 
     dup = (
@@ -64,11 +66,15 @@ def test_salted_count_duplicate_rows_spread(spark):
         .repartition(8)
         .select(F.lit("hot").alias("k"), F.lit(1).alias("v"))
     )
-    n_salts = dup.withColumn("__salt", _row_salt(dup, 16, None)).select(
+    spread = dup.withColumn(
+        "__salt", _row_salt(dup, 16, None, spread_identical_rows=True)
+    ).select("__salt").distinct().count()
+    assert spread > 1
+    default = dup.withColumn("__salt", _row_salt(dup, 16, None)).select(
         "__salt"
     ).distinct().count()
-    assert n_salts > 1
-    counted = salted_group_count(dup, "k").collect()
+    assert default == 1  # content-only salt: deterministic under retry
+    counted = salted_group_count(dup, "k", spread_identical_rows=True).collect()
     assert counted[0].n == 10_000
 
 

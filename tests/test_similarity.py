@@ -148,3 +148,17 @@ def test_language_id_heuristic(spark):
     out = df.select("expected", detect_language(F.col("text")).alias("got")).collect()
     for r in out:
         assert r.got == r.expected, (r.expected, r.got)
+
+
+def test_minhash_releases_cache(spark):
+    """ADVICE r4: minhash_near_duplicates persisted its feature relation
+    and never unpersisted — each call in a long-lived session (bench
+    repeats, library callers) accumulated another cached relation. The
+    operator must leave the catalog cache empty after returning."""
+    spark.catalog.clearCache()  # isolate from other tests' cached relations
+    jvm_catalog = spark._jsparkSession.sharedState().cacheManager()
+    rows = [(i, f"document number {i} with several shared words body") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    for _ in range(2):
+        minhash_near_duplicates(docs, jaccard_threshold=0.5, num_hash_tables=3).count()
+    assert jvm_catalog.isEmpty(), "minhash leaked a persisted relation"
