@@ -4,7 +4,9 @@ Inverted-file (IVF) search, Spark-native:
 1. Train a coarse quantizer (k-means over a sample) — driver-side
    centroids, tiny.
 2. Assign every corpus vector to its nearest centroid (map-only;
-   centroids broadcast via literal arrays).
+   centroids as literal JVM expressions for small codebooks, as a
+   numpy matrix in an Arrow-batched UDF closure for large ones —
+   see nearest_cells).
 3. At query time, probe the `n_probe` nearest centroid cells and score
    only vectors in those cells — a bucket-pruned join instead of a full
    scan. Recall/speed trades with n_probe.
@@ -15,15 +17,27 @@ IVF adapts to data distribution (clusters), LSH is data-independent.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jobhouse_spark.functions.vectors import dot_product
 
 
+# Above this many literal components (n_cells x dim) the inlined
+# expression tree stops being a win: analysis/codegen cost grows with
+# plan size. 16 cells x 64 dims = 1024 stays comfortably under; 4096
+# cells x 768 dims would be a 3M-node plan — that's the UDF's job.
+_EXPR_COMPONENT_LIMIT = 8192
+
+
 def _nearest_centroid_expr(vec_col, centroids: list[list[float]], k: int = 1):
-    """Column expr: index of the (k-th set of) nearest centroid(s) by
-    squared L2 — computed as JVM expressions over literal arrays."""
+    """Column expr: indices of the k nearest centroids by squared L2 —
+    computed as JVM expressions over literal arrays. Map-only and
+    whole-stage-codegen'd, but plan size is O(n_cells x dim): right for
+    coarse quantizers (<= ~100 cells), wrong at 4096 cells — see
+    _nearest_centroid_udf."""
     dists = F.array(
         *[
             F.aggregate(
@@ -42,6 +56,50 @@ def _nearest_centroid_expr(vec_col, centroids: list[list[float]], k: int = 1):
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
     pairs = F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
     return F.slice(F.array_sort(pairs), 1, k).getField("i")
+
+
+def _nearest_centroid_udf(vec_col, centroids: list[list[float]], k: int = 1):
+    """Large-codebook cell assignment: the centroid matrix rides in the
+    UDF closure (broadcast with the task, CONSTANT plan size), and each
+    Arrow batch is assigned with one numpy matmul — still map-only, no
+    shuffle. Ranking key ||c||^2 - 2 v.c equals squared L2 minus the
+    per-row constant ||v||^2, so the ordering matches the expression
+    path; ties break on centroid index in both (stable argsort)."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    cents = np.asarray(centroids, dtype=np.float64)  # (C, D)
+    c_sq = (cents * cents).sum(axis=1)  # (C,)
+    kk = min(k, len(centroids))
+
+    @pandas_udf("array<int>")
+    def cells(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (B, D)
+        d2 = c_sq - 2.0 * (mat @ cents.T)  # (B, C)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+        return pd.Series(list(idx.astype("int32")))
+
+    return cells(vec_col.cast("array<double>"))
+
+
+def nearest_cells(
+    vec_col,
+    centroids: list[list[float]],
+    k: int = 1,
+    strategy: str = "auto",
+):
+    """Indices of the k nearest centroids for each vector (array<int>
+    Column). strategy: 'expr' inlines centroids as literal JVM
+    expressions (codegen fast path, plan grows O(n_cells x dim));
+    'udf' ships them in an Arrow-batched numpy closure (constant plan
+    size, one matmul per batch); 'auto' picks by component count."""
+    if strategy == "auto":
+        n_components = len(centroids) * (len(centroids[0]) if centroids else 0)
+        strategy = "expr" if n_components <= _EXPR_COMPONENT_LIMIT else "udf"
+    if strategy == "expr":
+        return _nearest_centroid_expr(vec_col, centroids, k)
+    if strategy == "udf":
+        return _nearest_centroid_udf(vec_col, centroids, k)
+    raise ValueError(f"unknown strategy {strategy!r}")
 
 
 def train_centroids(
@@ -66,18 +124,21 @@ def ivf_top_k(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_strategy: str = "auto",
 ) -> DataFrame:
     """Probe the n_probe nearest cells per query; exact-score within."""
     assign = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        _nearest_centroid_expr(F.col(vec_col), centroids, k=1)[0].alias("cell"),
+        nearest_cells(F.col(vec_col), centroids, k=1, strategy=assign_strategy)[
+            0
+        ].alias("cell"),
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.explode(
-            _nearest_centroid_expr(F.col(vec_col), centroids, k=n_probe)
+            nearest_cells(F.col(vec_col), centroids, k=n_probe, strategy=assign_strategy)
         ).alias("cell"),
     )
     pairs = assign.join(F.broadcast(probes), "cell").filter(

@@ -27,6 +27,28 @@ from jobhouse_spark.functions.vectors import (
 )
 
 
+def _parse_byte_size(s: str) -> int:
+    """Spark size-conf string -> bytes ('10MB', '10485760b', '-1', ...).
+    Public-API replacement for sessionState().conf() reads."""
+    v = str(s).strip().lower()
+    for suffix, mult in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if v.endswith(suffix):
+            return int(float(v[: -len(suffix)]) * mult)
+    return int(float(v))
+
+
+def _optimizer_size_estimate(df: DataFrame) -> int:
+    """Catalyst's size estimate for a plan, in bytes — no Spark job.
+    Reads the PRIVATE _jdf.queryExecution API (no public equivalent);
+    callers must catch and fall back, since this can move across Spark
+    upgrades."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
 def brute_force_top_k(
     queries: DataFrame,
     candidates: DataFrame,
@@ -128,10 +150,18 @@ def lsh_top_k(
     qb = buckets(q, "query_id", "q_arr")
     cb = buckets(c, "neighbor_id", "c_arr")
     if broadcast_queries == "auto":
-        est = int(qb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        threshold = int(
-            qb.sparkSession._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold()
+        threshold = _parse_byte_size(
+            qb.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
         )
+        try:
+            est = _optimizer_size_estimate(qb)
+        except Exception:
+            # public fallback: one head + one count on the PROBE side
+            # only (the side whose smallness is in question — never the
+            # corpus). rows x tables x (8B/component + row overhead).
+            first = queries.select(vec_col).head()
+            dim = len(first[0]) if first and first[0] is not None else 0
+            est = queries.count() * num_hash_tables * (dim * 8 + 48)
         broadcast_queries = 0 <= est <= max(threshold, 0)
     probe = F.broadcast(qb) if broadcast_queries else qb
     joined = cb.join(probe, ["table_idx", "bucket"]).filter(

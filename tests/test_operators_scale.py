@@ -442,3 +442,57 @@ def test_compaction_rewrites_small_files(spark, sf_dir):
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, spans
+
+
+def test_nearest_cells_udf_matches_expr(spark, sf_dir):
+    """The large-codebook numpy-UDF assignment must agree with the
+    literal-expression path cell-for-cell (same ranking key up to a
+    per-row constant, same index tie-break)."""
+    from jobhouse_spark.operators.ann import nearest_cells
+
+    emb = Tables(spark, sf_dir).embeddings.limit(200)
+    centroids = train_centroids(emb, n_cells=8)
+    both = emb.select(
+        "vec_id",
+        nearest_cells(F.col("embedding"), centroids, k=3, strategy="expr").alias("e"),
+        nearest_cells(F.col("embedding"), centroids, k=3, strategy="udf").alias("u"),
+    ).collect()
+    for r in both:
+        assert list(r.e) == list(r.u), (r.vec_id, r.e, r.u)
+
+
+def test_ivf_udf_strategy_matches_expr_strategy(spark, sf_dir):
+    emb = Tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 3)
+    centroids = train_centroids(emb, n_cells=8)
+    a = ivf_top_k(probes, emb, centroids, k=5, assign_strategy="expr").collect()
+    b = ivf_top_k(probes, emb, centroids, k=5, assign_strategy="udf").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_parse_byte_size():
+    from jobhouse_spark.operators.similarity import _parse_byte_size
+
+    assert _parse_byte_size("10MB") == 10 * 1024 * 1024
+    assert _parse_byte_size("10485760b") == 10 * 1024 * 1024
+    assert _parse_byte_size("-1") == -1
+    assert _parse_byte_size("1g") == 1 << 30
+    assert _parse_byte_size("512k") == 512 * 1024
+
+
+def test_lsh_auto_broadcast_public_fallback(spark, sf_dir, monkeypatch):
+    """The 'auto' probe-broadcast gate must survive the private
+    _jdf.queryExecution API disappearing (Spark upgrade): the public
+    count-based fallback picks a strategy and results stay correct."""
+    from jobhouse_spark.operators import similarity
+
+    emb = Tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 3)
+    baseline = similarity.lsh_top_k(probes, emb, k=5).collect()
+
+    def boom(df):
+        raise AttributeError("simulated private-API removal")
+
+    monkeypatch.setattr(similarity, "_optimizer_size_estimate", boom)
+    fallback = similarity.lsh_top_k(probes, emb, k=5).collect()
+    assert sorted(map(tuple, fallback)) == sorted(map(tuple, baseline))
