@@ -50,10 +50,14 @@ def main() -> None:
             t0 = time.perf_counter()
             c0 = time.process_time()
             df = q.fn(spark, args.sf_dir)
-            n = df.count()  # force full execution
+            # Force execution with a noop-sink write, not count():
+            # Catalyst can prune work under a count (final orderBy,
+            # projection-only columns), so count() under-measures
+            # sort/projection queries. The noop v2 sink consumes every
+            # row and column and discards them — the honest forcer.
+            df.write.format("noop").mode("overwrite").save()
             walls.append(time.perf_counter() - t0)
             cpus.append(time.process_time() - c0)
-            assert n >= 0
         timings[name] = round(statistics.median(walls), 4)
         cpu_timings[name] = round(statistics.median(cpus), 4)
 

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from jobhouse_spark.functions.vectors import dot_product
+from jobhouse_spark.functions.vectors import dot_micro, dot_product, micro_vec
 
 
 # Above this many literal components (n_cells x dim) the inlined
@@ -32,21 +32,30 @@ from jobhouse_spark.functions.vectors import dot_product
 _EXPR_COMPONENT_LIMIT = 8192
 
 
-def _nearest_centroid_expr(vec_col, centroids: list[list[float]], k: int = 1):
+def _nearest_centroid_expr(
+    vec_col, centroids: list[list[float]], k: int = 1, integer_micro: bool = False
+):
     """Column expr: indices of the k nearest centroids by squared L2 —
     computed as JVM expressions over literal arrays. Map-only and
     whole-stage-codegen'd, but plan size is O(n_cells x dim): right for
     coarse quantizers (<= ~100 cells), wrong at 4096 cells — see
-    _nearest_centroid_udf."""
+    _nearest_centroid_udf. ``integer_micro=True`` treats vec_col AND
+    the centroids as int64 micro-unit vectors, making the assignment
+    exact integer arithmetic (bit-reproducible by any engine — the
+    oracle-checkable path; ties break on centroid index either way)."""
+    if integer_micro:
+        lit, zero = (lambda x: F.lit(int(x))), F.lit(0).cast("long")
+    else:
+        lit, zero = (lambda x: F.lit(float(x))), F.lit(0.0)
     dists = F.array(
         *[
             F.aggregate(
                 F.zip_with(
                     vec_col,
-                    F.array(*[F.lit(float(x)) for x in c]),
+                    F.array(*[lit(x) for x in c]),
                     lambda a, b: (a - b) * (a - b),
                 ),
-                F.lit(0.0),
+                zero,
                 lambda acc, v: acc + v,
             )
             for c in centroids
@@ -64,7 +73,13 @@ def _nearest_centroid_udf(vec_col, centroids: list[list[float]], k: int = 1):
     Arrow batch is assigned with one numpy matmul — still map-only, no
     shuffle. Ranking key ||c||^2 - 2 v.c equals squared L2 minus the
     per-row constant ||v||^2, so the ordering matches the expression
-    path; ties break on centroid index in both (stable argsort)."""
+    path up to floating-point on near-ties (the two keys are different
+    float computations, so near-equidistant vectors CAN land in
+    different cells between strategies — which means strategy='auto'
+    can change assignments for such vectors when a codebook crosses
+    _EXPR_COMPONENT_LIMIT); exact ties break on centroid index in both
+    (stable argsort). NULL vectors yield a NULL cell list, matching the
+    expression path."""
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
     cents = np.asarray(centroids, dtype=np.float64)  # (C, D)
@@ -73,10 +88,18 @@ def _nearest_centroid_udf(vec_col, centroids: list[list[float]], k: int = 1):
 
     @pandas_udf("array<int>")
     def cells(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy()).astype(np.float64)  # (B, D)
-        d2 = c_sq - 2.0 * (mat @ cents.T)  # (B, C)
-        idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
-        return pd.Series(list(idx.astype("int32")))
+        buf = np.empty(len(v), dtype=object)
+        buf[:] = None
+        mask = v.notna().to_numpy()
+        if mask.any():
+            mat = np.stack(v[mask].to_numpy()).astype(np.float64)  # (B, D)
+            d2 = c_sq - 2.0 * (mat @ cents.T)  # (B, C)
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+            # positional (not pandas-masked) assignment: the values are
+            # arrays, which putmask rejects as length-mismatched
+            for pos, row in zip(np.flatnonzero(mask), idx.astype("int32")):
+                buf[pos] = row
+        return pd.Series(buf)
 
     return cells(vec_col.cast("array<double>"))
 
@@ -102,6 +125,27 @@ def nearest_cells(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+def ivf_fixed_centroids(
+    seed: int, n_cells: int, dim: int, component_range: int = 400_000
+) -> list[list[int]]:
+    """Deterministic integer micro-unit centroids for the
+    oracle-checkable IVF path (see l3c2_ivf_checked) — data-independent,
+    so a differential oracle can interpolate the SAME constants into
+    its SQL. Production IVF uses train_centroids (k-means, adapted to
+    the data); this family verifies the MECHANISM — cell assignment,
+    probe expansion, bucket-pruned join, scoring, ranking — with the
+    quantizer swapped for seeded constants (the l2c md5/xxhash64
+    pattern). component_range defaults to ≈ the micro-unit span of
+    unit-ish embedding components."""
+    import random  # noqa: PLC0415
+
+    rng = random.Random(seed)
+    return [
+        [rng.randint(-component_range, component_range) for _ in range(dim)]
+        for _ in range(n_cells)
+    ]
+
+
 def train_centroids(
     corpus: DataFrame, vec_col: str = "embedding", n_cells: int = 16, seed: int = 42
 ) -> list[list[float]]:
@@ -119,33 +163,54 @@ def train_centroids(
 def ivf_top_k(
     queries: DataFrame,
     corpus: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | list[list[int]],
     k: int = 10,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_strategy: str = "auto",
+    exact_micro: bool = False,
 ) -> DataFrame:
-    """Probe the n_probe nearest cells per query; exact-score within."""
+    """Probe the n_probe nearest cells per query; exact-score within.
+
+    ``exact_micro=True`` is the oracle-checkable variant: ``centroids``
+    must be INTEGER micro-unit vectors (ivf_fixed_centroids), both
+    sides quantize via micro_vec, cell assignment is exact integer
+    squared-L2 argmin, and ``score`` is the exact integer micro-unit
+    dot — every step bit-reproducible by any SQL engine (see
+    l3c2_ivf_checked). The join/probe/rank pipeline is the SAME code
+    as the float path."""
+    if exact_micro:
+        def vec(col):
+            return micro_vec(col)
+
+        def assign_cells(col, kk):
+            return _nearest_centroid_expr(vec(col), centroids, k=kk, integer_micro=True)
+
+        score_fn = dot_micro
+    else:
+        def vec(col):
+            return col
+
+        def assign_cells(col, kk):
+            return nearest_cells(col, centroids, k=kk, strategy=assign_strategy)
+
+        score_fn = dot_product
     assign = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        nearest_cells(F.col(vec_col), centroids, k=1, strategy=assign_strategy)[
-            0
-        ].alias("cell"),
+        vec(F.col(vec_col)).alias("c_vec"),
+        assign_cells(F.col(vec_col), 1)[0].alias("cell"),
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(
-            nearest_cells(F.col(vec_col), centroids, k=n_probe, strategy=assign_strategy)
-        ).alias("cell"),
+        vec(F.col(vec_col)).alias("q_vec"),
+        F.explode(assign_cells(F.col(vec_col), n_probe)).alias("cell"),
     )
     pairs = assign.join(F.broadcast(probes), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = pairs.withColumn(
-        "score", dot_product(F.col("q_vec"), F.col("c_vec"))
+        "score", score_fn(F.col("q_vec"), F.col("c_vec"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()

@@ -41,12 +41,29 @@ def _parse_byte_size(s: str) -> int:
     return int(float(v))
 
 
-def _optimizer_size_estimate(df: DataFrame) -> int:
-    """Catalyst's size estimate for a plan, in bytes — no Spark job.
-    Reads the PRIVATE _jdf.queryExecution API (no public equivalent);
-    callers must catch and fall back, since this can move across Spark
-    upgrades."""
-    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+def _should_broadcast_probes(
+    queries: DataFrame, vec_col: str, num_hash_tables: int
+) -> bool:
+    """Public-API auto-broadcast gate for the LSH probe side (no
+    _jdf/Catalyst internals — those move across Spark upgrades).
+
+    One head() for the vector width, then a BOUNDED count:
+    ``limit(max_rows + 1).count()`` scans at most max_rows+1 probe rows,
+    so the gate stays cheap exactly when the probe side is huge — the
+    case an unbounded count() would hurt. Size model: rows x hash
+    tables x (8 B per component + row overhead). A session threshold
+    <= 0 (``autoBroadcastJoinThreshold = -1`` disables broadcasting)
+    means "never broadcast", not "broadcast empty inputs"."""
+    threshold = _parse_byte_size(
+        queries.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    )
+    if threshold <= 0:
+        return False
+    first = queries.select(vec_col).head()
+    dim = len(first[0]) if first and first[0] is not None else 0
+    per_row = num_hash_tables * (dim * 8 + 48)
+    max_rows = threshold // max(per_row, 1)
+    return queries.limit(max_rows + 1).count() <= max_rows
 
 
 def brute_force_top_k(
@@ -87,6 +104,31 @@ def brute_force_top_k(
     )
 
 
+def lsh_projection_vectors(
+    seed: int, num_tables: int, dim: int, component_range: int = 1000
+) -> list[list[int]]:
+    """Deterministic integer projection vectors for the oracle-checkable
+    BRP path of ``lsh_top_k`` — exposed so a differential oracle can
+    interpolate the SAME constants into its SQL (the l2c/
+    minhash_coefficients pattern)."""
+    import random  # noqa: PLC0415
+
+    rng = random.Random(seed)
+    return [
+        [rng.randint(-component_range, component_range) for _ in range(dim)]
+        for _ in range(num_tables)
+    ]
+
+
+def _floor_div(d, w: int):
+    """Exact floor division of a BIGINT column by a positive int, as
+    (d - pmod(d, w)) / w — the numerator is exactly divisible, stays
+    under 2^53, and the identical formula is expressible in any SQL
+    engine (plain '/' or '%' semantics on negatives differ per engine;
+    pmod-based floor-div does not)."""
+    return ((d - F.pmod(d, F.lit(w))) / F.lit(w)).cast("long")
+
+
 def lsh_top_k(
     queries: DataFrame,
     candidates: DataFrame,
@@ -98,6 +140,8 @@ def lsh_top_k(
     seed: int = 42,
     radius: float | None = None,
     broadcast_queries: bool | str = "auto",
+    projections: list[list[int]] | None = None,
+    bucket_width: int = 1 << 30,
 ) -> DataFrame:
     """Approximate top-k via BucketedRandomProjection LSH (pyspark.ml).
 
@@ -117,62 +161,100 @@ def lsh_top_k(
     join never shuffles the candidate corpus — right for few probes);
     False forces a shuffled equi-join on (table, bucket) — right when
     the probe set itself is large (an unconditional broadcast there
-    OOMs every executor); "auto" (default) picks by the optimizer's
-    size estimate for the probe side vs the session's
-    autoBroadcastJoinThreshold.
+    OOMs every executor); "auto" (default) picks via the public
+    bounded-count size gate (_should_broadcast_probes) against the
+    session's autoBroadcastJoinThreshold.
+
+    ``projections``: a list of INTEGER projection vectors (one per hash
+    table — see lsh_projection_vectors) switches bucketing to the
+    oracle-checkable exact-integer path: both sides quantize to int64
+    micro-units, the table hash is the exact integer dot with the
+    projection vector, and ``bucket = floor(dot / bucket_width)`` via
+    pmod-based floor division — every step bit-reproducible by any SQL
+    engine (see l3b2_lsh_checked). ``dist`` is then the exact integer
+    SQUARED micro-unit L2 distance (same ordering as Euclidean;
+    ``radius``, if given, applies in those units). Candidate generation,
+    per-bucket capping, multi-table dedup, and ranking are the SAME code
+    as the pyspark.ml path — the checked entry exercises the production
+    pipeline, only the hash family is swapped (the l2c md5/xxhash64
+    pattern).
     """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH  # noqa: PLC0415
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: PLC0415
+    if broadcast_queries == "auto":
+        # gate on the PROBE side only (the side whose smallness is in
+        # question — never the corpus)
+        broadcast_queries = _should_broadcast_probes(queries, vec_col, num_hash_tables)
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q_arr"),
-    ).withColumn("features", array_to_vector("q_arr"))
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("c_arr"),
-    ).withColumn("features", array_to_vector("c_arr"))
-    brp = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=seed,
-    )
-    model = brp.fit(c)
-
-    def buckets(df: DataFrame, keep: str, arr: str) -> DataFrame:
-        hashed = model.transform(df).select(
-            keep, arr, F.posexplode("hashes").alias("table_idx", "h")
+    if projections is not None:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), micro_vec(F.col(vec_col)).alias("q_arr")
         )
-        return hashed.withColumn("bucket", vector_to_array("h")[0]).drop("h")
+        c = candidates.select(
+            F.col(id_col).alias("neighbor_id"), micro_vec(F.col(vec_col)).alias("c_arr")
+        )
+
+        def buckets(df: DataFrame, keep: str, arr: str) -> DataFrame:
+            dots = F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(arr),
+                            F.array(*[F.lit(int(p)) for p in pv]),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    )
+                    for pv in projections
+                ]
+            )
+            hashed = df.select(keep, arr, F.posexplode(dots).alias("table_idx", "d"))
+            return hashed.withColumn("bucket", _floor_div(F.col("d"), bucket_width)).drop("d")
+
+        dist = F.aggregate(
+            F.zip_with("q_arr", "c_arr", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+    else:
+        from pyspark.ml.feature import BucketedRandomProjectionLSH  # noqa: PLC0415
+        from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: PLC0415
+
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("q_arr"),
+        ).withColumn("features", array_to_vector("q_arr"))
+        c = candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("c_arr"),
+        ).withColumn("features", array_to_vector("c_arr"))
+        brp = BucketedRandomProjectionLSH(
+            inputCol="features",
+            outputCol="hashes",
+            bucketLength=bucket_length,
+            numHashTables=num_hash_tables,
+            seed=seed,
+        )
+        model = brp.fit(c)
+
+        def buckets(df: DataFrame, keep: str, arr: str) -> DataFrame:
+            hashed = model.transform(df).select(
+                keep, arr, F.posexplode("hashes").alias("table_idx", "h")
+            )
+            return hashed.withColumn("bucket", vector_to_array("h")[0]).drop("h")
+
+        dist = F.sqrt(
+            F.aggregate(
+                F.zip_with("q_arr", "c_arr", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
 
     qb = buckets(q, "query_id", "q_arr")
     cb = buckets(c, "neighbor_id", "c_arr")
-    if broadcast_queries == "auto":
-        threshold = _parse_byte_size(
-            qb.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-        )
-        try:
-            est = _optimizer_size_estimate(qb)
-        except Exception:
-            # public fallback: one head + one count on the PROBE side
-            # only (the side whose smallness is in question — never the
-            # corpus). rows x tables x (8B/component + row overhead).
-            first = queries.select(vec_col).head()
-            dim = len(first[0]) if first and first[0] is not None else 0
-            est = queries.count() * num_hash_tables * (dim * 8 + 48)
-        broadcast_queries = 0 <= est <= max(threshold, 0)
     probe = F.broadcast(qb) if broadcast_queries else qb
     joined = cb.join(probe, ["table_idx", "bucket"]).filter(
         F.col("query_id") != F.col("neighbor_id")
-    )
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with("q_arr", "c_arr", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
     )
     scored = joined.withColumn("dist", dist)
     if radius is not None:
@@ -223,6 +305,7 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
     max_bucket_size: int = 500,
     feature_hash: str = "xxhash64",
+    materialize: str = "checkpoint",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs over word-shingle sets.
 
@@ -260,6 +343,30 @@ def minhash_near_duplicates(
     ~identical distribution, computable bit-for-bit by any engine with
     md5 — the knob a differential oracle uses to verify this exact
     pipeline end-to-end, see l2c_minhash_checked).
+
+    ``materialize`` — how the internal ``featured`` relation (consumed
+    three times: signatures + both sides of the exact-Jaccard rejoin)
+    is shared, and who cleans it up. The three options trade leak
+    safety vs laziness vs fault tolerance; none changes results:
+
+    - "checkpoint" (default): persist ``featured``, run the pipeline
+      EAGERLY, checkpoint the (small, threshold-filtered) output pair
+      list, release ``featured``. Leak-free in long-lived sessions
+      with zero caller obligations. TRADE: the call blocks on full
+      execution, and ``localCheckpoint`` truncates lineage into
+      non-fault-tolerant executor blocks — if an executor is lost
+      AFTER the call returns, the result cannot be recomputed (the
+      original plan is gone). When the session has a RELIABLE
+      checkpoint dir configured (``sc.setCheckpointDir``), that is
+      used instead, which survives executor loss.
+    - "persist": LAZY — ``featured`` stays persisted and the returned
+      plan is fully recomputable (fault-tolerant). The caller owns
+      cleanup: the persisted relation is attached to the returned
+      DataFrame as ``df.jh_cached_inputs`` (unpersist each after
+      consuming, or leak one cached relation per call).
+    - "lazy": no persist, no checkpoint — a pure plan with zero
+      session state and full fault tolerance; the tokenize/shingle/
+      hash chain recomputes up to three times when the plan runs.
     """
     base = docs.select(id_col, text_col)
     # A small corpus read from one parquet file arrives as ONE partition
@@ -302,12 +409,16 @@ def minhash_near_duplicates(
     else:
         def _feat(s):
             return F.pmod(F.xxhash64(s), F.lit(num_features))
+    if materialize not in ("checkpoint", "persist", "lazy"):
+        raise ValueError(f"unknown materialize mode {materialize!r}")
     feat_expr = F.array_distinct(F.transform(shingle_expr, _feat))
     # consumed three times below (signatures + both sides of the exact-
     # Jaccard rejoin); persist so the tokenize/shingle/hash chain runs
     # one corpus scan, not three. The cached relation is one int-array
     # column — far smaller than the text — and spills to disk if not.
-    featured = toked.select("doc", feat_expr.alias("features")).persist()
+    featured = toked.select("doc", feat_expr.alias("features"))
+    if materialize != "lazy":
+        featured = featured.persist()
 
     # one minhash function per band (r=1, matching MinHashLSH):
     # sig_i = min over features of (a_i*f + b_i) mod p
@@ -370,16 +481,26 @@ def minhash_near_duplicates(
         .filter(F.col("__sim") >= jaccard_threshold)
         .select("doc_a", "doc_b", (1.0 - F.col("__sim")).alias("jaccard_dist"))
     )
-    # Materialize eagerly, then release the cache: without this, every
-    # invocation in a long-lived session (bench repeats, library callers
-    # that never clearCache()) leaks one more cached relation. The
-    # localCheckpoint truncates lineage so the unpersisted `featured` is
-    # never recomputed; its blocks are ContextCleaner-managed — freed
-    # when the returned DataFrame is garbage-collected, not accumulated
-    # in the catalog cache. The checkpointed relation is the OUTPUT pair
-    # list (threshold-filtered), far smaller than the corpus.
-    out = out.localCheckpoint(eager=True)
-    featured.unpersist()
+    if materialize == "checkpoint":
+        # Materialize eagerly, then release the cache: without this,
+        # every invocation in a long-lived session (bench repeats,
+        # library callers that never clearCache()) leaks one more cached
+        # relation. The checkpoint truncates lineage so the unpersisted
+        # `featured` is never recomputed; the checkpointed relation is
+        # the OUTPUT pair list (threshold-filtered), far smaller than
+        # the corpus. Reliable checkpoint (survives executor loss) when
+        # the session has a checkpoint dir; otherwise localCheckpoint,
+        # whose blocks are ContextCleaner-managed (freed when the
+        # returned DataFrame is GC'd) but NOT recomputable after
+        # executor loss — the fault-tolerance trade in the docstring.
+        has_ckpt_dir = out.sparkSession.sparkContext.getCheckpointDir() is not None
+        out = out.checkpoint(eager=True) if has_ckpt_dir else out.localCheckpoint(eager=True)
+        featured.unpersist()
+        return out
+    if materialize == "persist":
+        # lazy + fault-tolerant; the caller owns the cache release
+        out.jh_cached_inputs = [featured]
+        return out
     return out
 
 

@@ -65,6 +65,14 @@ def _row_salt(
     inputs: list[Column] = [F.col(c) for c in cols]
     if mix_partition_id:
         inputs = [F.spark_partition_id(), *inputs]
+    if not inputs:
+        # xxhash64() with zero inputs fails at analysis with an opaque
+        # error; surface the real cause (e.g. every column map-typed
+        # with partition-id mixing off) to the caller instead.
+        raise ValueError(
+            "no hashable columns to derive a salt from (all columns are "
+            "map-typed?); pass salt_cols or enable spread_identical_rows"
+        )
     return F.pmod(F.xxhash64(*inputs), F.lit(n_salts))
 
 

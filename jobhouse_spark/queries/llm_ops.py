@@ -199,6 +199,140 @@ def l3c_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rn")
 
 
+_MICRO_SQL = (
+    "list_transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) "
+    "AS DECIMAL(12,6)) * 1000000 AS BIGINT))"
+)
+
+
+def _l3b2_oracle() -> str:
+    """DuckDB replica of the ENTIRE lsh_top_k bucket pipeline on the
+    deterministic-projection path: same micro-unit quantization, the
+    same seeded integer projection vectors (lsh_projection_vectors —
+    interpolated as literals), the same pmod-based floor-div bucketing,
+    per-(query, table, bucket) candidate cap, multi-table dedup, and
+    exact integer squared-L2 ranking. Any drift anywhere flips the
+    hash."""
+    from jobhouse_spark.operators.similarity import lsh_projection_vectors  # noqa: PLC0415
+
+    w = 1 << 30
+    projs = lsh_projection_vectors(42, 3, 64)
+    vals = ", ".join(f"({i}, {pv}::BIGINT[])" for i, pv in enumerate(projs))
+    return f"""
+WITH m AS (SELECT vec_id, {_MICRO_SQL} AS mv FROM embeddings),
+proj(table_idx, pv) AS (VALUES {vals}),
+hashed AS (
+  SELECT vec_id, mv, table_idx,
+         CAST((d - (((d % {w}) + {w}) % {w})) / {w} AS BIGINT) AS bucket
+  FROM (SELECT vec_id, mv, table_idx,
+               CAST(list_sum(list_transform(list_zip(mv, pv), t -> t[1] * t[2])) AS BIGINT) AS d
+        FROM m CROSS JOIN proj)),
+qb AS (SELECT vec_id AS query_id, mv AS q_vec, table_idx, bucket FROM hashed WHERE vec_id < 5),
+cb AS (SELECT vec_id AS neighbor_id, mv AS c_vec, table_idx, bucket FROM hashed),
+joined AS (
+  SELECT query_id, neighbor_id, cb.table_idx, cb.bucket,
+         CAST(list_sum(list_transform(list_zip(q_vec, c_vec),
+                                      t -> (t[1]-t[2])*(t[1]-t[2]))) AS BIGINT) AS dist
+  FROM cb JOIN qb ON cb.table_idx = qb.table_idx AND cb.bucket = qb.bucket
+  WHERE query_id <> neighbor_id),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, table_idx, bucket
+                               ORDER BY dist, neighbor_id) AS bn
+  FROM joined),
+cand AS (SELECT query_id, neighbor_id, MIN(dist) AS dist
+         FROM capped WHERE bn <= 10 GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+  FROM cand)
+SELECT query_id, neighbor_id, dist, rn FROM ranked WHERE rn <= 10 ORDER BY query_id, rn
+"""
+
+
+@register("l3b2_lsh_checked", oracle=_l3b2_oracle(), tags=("llm", "similarity"))
+def l3b2_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3b2: the LSH-bucketed top-k pipeline, differentially verified
+    END-TO-END — the same lsh_top_k operator as l3b (bucket equi-join,
+    per-bucket candidate cap, multi-table dedup, ranked merge) with the
+    hash family swapped from pyspark.ml's fitted BRP projections to
+    seeded integer projection vectors both engines compute
+    bit-identically (the l2c md5/xxhash64 pattern). l3b keeps the
+    data-independent ml path in production; this entry proves the
+    ALGORITHM: quantization, bucketing, capping, dedup, and the exact
+    integer distance ranking all hash-match a from-scratch DuckDB
+    replica."""
+    from jobhouse_spark.operators.similarity import (  # noqa: PLC0415
+        lsh_projection_vectors,
+        lsh_top_k,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 5)
+    projs = lsh_projection_vectors(42, 3, 64)
+    return lsh_top_k(
+        probes, emb, k=10, projections=projs, bucket_width=1 << 30
+    ).orderBy("query_id", "rn")
+
+
+def _l3c2_oracle() -> str:
+    """DuckDB replica of the ENTIRE ivf_top_k pipeline on the
+    exact-integer path: same micro-unit quantization, the same seeded
+    integer centroids (ivf_fixed_centroids — interpolated as literals),
+    exact integer squared-L2 argmin cell assignment (ties on centroid
+    index), n_probe cell expansion, cell-pruned join, and exact integer
+    dot ranking."""
+    from jobhouse_spark.operators.ann import ivf_fixed_centroids  # noqa: PLC0415
+
+    cents = ivf_fixed_centroids(42, 8, 64)
+    vals = ", ".join(f"({i}, {c}::BIGINT[])" for i, c in enumerate(cents))
+    return f"""
+WITH m AS (SELECT vec_id, {_MICRO_SQL} AS mv FROM embeddings),
+cent(cell, cv) AS (VALUES {vals}),
+dists AS (
+  SELECT vec_id, mv, cell,
+         CAST(list_sum(list_transform(list_zip(mv, cv),
+                                      t -> (t[1]-t[2])*(t[1]-t[2]))) AS BIGINT) AS d
+  FROM m CROSS JOIN cent),
+rnk AS (
+  SELECT vec_id, mv, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS r
+  FROM dists),
+assigned AS (SELECT vec_id AS neighbor_id, mv AS c_vec, cell FROM rnk WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, mv AS q_vec, cell
+           FROM rnk WHERE r <= 4 AND vec_id < 5),
+pairs AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_sum(list_transform(list_zip(q_vec, c_vec), t -> t[1]*t[2])) AS BIGINT) AS score
+  FROM assigned JOIN probes USING (cell)
+  WHERE query_id <> neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+  FROM pairs)
+SELECT query_id, neighbor_id, score, rn FROM ranked WHERE rn <= 10 ORDER BY query_id, rn
+"""
+
+
+@register("l3c2_ivf_checked", oracle=_l3c2_oracle(), tags=("llm", "similarity"))
+def l3c2_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3c2: the IVF top-k pipeline, differentially verified END-TO-END
+    — the same ivf_top_k operator as l3c (cell assignment, probe
+    expansion, cell-pruned broadcast join, ranked merge) with the
+    quantizer swapped from fitted k-means centroids to seeded integer
+    micro-unit centroids both engines interpolate identically, and all
+    arithmetic exact-integer. l3c keeps k-means in production; this
+    entry proves the MECHANISM hash-matches a from-scratch DuckDB
+    replica."""
+    from jobhouse_spark.operators.ann import ivf_fixed_centroids, ivf_top_k  # noqa: PLC0415
+
+    emb = Tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 5)
+    cents = ivf_fixed_centroids(42, 8, 64)
+    return ivf_top_k(
+        probes, emb, cents, k=10, n_probe=4, exact_micro=True
+    ).orderBy("query_id", "rn")
+
+
 @register(
     "l4_text_stats",
     oracle=(

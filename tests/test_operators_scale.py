@@ -54,6 +54,26 @@ def test_salted_group_count_map_column_schema(spark, sf_dir):
     assert salted == plain
 
 
+def test_row_salt_all_map_columns_raises_clearly(spark):
+    """A frame with ONLY unhashable (map) columns and partition-id
+    mixing off has no salt inputs at all — that must be a clear
+    ValueError, not xxhash64's opaque zero-arg analysis failure."""
+    import pytest
+
+    from jobhouse_spark.operators.skew import _row_salt
+
+    all_maps = spark.range(3).select(
+        F.create_map(F.lit("k"), F.col("id").cast("string")).alias("m")
+    )
+    with pytest.raises(ValueError, match="no hashable columns"):
+        _row_salt(all_maps, 16, None)
+    # partition-id mixing restores a hash input, so this path still works
+    salted = all_maps.withColumn(
+        "__salt", _row_salt(all_maps, 16, None, spread_identical_rows=True)
+    )
+    assert salted.count() == 3
+
+
 def test_salted_count_duplicate_rows_spread(spark):
     """With spread_identical_rows=True, literally-identical hot rows land
     on >1 salt (the partition-id hash input spreads them); counts stay
@@ -480,19 +500,38 @@ def test_parse_byte_size():
     assert _parse_byte_size("512k") == 512 * 1024
 
 
-def test_lsh_auto_broadcast_public_fallback(spark, sf_dir, monkeypatch):
-    """The 'auto' probe-broadcast gate must survive the private
-    _jdf.queryExecution API disappearing (Spark upgrade): the public
-    count-based fallback picks a strategy and results stay correct."""
+def test_lsh_auto_broadcast_public_gate(spark, sf_dir):
+    """The 'auto' probe-broadcast gate is public-API only (bounded
+    count — no _jdf/Catalyst internals): a tiny probe set broadcasts,
+    autoBroadcastJoinThreshold=-1 means NEVER broadcast (not
+    'broadcast empty'), and both forced strategies return identical
+    answers, so the gate can only affect the plan."""
+    import inspect
+
     from jobhouse_spark.operators import similarity
+
+    # the gate must never regress onto the private API (docstrings may
+    # mention the name; an attribute access "._jdf" is the regression)
+    assert "._jdf" not in inspect.getsource(similarity)
 
     emb = Tables(spark, sf_dir).embeddings
     probes = emb.filter(F.col("vec_id") < 3)
-    baseline = similarity.lsh_top_k(probes, emb, k=5).collect()
+    assert similarity._should_broadcast_probes(probes, "embedding", 3) is True
 
-    def boom(df):
-        raise AttributeError("simulated private-API removal")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert (
+            similarity._should_broadcast_probes(probes, "embedding", 3) is False
+        )
+        # even an EMPTY probe set must not broadcast under -1
+        empty = probes.filter(F.lit(False))
+        assert (
+            similarity._should_broadcast_probes(empty, "embedding", 3) is False
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
-    monkeypatch.setattr(similarity, "_optimizer_size_estimate", boom)
-    fallback = similarity.lsh_top_k(probes, emb, k=5).collect()
-    assert sorted(map(tuple, fallback)) == sorted(map(tuple, baseline))
+    forced = similarity.lsh_top_k(probes, emb, k=5, broadcast_queries=True).collect()
+    shuffled = similarity.lsh_top_k(probes, emb, k=5, broadcast_queries=False).collect()
+    assert sorted(map(tuple, forced)) == sorted(map(tuple, shuffled))

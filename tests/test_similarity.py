@@ -162,3 +162,34 @@ def test_minhash_releases_cache(spark):
     for _ in range(2):
         minhash_near_duplicates(docs, jaccard_threshold=0.5, num_hash_tables=3).count()
     assert jvm_catalog.isEmpty(), "minhash leaked a persisted relation"
+
+
+def test_minhash_materialize_modes_agree(spark):
+    """The three featured-relation lifecycles (eager checkpoint /
+    caller-owned persist / pure-lazy recompute) are plumbing, not
+    semantics: identical pair sets. 'persist' hands the cache back via
+    jh_cached_inputs (caller releases — no catalog leak afterward);
+    'lazy' leaves no session state at all."""
+    spark.catalog.clearCache()
+    jvm_catalog = spark._jsparkSession.sharedState().cacheManager()
+    rows = [(i, f"document number {i % 20} with several shared words body") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def run(**kw):
+        df = minhash_near_duplicates(docs, jaccard_threshold=0.5, num_hash_tables=3, **kw)
+        got = sorted(map(tuple, df.collect()))
+        return df, got
+
+    _, ckpt = run(materialize="checkpoint")
+    lazy_df, lazy = run(materialize="lazy")
+    assert not hasattr(lazy_df, "jh_cached_inputs")
+    pers_df, pers = run(materialize="persist")
+    for cached in pers_df.jh_cached_inputs:
+        cached.unpersist()
+    assert ckpt == lazy == pers
+    assert jvm_catalog.isEmpty(), "persist handle release left a cached relation"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="materialize"):
+        minhash_near_duplicates(docs, materialize="bogus")
