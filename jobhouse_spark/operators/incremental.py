@@ -1,0 +1,104 @@
+"""Incremental CDC merge into a day-partitioned silver table (A16 at
+scale; reference change-detection intent: docs/Pipeline
+Architecture.mermaid:17-22, change status per key).
+
+`a16_change_detection` computes the diff; this operator APPLIES it the
+way a 100 TB silver layer must: touch only the day partitions the
+change feed covers. The full-outer rebuild (read all of silver, join,
+rewrite all of it) is correct but reads and rewrites the entire table
+for a 1-day batch — at 100 TB that is the difference between merging
+1/365th of the lake and rewriting all of it.
+
+Mechanics (no Delta/Iceberg in this container — plain parquet + Spark's
+dynamic partition overwrite gives the same partition-level atomicity):
+
+1. Changed-day set = distinct ``day_col`` values in the upsert feed and
+   the delete markers (both carry the partition key — CDC feeds carry
+   full row images). Small by construction: one driver-side collect of
+   a distinct over the batch, never over silver.
+2. Read ONLY those partitions of silver (``day IN (...)`` on the
+   partition column → directory-level pruning; no data read from
+   untouched days — asserted in tests/test_incremental.py by file
+   mtimes).
+3. Merge: old rows lose to upserted keys, deleted keys drop entirely
+   (delete wins over a same-key upsert), upserts minus deletes append.
+4. Write back with ``partitionOverwriteMode=dynamic``: only partitions
+   present in the merged output are replaced; every other day's files
+   are untouched.
+
+The merge is IDEMPOTENT: re-applying the same batch yields the same end
+state (upserts replace by key, deletes of absent keys are no-ops), so
+task retries or a re-run after a mid-job failure converge.
+
+Assumption (documented contract): a key's ``day_col`` value is stable
+across versions. A row whose partition value changes must arrive as a
+delete (old day) + insert (new day) pair, as in any partitioned MERGE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def incremental_merge(
+    spark: SparkSession,
+    silver_root: str,
+    upserts: DataFrame,
+    deletes: DataFrame,
+    key_col: str = "event_id",
+    day_col: str = "day",
+) -> list[str]:
+    """Apply an upsert feed + delete markers to a day-partitioned
+    parquet silver table, rewriting ONLY the changed day partitions.
+
+    ``deletes`` needs (key_col, day_col); ``upserts`` carries full rows.
+    Returns the sorted list of day partition values that were merged.
+    """
+    changed_days = sorted(
+        str(r[0])
+        for r in upserts.select(day_col)
+        .union(deletes.select(day_col))
+        .distinct()
+        .collect()
+    )
+    if not changed_days:
+        return []
+
+    old_slice = spark.read.parquet(silver_root).filter(
+        F.col(day_col).isin(changed_days)
+    )
+    del_keys = deletes.select(key_col)
+    up_keys = upserts.select(key_col)
+    surviving_old = old_slice.join(up_keys, key_col, "left_anti").join(
+        del_keys, key_col, "left_anti"
+    )
+    new_rows = upserts.join(del_keys, key_col, "left_anti")
+    merged = surviving_old.unionByName(new_rows.select(*surviving_old.columns))
+
+    # Materialize BEFORE the write: the merged plan reads the same
+    # partition directories the write is about to replace, and Spark
+    # (rightly) refuses to overwrite a path it is still reading from.
+    # The checkpoint is the merge's write barrier — exactly what a
+    # MERGE INTO implementation does internally (read side materialized,
+    # then commit). Reliable checkpoint when a checkpoint dir is set;
+    # localCheckpoint otherwise (executor-loss window is the duration
+    # of this function, not the lifetime of a returned frame).
+    sc = spark.sparkContext
+    merged = (
+        merged.checkpoint(eager=True)
+        if sc.getCheckpointDir() is not None
+        else merged.localCheckpoint(eager=True)
+    )
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(day_col)
+            .parquet(silver_root)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return changed_days

@@ -187,3 +187,96 @@ def a16_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("status")
     )
+
+
+# md5-derived 32-bit int of a row's content — the cross-engine row hash
+# (Spark: conv(hex, 16, 10); DuckDB: positional hex-digit expansion, the
+# l2c-verified equivalent)
+_ROW_H_SQL = (
+    "CAST(list_sum(list_transform(range(1, 9), j -> "
+    "(strpos('0123456789abcdef', substr(md5(concat_ws('|', event_id, "
+    "event_type, user_id)), j, 1)) - 1) * 16.0 ** (8 - j))) AS BIGINT)"
+)
+
+
+@register(
+    "a16b_incremental_merge",
+    oracle=f"""
+WITH old AS (
+  SELECT event_id, CAST(ts AS DATE) AS day, event_type, user_id
+  FROM events WHERE event_id < 6000),
+ups AS (
+  SELECT event_id, CAST(ts AS DATE) AS day,
+         CASE WHEN event_id % 10 = 0 THEN 'mutated' ELSE event_type END AS event_type,
+         user_id
+  FROM events
+  WHERE event_id < 8000
+    AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'),
+del AS (
+  SELECT event_id FROM old
+  WHERE day BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+    AND event_id % 17 = 0),
+merged AS (
+  SELECT * FROM old
+  WHERE day NOT BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+  UNION ALL
+  SELECT o.* FROM old o
+  WHERE o.day BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+    AND o.event_id NOT IN (SELECT event_id FROM ups)
+    AND o.event_id NOT IN (SELECT event_id FROM del)
+  UNION ALL
+  SELECT u.* FROM ups u WHERE u.event_id NOT IN (SELECT event_id FROM del))
+SELECT CAST(day AS VARCHAR) AS day, COUNT(*) AS n,
+       CAST(SUM({_ROW_H_SQL}) AS BIGINT) AS sum_h
+FROM merged GROUP BY 1 ORDER BY 1
+""",
+    tags=("ingestion", "cdc"),
+)
+def a16b_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16b: the CDC diff APPLIED incrementally — partition-pruned
+    upsert/delete merge of a 5-day change batch into a day-partitioned
+    silver table (operators/incremental.py), verified against the
+    full-rebuild end state computed by the oracle. Only the 5 changed
+    day partitions are read and rewritten (dynamic partition
+    overwrite); the other 25 days' files are untouched — asserted by
+    mtime in tests/test_incremental.py. This is the 100 TB answer to
+    A16's full-outer rebuild."""
+    from jobhouse_spark.operators.incremental import incremental_merge  # noqa: PLC0415
+
+    e = Tables(spark, sf_dir).events
+    base = e.select(
+        "event_id", F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+    old = base.filter(F.col("event_id") < 6000)
+    win = F.col("day").between(F.lit("2024-01-05"), F.lit("2024-01-09"))
+    ups = (
+        base.filter(win & (F.col("event_id") < 8000))
+        .withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 10 == 0, "mutated").otherwise(
+                F.col("event_type")
+            ),
+        )
+    )
+    dels = old.filter(win & (F.col("event_id") % 17 == 0)).select("event_id", "day")
+
+    root = _session_bronze_root("a16b_silver", sf_dir, lambda r: None)
+    # deterministic per call: reset silver to the pre-merge snapshot,
+    # then apply the batch (the merge itself is idempotent; the reset
+    # makes repeated driver/bench invocations exact re-runs)
+    old.write.mode("overwrite").partitionBy("day").parquet(root)
+    incremental_merge(spark, root, ups, dels, key_col="event_id", day_col="day")
+
+    merged = spark.read.parquet(root)
+    row_h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", "event_id", "event_type", "user_id")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        merged.groupBy(F.col("day").cast("string").alias("day"))
+        .agg(F.count("*").alias("n"), F.sum(row_h).cast("long").alias("sum_h"))
+        .orderBy("day")
+    )
