@@ -52,17 +52,18 @@ _HEAD = (
     "w5_latest_per_key",
     # O — ordering
     "o1_global_sort",
-    # U — set ops (u2_intersect verified in driver_sim/tests; slot goes
-    # to the S-family quarantine scan)
+    # U — set ops (u2_intersect/u3_except verified in driver_sim/tests;
+    # slots go to the S-family quarantine scan + incremental CDC merge)
     "u1_union",
-    "u3_except",
+    "a16b_incremental_merge",
     "s14_corrupt_quarantine",
-    # F — scalar function surface (f4_array/f5_map verified in
-    # driver_sim/tests; slots go to the gold mart + cleaning families)
+    # F — scalar function surface (f4_array/f5_map/f6_json/f8_cast
+    # verified in driver_sim/tests; slots go to the round-6 checked
+    # ANN pipelines)
     "f1_string",
     "f2_datetime",
-    "f6_json",
-    "f8_cast",
+    "l3b2_lsh_checked",
+    "l3c2_ivf_checked",
     # L-cleaning — PII redaction representative
     "l18_pii_redaction",
     # T — structured streaming (batch-equivalent oracles)

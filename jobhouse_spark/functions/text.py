@@ -95,20 +95,31 @@ def quality_score(text: Column, n_chars: Column) -> Column:
     ) / F.lit(3.0)
 
 
-def simhash16(text: Column) -> Column:
+def simhash16(text: Column, token_hash: str = "xxhash64") -> Column:
     """16-bit SimHash document fingerprint from whitespace tokens.
 
-    Per token, 16 hash bits come from xxhash64(token); each bit votes
+    Per token, 16 hash bits come from hashing the token; each bit votes
     ±1; the sign of each bit-position sum forms the fingerprint. Near-
     duplicate docs differ in few bits (compared via bit_count(xor)).
     Pure column expressions — no UDF.
+
+    ``token_hash``: "xxhash64" (default — fastest JVM hash, not
+    reproducible outside Spark) or "md5" (first 8 hex chars as an int —
+    bit-identical in any engine with md5; the differential-oracle knob,
+    see l4b2_simhash_checked — the l2c feature-hash pattern).
     """
     toks = tokens(F.lower(text))
+    if token_hash == "md5":
+        def _th(t):
+            return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    else:
+        def _th(t):
+            return F.xxhash64(t)
 
     def vote_fn(b: int):
         # two-arg lambda (F.aggregate infers arity from the signature)
         return lambda acc, t: acc + F.when(
-            F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1
+            F.shiftright(_th(t), b).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
     bit_cols = []

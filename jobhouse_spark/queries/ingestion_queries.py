@@ -199,6 +199,81 @@ _ROW_H_SQL = (
 )
 
 
+_A16C_ORACLE = f"""
+WITH old AS (
+  SELECT event_id, event_type, user_id FROM events WHERE event_id < 6000),
+new AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 0 THEN 'mutated' ELSE event_type END AS event_type,
+         user_id
+  FROM events WHERE event_id >= 2000 AND event_id < 8000),
+j AS (
+  SELECT o.event_id AS o_id, o.event_type AS o_type, o.user_id AS o_uid,
+         n.event_id AS n_id, n.event_type AS n_type, n.user_id AS n_uid,
+         (o.event_type = n.event_type AND o.user_id = n.user_id) AS same
+  FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id),
+hist AS (
+  -- old rows: kept open when unchanged, closed on change/delete
+  SELECT o_id AS event_id, o_type AS event_type, o_uid AS user_id,
+         DATE '2024-02-01' AS valid_from,
+         CASE WHEN n_id IS NOT NULL AND same THEN NULL
+              ELSE DATE '2024-02-02' END AS valid_to
+  FROM j WHERE o_id IS NOT NULL
+  UNION ALL
+  -- new versions: opened on change/insert
+  SELECT n_id, n_type, n_uid, DATE '2024-02-02', NULL
+  FROM j WHERE n_id IS NOT NULL AND (o_id IS NULL OR NOT same))
+SELECT CAST(valid_from AS VARCHAR) AS valid_from,
+       (valid_to IS NULL) AS is_current,
+       COUNT(*) AS n, CAST(SUM({_ROW_H_SQL}) AS BIGINT) AS sum_h
+FROM hist GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("a16c_scd2_history", oracle=_A16C_ORACLE, tags=("ingestion", "cdc"))
+def a16c_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16c: the CDC diff kept as TYPE-2 HISTORY — every key version
+    survives with a [valid_from, valid_to) interval
+    (operators/scd.py). Change/insert opens a version dated the batch
+    day, change/delete closes the prior one, unchanged rows pass
+    untouched. Verified against a from-scratch SQL derivation of the
+    same versioning rules."""
+    from jobhouse_spark.operators.scd import scd2_apply, scd2_open  # noqa: PLC0415
+
+    e = Tables(spark, sf_dir).events
+    old = e.filter(F.col("event_id") < 6000).select("event_id", "event_type", "user_id")
+    batch = e.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 8000)).select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, "mutated")
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        "user_id",
+    )
+    hist = scd2_apply(
+        scd2_open(old, "2024-02-01"),
+        batch,
+        "event_id",
+        ["event_type", "user_id"],
+        "2024-02-02",
+    )
+    row_h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", "event_id", "event_type", "user_id")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        hist.groupBy(
+            F.col("valid_from").cast("string").alias("valid_from"),
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .agg(F.count("*").alias("n"), F.sum(row_h).cast("long").alias("sum_h"))
+        .orderBy("valid_from", "is_current")
+    )
+
+
+
 @register(
     "a16b_incremental_merge",
     oracle=f"""

@@ -362,6 +362,47 @@ def l4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _l4b2_oracle() -> str:
+    """DuckDB replica of simhash16 on the md5 token-hash path: same
+    lowercase whitespace tokenizer, same hex->int token hash, same
+    per-bit ±1 vote and sign rule, same bit packing."""
+    hexint = (
+        "CAST(list_sum(list_transform(range(1, 9), j -> "
+        "(strpos('0123456789abcdef', substr(md5(t), j, 1)) - 1) * 16.0 ** (8 - j))) AS BIGINT)"
+    )
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return rf"""
+WITH toked AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(lower(text), '\s+'), t -> {hexint}) AS hs
+  FROM documents WHERE doc_id < 100)
+SELECT doc_id, CAST({bits} AS BIGINT) AS fingerprint FROM toked ORDER BY doc_id
+"""
+
+
+@register("l4b2_simhash_checked", oracle=_l4b2_oracle(), tags=("llm", "text"))
+def l4b2_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4b2: the SimHash fingerprint, differentially verified — the same
+    simhash16 expression pipeline as l4b with the token hash swapped
+    from xxhash64 to the md5-derived int both engines compute
+    bit-identically (the l2c pattern). Proves the tokenizer, per-bit
+    voting, sign rule, and bit packing end-to-end against a
+    from-scratch DuckDB replica."""
+    d = Tables(spark, sf_dir).documents
+    return (
+        d.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            simhash16(F.col("text"), token_hash="md5").cast("long").alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register("l4b_simhash_fingerprint", oracle=None, tags=("llm", "text"))
 def l4b_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4b: 16-bit SimHash fingerprint per document (deterministic but
@@ -435,10 +476,40 @@ def l6_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l6b_quality_scores", oracle=None, tags=("llm", "text"))
+def _l6b_oracle() -> str:
+    """DuckDB replica of quality_score/stopword_ratio. Every term is
+    int-over-int double division (IEEE-identical in any engine) and the
+    stopword list interpolates from the SAME STOPWORDS constant, so the
+    heuristic is hash-checkable with no rounding discipline needed."""
+    from jobhouse_spark.functions.text import STOPWORDS  # noqa: PLC0415
+
+    stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return rf"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         string_split_regex(lower(text), '\s+') AS toks,
+         length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+         length(text) AS n_len
+  FROM documents WHERE doc_id < 100),
+r AS (
+  SELECT doc_id,
+         CAST(n_chars BETWEEN 100 AND 20000 AS INT) AS len_ok,
+         CAST(n_punct / n_len < 0.3 AS INT) AS punct_ok,
+         len(list_filter(toks, t -> t IN ({stop_in}))) / greatest(len(toks), 1) AS stop_ratio
+  FROM s)
+SELECT doc_id,
+       (len_ok + punct_ok + CAST(stop_ratio BETWEEN 0.0 AND 0.6 AS INT)) / 3.0 AS quality,
+       stop_ratio
+FROM r ORDER BY doc_id
+"""
+
+
+@register("l6b_quality_scores", oracle=_l6b_oracle(), tags=("llm", "text"))
 def l6b_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L6b: composite quality score + stopword ratio per doc (heuristic
-    composition; components unit-tested, registered rows-only)."""
+    """L6b: composite quality score + stopword ratio per doc
+    (C4/Gopher-style heuristic composition; components unit-tested AND
+    the full per-doc output hash-checked against a DuckDB replica —
+    every term is int/int double division, IEEE-identical cross-engine)."""
     from jobhouse_spark.functions.text import quality_score  # noqa: PLC0415
 
     d = Tables(spark, sf_dir).documents

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jobhouse_spark.operators.dedup import exact_dedup_by_content
 from jobhouse_spark.queries.registry import fin, register
 from jobhouse_spark.tables import Tables
 
@@ -305,10 +306,11 @@ def l21_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _l2c_oracle() -> str:
-    """DuckDB replica of the ENTIRE minhash pipeline with md5 features:
-    same trim/lower/split tokenizer, same 3-gram shingles, same
-    hex->int feature hash, the same seeded universal-hash coefficients
+def _minhash_oracle(source: str) -> str:
+    """DuckDB replica of the ENTIRE minhash pipeline with md5 features
+    over ``source`` (a subquery yielding (doc_id, text)): same
+    trim/lower/split tokenizer, same 3-gram shingles, same hex->int
+    feature hash, the same seeded universal-hash coefficients
     (minhash_coefficients — interpolated as literals), the same
     per-(band, signature) membership cap, and the same exact-Jaccard
     rescore. Any drift anywhere in the lattice flips the hash."""
@@ -325,7 +327,7 @@ def _l2c_oracle() -> str:
 WITH toked AS (
   SELECT doc_id AS doc,
          string_split_regex(trim(lower(text)), '\s+') AS toks
-  FROM documents WHERE doc_id < 400),
+  FROM ({source})),
 sh AS (
   SELECT doc, list_distinct(list_transform(range(1, len(toks) - 1),
            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
@@ -362,7 +364,11 @@ FROM scored WHERE sim >= 0.4 ORDER BY doc_a, doc_b
 """
 
 
-@register("l2c_minhash_checked", oracle=_l2c_oracle(), tags=("llm", "similarity", "dedup"))
+@register(
+    "l2c_minhash_checked",
+    oracle=_minhash_oracle("SELECT doc_id, text FROM documents WHERE doc_id < 400"),
+    tags=("llm", "similarity", "dedup"),
+)
 def l2c_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2c: the MinHash-LSH near-dup pipeline, differentially verified
     END-TO-END — the same operator as l2 (shingle -> minhash band ->
@@ -377,4 +383,37 @@ def l2c_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents.filter(F.col("doc_id") < 400)
     return minhash_near_duplicates(
         docs, jaccard_threshold=0.4, feature_hash="md5"
+    ).orderBy("doc_a", "doc_b")
+
+
+_L2D_SURVIVORS_SQL = """
+SELECT doc_id, text FROM (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id < 400)
+WHERE rn = 1
+"""
+
+
+@register(
+    "l2d_dedup_then_minhash",
+    oracle=_minhash_oracle(_L2D_SURVIVORS_SQL),
+    tags=("llm", "similarity", "dedup"),
+)
+def l2d_dedup_then_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2d: the PRODUCTION dedup composition — L1 exact dedup first
+    (content-hash survivor election, one fixed-width-key shuffle), then
+    MinHash-LSH near-dup over the survivors only. This is the shape
+    SCALE.md prescribes for replicated corpora: exact copies collapse
+    in the cheap hash pass, so band buckets hold only genuinely-near
+    documents and the pair output stops growing quadratically with the
+    replication factor (measured at 10x in SCALE.md). Differentially
+    verified end-to-end with the md5 feature hash, composing the l1 and
+    l2c oracles."""
+    from jobhouse_spark.operators.similarity import minhash_near_duplicates  # noqa: PLC0415
+
+    docs = Tables(spark, sf_dir).documents.filter(F.col("doc_id") < 400)
+    survivors = exact_dedup_by_content(docs, "text", "doc_id").select("doc_id", "text")
+    return minhash_near_duplicates(
+        survivors, jaccard_threshold=0.4, feature_hash="md5"
     ).orderBy("doc_a", "doc_b")

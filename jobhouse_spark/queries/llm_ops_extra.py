@@ -132,11 +132,47 @@ def t7_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l8_language_id", oracle=None, tags=("llm", "text"))
+def _l8_oracle() -> str:
+    """DuckDB replica of detect_language — the marker sets interpolate
+    from the SAME LANG_MARKERS constant, the tie rule (first language in
+    declaration order reaching the max) becomes CASE order, zero hits →
+    'unknown', CJK codepoints win outright. detect_language is pure
+    deterministic expression logic (no engine-private hash), so the
+    PRODUCTION path itself is hash-checked — no checked-variant split
+    needed."""
+    from jobhouse_spark.functions.text import LANG_MARKERS  # noqa: PLC0415
+
+    score_cols = ", ".join(
+        "len(list_filter(toks, t -> t IN ("
+        + ", ".join(f"'{m}'" for m in ms)
+        + f"))) AS s_{lang}"
+        for lang, ms in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    whens = " ".join(f"WHEN s_{lang} = {g} THEN '{lang}'" for lang in langs)
+    return rf"""
+WITH toked AS (
+  SELECT string_split_regex(lower(text), '\s+') AS toks,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 AS has_cjk
+  FROM documents),
+scored AS (SELECT has_cjk, {score_cols} FROM toked)
+SELECT detected, COUNT(*) AS n FROM (
+  SELECT CASE WHEN has_cjk THEN 'zh'
+              WHEN {g} = 0 THEN 'unknown'
+              {whens} END AS detected
+  FROM scored)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("l8_language_id", oracle=_l8_oracle(), tags=("llm", "text"))
 def l8_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L8: heuristic language-ID over document text (marker-word scoring,
     CJK codepoint detection — functions/text.detect_language; exactness
-    on labeled samples asserted in tests/test_similarity.py)."""
+    on labeled samples asserted in tests/test_similarity.py, and the
+    full corpus distribution hash-checked against a DuckDB replica of
+    the heuristic)."""
     from jobhouse_spark.functions.text import detect_language  # noqa: PLC0415
 
     d = Tables(spark, sf_dir).documents

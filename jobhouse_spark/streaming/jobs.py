@@ -165,6 +165,42 @@ def write_stream_bronze(events: DataFrame, root: str) -> None:
     q.awaitTermination()
 
 
+def write_stream_bronze_exactly_once(events: DataFrame, root: str, on_epoch=None) -> None:
+    """T9b: idempotent epoch-keyed bronze sink — exactly-once under
+    crash/restart.
+
+    foreachBatch gives at-least-once by itself: if the job dies AFTER
+    the sink wrote but BEFORE the offset commit, recovery re-runs the
+    same epoch, and a blind ``mode("append")`` sink (write_stream_bronze)
+    would duplicate it. Writing each epoch to its own ``epoch=<id>``
+    directory with ``mode("overwrite")`` makes the retry idempotent: the
+    re-executed epoch REPLACES whatever the failed attempt left behind —
+    epoch_id is stable across retries (it comes from the checkpoint's
+    offset log), which is exactly the idempotent-by-batch-id contract
+    Structured Streaming documents for foreachBatch sinks.
+
+    Data lands under ``root/data`` (epoch as a partition column), the
+    checkpoint under ``root/_checkpoint``. ``on_epoch(epoch_id)`` is a
+    post-write / pre-commit seam used by the crash-recovery test to
+    inject a failure at the worst possible moment.
+    """
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(root, "data", f"epoch={epoch_id}")
+        )
+        if on_epoch is not None:
+            on_epoch(epoch_id)
+
+    q = (
+        events.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(root, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -85,6 +85,51 @@ def test_incremental_merge_equals_rebuild_and_prunes_writes(spark, sf_dir, tmp_p
     assert got2 == expected
 
 
+def _hist_rows(df):
+    return sorted(
+        ((r.k, r.v, str(r.valid_from), str(r.valid_to)) for r in df.collect()),
+        key=repr,
+    )
+
+
+def test_scd2_versioning_semantics(spark):
+    """Change closes + opens, insert opens, delete closes (full-snapshot
+    mode), unchanged passes through; NULL→value transitions version
+    (null-safe compare); re-applying the same batch is a no-op."""
+    from jobhouse_spark.operators.scd import scd2_apply, scd2_open
+
+    snap1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k int, v string"
+    )
+    hist = scd2_open(snap1, "2024-01-01")
+    # k=1 unchanged; k=2 changed; k=3 NULL->value; k=4 inserted; nothing for k=2's old
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (4, "d")], "k int, v string"
+    )
+    h2 = scd2_apply(hist, batch, "k", ["v"], "2024-02-01")
+    assert _hist_rows(h2) == sorted(
+        [
+            (1, "a", "2024-01-01", "None"),
+            (2, "b", "2024-01-01", "2024-02-01"),
+            (2, "B", "2024-02-01", "None"),
+            (3, None, "2024-01-01", "2024-02-01"),
+            (3, "c", "2024-02-01", "None"),
+            (4, "d", "2024-02-01", "None"),
+        ],
+        key=repr,
+    )
+    # idempotent re-apply
+    h3 = scd2_apply(h2, batch, "k", ["v"], "2024-02-01")
+    assert _hist_rows(h3) == _hist_rows(h2)
+
+    # full-snapshot delete: k=4 missing -> closes; incremental feed: stays open
+    batch2 = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "k int, v string")
+    h4 = scd2_apply(h2, batch2, "k", ["v"], "2024-03-01")
+    assert (4, "d", "2024-02-01", "2024-03-01") in _hist_rows(h4)
+    h5 = scd2_apply(h2, batch2, "k", ["v"], "2024-03-01", treat_missing_as_delete=False)
+    assert (4, "d", "2024-02-01", "None") in _hist_rows(h5)
+
+
 def test_incremental_merge_empty_batch_is_noop(spark, sf_dir, tmp_path):
     root = str(tmp_path / "silver")
     e = Tables(spark, sf_dir).events

@@ -54,6 +54,45 @@ def test_salted_group_count_map_column_schema(spark, sf_dir):
     assert salted == plain
 
 
+def test_salted_join_bounds_hot_key_reducer(spark):
+    """The scale property salting buys: a key holding ~30% of the fact
+    table lands on ONE reducer unsalted, but spreads over (nearly) all
+    n_salts salt values with a content-derived salt, so no single
+    (key, salt) group exceeds ~2x the ideal hot_n/n_salts share. This
+    is the deterministic core of the wall-clock effect measured in
+    tools/skew_bench.py / SCALE.md."""
+    from jobhouse_spark.operators.skew import _row_salt
+
+    n, n_salts = 20_000, 16
+    hot_key = 999_999_999  # outside range(n), so hot rows are exactly 30%
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 10 < 3, hot_key).otherwise(F.col("id")).alias("user_id"),
+        F.col("id").alias("event_id"),
+    )
+    hot_n = fact.filter(F.col("user_id") == hot_key).count()
+    assert hot_n == n * 3 // 10
+
+    salted = fact.withColumn("__salt", _row_salt(fact, n_salts, None))
+    hot = (
+        salted.filter(F.col("user_id") == hot_key)
+        .groupBy("__salt")
+        .count()
+        .collect()
+    )
+    assert len(hot) >= n_salts - 2, f"hot key only spread over {len(hot)} salts"
+    assert max(r["count"] for r in hot) <= 2 * hot_n / n_salts
+
+    # and the salted join still equals the plain join on skewed data
+    dim = fact.select("user_id").distinct().withColumn(
+        "seg", F.pmod("user_id", F.lit(13))
+    )
+    plain = fact.join(dim, "user_id")
+    salted_j = salted_join(fact, dim, "user_id", n_salts=n_salts)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted_j.select(plain.columns).collect())
+    )
+
+
 def test_row_salt_all_map_columns_raises_clearly(spark):
     """A frame with ONLY unhashable (map) columns and partition-id
     mixing off has no salt inputs at all — that must be a clear

@@ -16,6 +16,7 @@ from jobhouse_spark.streaming.jobs import (
     run_to_memory,
     stream_events,
     write_stream_bronze,
+    write_stream_bronze_exactly_once,
 )
 
 EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
@@ -138,6 +139,59 @@ def test_t9_foreachbatch_bronze_sink(spark, sf_dir):
     assert back.count() == Tables(spark, sf_dir).events.count()
     # partition dirs exist (year=2024/month=01/...)
     assert any(p.startswith("year=") for p in os.listdir(root)), os.listdir(root)
+
+
+def test_t9b_crash_recovery_exactly_once(spark, tmp_path):
+    """Kill the query at the WORST moment — epoch output written, offset
+    not yet committed — restart from the checkpoint, and assert the
+    recovered output is exactly-once (no loss, no duplicates).
+
+    This is the failure window where a blind-append sink duplicates
+    rows: recovery re-runs the uncommitted epoch. The epoch-keyed
+    overwrite sink replaces the orphaned output instead."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows1 = [(i, datetime(2024, 1, 1, 0, i % 60), i % 7, float(i)) for i in range(100)]
+    _write_batch(spark, src, rows1, "b1.parquet")
+
+    root = str(tmp_path / "sink")
+    seen: list[int] = []
+    marker = tmp_path / "crash_already_injected"
+
+    def crash_once(epoch_id: int) -> None:
+        seen.append(epoch_id)
+        if not marker.exists():
+            marker.touch()
+            raise RuntimeError("injected crash after write, before offset commit")
+
+    def stream():
+        return spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        write_stream_bronze_exactly_once(stream(), root, on_epoch=crash_once)
+    # restart with the SAME checkpoint: the uncommitted epoch re-runs
+    # under the SAME epoch id and its overwrite replaces the orphan
+    write_stream_bronze_exactly_once(stream(), root, on_epoch=crash_once)
+    assert len(seen) == 2 and seen[0] == seen[1], seen
+
+    got = sorted(
+        (r.event_id, r.user_id, r.value)
+        for r in spark.read.parquet(os.path.join(root, "data")).collect()
+    )
+    assert got == sorted((r[0], r[2], r[3]) for r in rows1)
+
+    # a second batch after recovery lands its own epoch, still exactly-once
+    rows2 = [(1000 + i, datetime(2024, 1, 1, 2, i % 60), i % 7, float(i)) for i in range(50)]
+    _write_batch(spark, src, rows2, "b2.parquet")
+    write_stream_bronze_exactly_once(stream(), root, on_epoch=crash_once)
+    got2 = sorted(
+        (r.event_id, r.user_id, r.value)
+        for r in spark.read.parquet(os.path.join(root, "data")).collect()
+    )
+    assert got2 == sorted((r[0], r[2], r[3]) for r in rows1 + rows2)
 
 
 def test_t10_trigger_available_now(spark, sf_dir):
