@@ -80,10 +80,15 @@ def l12_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     document (the Gopher/RefinedWeb "repetition fraction" filter). The
     ratio divides two exact integers in IEEE double, then rounds through
     decimal, so both engines emit identical bits. Narrow per-row work;
-    no shuffle beyond the final sort."""
+    no shuffle beyond the final sort. The early repartition spreads the
+    CPU-heavy tri-gram build across cores when the corpus arrives in
+    fewer splits than cores (the l13 single-file trap — measured
+    minutes single-threaded at 10x without it)."""
     d = Tables(spark, sf_dir).documents
     g = (
-        d.select(
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
             "doc_id",
             F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
         )
@@ -487,3 +492,134 @@ def l14_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(fin(F.sum("s"), 6).alias("bm25"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L22 — end-to-end RAG-style indexing pipeline: chunk → embed → ANN
+# ---------------------------------------------------------------------------
+
+def _l22_oracle() -> str:
+    """DuckDB replica of the WHOLE chunk→embed→IVF pipeline: l11-style
+    token-window chunking (32/stride-32), the feature-hashing embedder
+    (md5 token hash → dim = h mod 16, weight = (h>>4) mod 2001 - 1000,
+    per-dim sums), /1000 scaling + micro-unit quantization, then the
+    l3c2 exact-integer IVF machinery with seeded centroids."""
+    from jobhouse_spark.operators.ann import ivf_fixed_centroids  # noqa: PLC0415
+
+    hext = (
+        "CAST(list_sum(list_transform(range(1, 9), j -> "
+        "(strpos('0123456789abcdef', substr(md5(t), j, 1)) - 1) * 16.0 ** (8 - j))) AS BIGINT)"
+    )
+    cents = ivf_fixed_centroids(7, 8, 16, 2_000_000)
+    vals = ", ".join(f"({i}, {c}::BIGINT[])" for i, c in enumerate(cents))
+    return rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE doc_id < 200),
+s AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 32)) AS start FROM t),
+c AS (
+  SELECT CAST(doc_id * 1000 + (start - 1) / 32 AS BIGINT) AS chunk_id,
+         toks[start:start + 31] AS ctoks,
+         CAST(start AS BIGINT) AS chunk_start, doc_id
+  FROM s WHERE len(toks[start:start + 31]) >= 4),
+hs AS (SELECT chunk_id, chunk_start, doc_id,
+              list_transform(ctoks, t -> {hext}) AS hs FROM c),
+emb AS (
+  SELECT chunk_id, chunk_start, doc_id,
+         list_transform(range(0, 16), d ->
+           CAST(list_sum(list_transform(hs, h ->
+             CASE WHEN h % 16 = d THEN (h >> 4) % 2001 - 1000 ELSE 0 END)) AS BIGINT)) AS e
+  FROM hs),
+m AS (
+  SELECT chunk_id, chunk_start, doc_id,
+         list_transform(e, v -> CAST(CAST(CAST(CAST(v AS DOUBLE) / 1000.0 AS DOUBLE)
+                        AS DECIMAL(12,6)) * 1000000 AS BIGINT)) AS mv
+  FROM emb),
+cent(cell, cv) AS (VALUES {vals}),
+dists AS (
+  SELECT chunk_id, chunk_start, doc_id, mv, cell,
+         CAST(list_sum(list_transform(list_zip(mv, cv),
+                                      z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS d
+  FROM m CROSS JOIN cent),
+rnk AS (
+  SELECT chunk_id, chunk_start, doc_id, mv, cell,
+         row_number() OVER (PARTITION BY chunk_id ORDER BY d, cell) AS r
+  FROM dists),
+assigned AS (SELECT chunk_id AS neighbor_id, mv AS c_vec, cell FROM rnk WHERE r = 1),
+probes AS (SELECT chunk_id AS query_id, mv AS q_vec, cell
+           FROM rnk WHERE r <= 3 AND chunk_start = 1 AND doc_id < 3),
+pairs AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_sum(list_transform(list_zip(q_vec, c_vec), z -> z[1]*z[2])) AS BIGINT) AS score
+  FROM assigned JOIN probes USING (cell)
+  WHERE query_id <> neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+  FROM pairs)
+SELECT query_id, neighbor_id, score, rn FROM ranked WHERE rn <= 5 ORDER BY query_id, rn
+"""
+
+
+@register("l22_chunk_embed_ann", oracle=_l22_oracle(), tags=("llm", "similarity", "chunking"))
+def l22_chunk_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L22: the RAG indexing pipeline END-TO-END — token-window chunking
+    (l11's shape), an embedding per chunk, IVF cell assignment, and an
+    ANN query for 3 probe chunks — every stage hash-checked against a
+    from-scratch DuckDB replica.
+
+    The embedder is the FEATURE-HASHING stand-in for a model encoder
+    (hashing trick: md5 token hash picks a dimension and a signed
+    weight; per-dim sums pool the chunk) — deterministic and
+    cross-engine exact, same stub discipline as the multimodal decode
+    path. The Spark-side plumbing is the real thing: chunking is a
+    narrow zero-shuffle map, embeddings are JVM HOF expressions (no
+    Python), the index is the exact-integer ivf_top_k used by l3c2, and
+    the ANN probe is a cell-pruned broadcast join. Swapping the stub
+    for a real encoder UDF changes one column expression, not the
+    pipeline."""
+    from jobhouse_spark.operators.ann import ivf_fixed_centroids, ivf_top_k  # noqa: PLC0415
+
+    d = Tables(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    chunks = (
+        toks.select(
+            "doc_id", "toks",
+            F.explode(F.expr("sequence(1, size(toks), 32)")).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.col("start").cast("long").alias("chunk_start"),
+            (F.col("doc_id") * 1000 + ((F.col("start") - 1) / 32).cast("long"))
+            .cast("long").alias("chunk_id"),
+            F.expr("slice(toks, start, 32)").alias("ctoks"),
+        )
+        .filter(F.size("ctoks") >= 4)
+    )
+
+    def hext(t):
+        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+
+    hs = F.transform(F.col("ctoks"), hext)
+    e = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda dim: F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                F.pmod(h, F.lit(16)) == dim,
+                F.pmod(F.shiftright(h, 4), F.lit(2001)) - 1000,
+            ).otherwise(F.lit(0)),
+        ),
+    )
+    emb = F.transform(e, lambda v: v.cast("double") / F.lit(1000.0))
+    corpus = chunks.select("chunk_id", "chunk_start", "doc_id", emb.alias("emb"))
+    probes = corpus.filter((F.col("chunk_start") == 1) & (F.col("doc_id") < 3))
+    cents = ivf_fixed_centroids(7, 8, 16, 2_000_000)
+    return ivf_top_k(
+        probes, corpus, cents, k=5, n_probe=3,
+        id_col="chunk_id", vec_col="emb", exact_micro=True,
+    ).orderBy("query_id", "rn")

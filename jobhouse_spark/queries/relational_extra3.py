@@ -132,3 +132,88 @@ def g19_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), fin(F.sum("p")).alias("sum_price"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "g20_psi_drift",
+    oracle="""
+WITH binned AS (
+  SELECT event_type,
+         CASE WHEN event_id < 5000 THEN 'base' ELSE 'cur' END AS cohort,
+         least(greatest(CAST(floor(value / 10.0) AS INT), 0), 9) AS bin
+  FROM events),
+counts AS (
+  SELECT event_type, cohort, bin, COUNT(*) AS n
+  FROM binned GROUP BY 1, 2, 3),
+tot AS (SELECT event_type, cohort, SUM(n) AS t FROM counts GROUP BY 1, 2),
+grid AS (
+  SELECT et.event_type, b.bin FROM (SELECT DISTINCT event_type FROM binned) et
+  CROSS JOIN (SELECT unnest(range(10)) AS bin) b),
+p AS (
+  SELECT g.event_type, g.bin,
+         (COALESCE(cb.n, 0) + 1.0) / (tb.t + 10.0) AS p_base,
+         (COALESCE(cc.n, 0) + 1.0) / (tc.t + 10.0) AS p_cur
+  FROM grid g
+  LEFT JOIN counts cb ON cb.event_type = g.event_type AND cb.bin = g.bin AND cb.cohort = 'base'
+  LEFT JOIN counts cc ON cc.event_type = g.event_type AND cc.bin = g.bin AND cc.cohort = 'cur'
+  JOIN tot tb ON tb.event_type = g.event_type AND tb.cohort = 'base'
+  JOIN tot tc ON tc.event_type = g.event_type AND tc.cohort = 'cur')
+SELECT event_type,
+       CAST(CAST(SUM((p_cur - p_base) * ln(p_cur / p_base)) AS DECIMAL(18,6)) AS DOUBLE) AS psi
+FROM p GROUP BY 1 ORDER BY 1
+""",
+    tags=("aggregation", "profiling", "drift"),
+)
+def g20_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G20: population-stability-index drift between two cohorts of the
+    events stream (baseline event_id < 5000 vs current) — the
+    data-quality gate a training pipeline runs before ingesting a new
+    crawl/batch: PSI > 0.2 on a feature distribution means the new data
+    is materially different. Fixed-width bins (G19's primitive),
+    Laplace-smoothed so empty bins don't produce ln(0), one aggregate
+    per cohort plus a broadcast-sized (event_type x bin) grid join —
+    map-side combined everywhere; the corpus is scanned ONCE.
+
+    Determinism: counts are exact integers; the bin id is one double
+    division + floor (engine-identical); psi sums 10 doubles per group
+    and rounds through DECIMAL(18,6), absorbing sub-ulp ln()
+    differences between engines."""
+    e = Tables(spark, sf_dir).events
+    binned = e.select(
+        "event_type",
+        F.when(F.col("event_id") < 5000, "base").otherwise("cur").alias("cohort"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / F.lit(10.0)).cast("int"), F.lit(0)),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "cohort", "bin").agg(F.count("*").alias("n"))
+    tot = counts.groupBy("event_type", "cohort").agg(F.sum("n").alias("t"))
+    grid = (
+        binned.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bin")))
+    )
+    cb = counts.filter(F.col("cohort") == "base").select(
+        "event_type", "bin", F.col("n").alias("nb")
+    )
+    cc = counts.filter(F.col("cohort") == "cur").select(
+        "event_type", "bin", F.col("n").alias("nc")
+    )
+    tb = tot.filter(F.col("cohort") == "base").select("event_type", F.col("t").alias("tb"))
+    tc = tot.filter(F.col("cohort") == "cur").select("event_type", F.col("t").alias("tc"))
+    p = (
+        grid.join(cb, ["event_type", "bin"], "left")
+        .join(cc, ["event_type", "bin"], "left")
+        .join(tb, "event_type")
+        .join(tc, "event_type")
+        .select(
+            "event_type",
+            ((F.coalesce(F.col("nb"), F.lit(0)) + 1.0) / (F.col("tb") + 10.0)).alias("p_base"),
+            ((F.coalesce(F.col("nc"), F.lit(0)) + 1.0) / (F.col("tc") + 10.0)).alias("p_cur"),
+        )
+    )
+    from jobhouse_spark.queries.registry import fin  # noqa: PLC0415
+
+    psi = F.sum((F.col("p_cur") - F.col("p_base")) * F.log(F.col("p_cur") / F.col("p_base")))
+    return p.groupBy("event_type").agg(fin(psi, 6).alias("psi")).orderBy("event_type")

@@ -231,6 +231,21 @@ def s11_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nation_agg(back)
 
 
+@register("s16_orc_roundtrip", oracle=_NATION_AGG_ORACLE, tags=("scan", "sink"))
+def s16_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16: ORC sink + scan (Spark-native columnar alternative to
+    parquet — the other format a migrating lake commonly holds; Avro's
+    external module is absent from this container, ORC ships in-box).
+    Round-trip must reproduce the source aggregate; ORC gets the same
+    predicate-pushdown/column-pruning treatment as parquet from the
+    same v2 scan framework."""
+    n = Tables(spark, sf_dir).nation
+    out = tempfile.mkdtemp(prefix="jh_s16_")
+    n.write.mode("overwrite").format("orc").save(out)
+    back = spark.read.format("orc").load(out)
+    return _nation_agg(back)
+
+
 @register("s12_text_scan", oracle=_NATION_AGG_ORACLE, tags=("scan",))
 def s12_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12: raw line-oriented text scan + in-engine parse — the

@@ -159,6 +159,20 @@ def main() -> None:
           or "FlatMapGroupsInPandas" in p or "MapInPandasExec" in p or "mapInPandas" in p.lower(),
           "l5b: frame sampling not an Arrow-batched Python map stage")
 
+    p = plan_of(spark, "l3b2_lsh_checked")
+    check("BroadcastHashJoin" in p,
+          "l3b2: probe side not broadcast into the bucket join")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "l3b2: integer LSH hashing left the JVM")
+    check("WindowGroupLimit" in p,
+          "l3b2: per-bucket candidate cap missing rank-limit pushdown")
+
+    p = plan_of(spark, "l3c2_ivf_checked")
+    check("BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+          "l3c2: probes not broadcast into the cell-pruned join")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "l3c2: integer cell assignment left the JVM")
+
     # --- runtime check: AQE skew-join actually fires -------------------
     # SCALE.md claims skew-split handling; prove it on a 90%-hot-key join
     # with thresholds shrunk so local data volumes qualify as skewed.
