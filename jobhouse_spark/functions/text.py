@@ -73,9 +73,11 @@ def rolling_min_fingerprint(col_name: str, k: int = 8, base: int = 31) -> Column
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters that are not alphanumeric/space."""
+    """Fraction of characters that are not alphanumeric/space.
+    greatest(len, 1): an empty string scores 0 instead of raising
+    DIVIDE_BY_ZERO under ANSI mode — at corpus scale empty docs exist."""
     stripped = F.regexp_replace(text, r"[a-zA-Z0-9 ]", "")
-    return F.length(stripped) / F.length(text)
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
 
 
 def stopword_ratio(text: Column) -> Column:

@@ -181,8 +181,10 @@ def lsh_top_k(
     """
     if broadcast_queries == "auto":
         # gate on the PROBE side only (the side whose smallness is in
-        # question — never the corpus)
-        broadcast_queries = _should_broadcast_probes(queries, vec_col, num_hash_tables)
+        # question — never the corpus); the native path's table count is
+        # len(projections), not the num_hash_tables default
+        n_tables = len(projections) if projections is not None else num_hash_tables
+        broadcast_queries = _should_broadcast_probes(queries, vec_col, n_tables)
 
     if projections is not None:
         q = queries.select(

@@ -332,3 +332,95 @@ def j13_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("key_str")
     )
+
+
+@register(
+    "j14_fuzzy_join",
+    oracle=r"""
+WITH probes AS (
+  SELECT p_partkey AS probe_id,
+         concat(substr(p_name, 1, 2), 'x', substr(p_name, 4)) AS probe_name
+  FROM part WHERE p_partkey <= 20),
+cand AS (SELECT p_partkey AS cand_id, p_name AS cand_name FROM part),
+pg AS (
+  SELECT probe_id, probe_name, unnest(list_distinct(list_transform(
+           range(1, length(probe_name) - 2), i -> substr(probe_name, i, 4)))) AS gram
+  FROM probes),
+cg AS (
+  SELECT cand_id, cand_name, unnest(list_distinct(list_transform(
+           range(1, length(cand_name) - 2), i -> substr(cand_name, i, 4)))) AS gram
+  FROM cand),
+df AS (SELECT gram, COUNT(*) AS n FROM cg GROUP BY 1),
+keep AS (SELECT gram FROM df WHERE n <= 100),
+pairs AS (
+  SELECT DISTINCT probe_id, probe_name, cand_id, cand_name
+  FROM pg JOIN keep USING (gram) JOIN cg USING (gram)
+  WHERE abs(length(probe_name) - length(cand_name)) <= 2)
+SELECT probe_id, cand_id, CAST(levenshtein(probe_name, cand_name) AS BIGINT) AS dist
+FROM pairs WHERE levenshtein(probe_name, cand_name) <= 2
+ORDER BY probe_id, cand_id
+""",
+    tags=("join", "fuzzy", "llm"),
+)
+def j14_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14: fuzzy (edit-distance) join — entity resolution for dirty
+    keys, the record-linkage step of corpus curation. Probes are part
+    names with one character mutated; matches are candidates within
+    Levenshtein distance 2.
+
+    100 TB shape — never a cross product: (1) q-gram INVERTED INDEX
+    join generates candidates only for pairs sharing a 4-gram; (2)
+    STOP-GRAM pruning drops grams occurring in >100 candidate names
+    (they carry no selectivity and would quadratically inflate the
+    gram join — the textbook df-cutoff); (3) a LENGTH prefilter
+    (|len a - len b| <= 2, a Levenshtein lower bound) cuts survivors
+    before (4) the exact levenshtein() verify, which runs only on the
+    bounded candidate set. Both engines implement unit-cost
+    Levenshtein identically, so the result hash-checks."""
+    p = Tables(spark, sf_dir).part
+    probes = p.filter(F.col("p_partkey") <= 20).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.concat(
+            F.substring("p_name", 1, 2), F.lit("x"), F.expr("substring(p_name, 4)")
+        ).alias("probe_name"),
+    )
+    cand = p.select(
+        F.col("p_partkey").alias("cand_id"), F.col("p_name").alias("cand_name")
+    )
+
+    # sequence(1, L-3) == DuckDB range(1, L-2): the last 4-gram starts
+    # at L-3. Guarded: Spark's sequence DESCENDS when start > stop, so
+    # short names must yield an empty array, not a reversed range.
+    def gram_col(name_col: str):
+        return F.when(
+            F.length(name_col) >= 4,
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length({name_col}) - 3), "
+                    f"i -> substring({name_col}, i, 4))"
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    pg = probes.select(
+        "probe_id", "probe_name", F.explode(gram_col("probe_name")).alias("gram")
+    )
+    cg = cand.select(
+        "cand_id", "cand_name", F.explode(gram_col("cand_name")).alias("gram")
+    )
+    keep = cg.groupBy("gram").agg(F.count("*").alias("n")).filter(F.col("n") <= 100)
+    pairs = (
+        pg.join(keep.select("gram"), "gram")
+        .join(cg, "gram")
+        .filter(
+            F.abs(F.length("probe_name") - F.length("cand_name")) <= 2
+        )
+        .select("probe_id", "probe_name", "cand_id", "cand_name")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("dist", F.levenshtein("probe_name", "cand_name").cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select("probe_id", "cand_id", "dist")
+        .orderBy("probe_id", "cand_id")
+    )

@@ -454,7 +454,7 @@ SELECT COUNT(*) AS n_pass,
 FROM (
   SELECT lang,
          CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-           / length(text) AS punct_ratio
+           / greatest(length(text), 1) AS punct_ratio
   FROM documents
   WHERE n_chars BETWEEN 100 AND 5000
 )
@@ -494,7 +494,7 @@ WITH s AS (
 r AS (
   SELECT doc_id,
          CAST(n_chars BETWEEN 100 AND 20000 AS INT) AS len_ok,
-         CAST(n_punct / n_len < 0.3 AS INT) AS punct_ok,
+         CAST(n_punct / greatest(n_len, 1) < 0.3 AS INT) AS punct_ok,
          len(list_filter(toks, t -> t IN ({stop_in}))) / greatest(len(toks), 1) AS stop_ratio
   FROM s)
 SELECT doc_id,
