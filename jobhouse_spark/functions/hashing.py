@@ -1,0 +1,44 @@
+"""Cross-engine deterministic hashing/constants — single source of
+truth for every differential oracle pair.
+
+Each helper here has a DuckDB twin the oracles interpolate; keeping ONE
+copy per formula is what guarantees the Spark expression and the SQL
+replica can never drift apart independently (a review found five
+inline copies of the md5-int32 expression — any future edit to one
+would silently desynchronize the rest and their oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# DuckDB twin of md5_int32 (l2c-verified): interpolate with .format(x=expr)
+MD5_INT32_SQL = (
+    "CAST(list_sum(list_transform(range(1, 9), j -> "
+    "(strpos('0123456789abcdef', substr(md5({x}), j, 1)) - 1) * 16.0 ** (8 - j))) "
+    "AS BIGINT)"
+)
+
+
+def md5_int32(col: Column | str) -> Column:
+    """First 8 hex chars of md5 as a non-negative int64 — the hash both
+    engines compute bit-identically (Spark conv(hex,16,10); DuckDB
+    positional hex expansion, MD5_INT32_SQL)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def seeded_int_matrix(
+    seed: int, n: int, dim: int, component_range: int
+) -> list[list[int]]:
+    """Deterministic n x dim integer matrix from a seeded PRNG — the
+    shared generator behind lsh_projection_vectors (similarity.py) and
+    ivf_fixed_centroids (ann.py), exposed so a differential oracle can
+    interpolate the SAME constants into its SQL."""
+    import random  # noqa: PLC0415
+
+    rng = random.Random(seed)
+    return [
+        [rng.randint(-component_range, component_range) for _ in range(dim)]
+        for _ in range(n)
+    ]

@@ -112,8 +112,10 @@ def simhash16(text: Column, token_hash: str = "xxhash64") -> Column:
     """
     toks = tokens(F.lower(text))
     if token_hash == "md5":
+        from jobhouse_spark.functions.hashing import md5_int32  # noqa: PLC0415
+
         def _th(t):
-            return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            return md5_int32(t)
     else:
         def _th(t):
             return F.xxhash64(t)

@@ -137,13 +137,9 @@ def ivf_fixed_centroids(
     quantizer swapped for seeded constants (the l2c md5/xxhash64
     pattern). component_range defaults to ≈ the micro-unit span of
     unit-ish embedding components."""
-    import random  # noqa: PLC0415
+    from jobhouse_spark.functions.hashing import seeded_int_matrix  # noqa: PLC0415
 
-    rng = random.Random(seed)
-    return [
-        [rng.randint(-component_range, component_range) for _ in range(dim)]
-        for _ in range(n_cells)
-    ]
+    return seeded_int_matrix(seed, n_cells, dim, component_range)
 
 
 def train_centroids(
@@ -181,6 +177,18 @@ def ivf_top_k(
     l3c2_ivf_checked). The join/probe/rank pipeline is the SAME code
     as the float path."""
     if exact_micro:
+        # the exact path has no UDF fallback (its point is JVM-expression
+        # bit-reproducibility), so refuse codebooks that would inline a
+        # multi-million-node plan instead of hanging the driver
+        n_components = len(centroids) * (len(centroids[0]) if centroids else 0)
+        if n_components > _EXPR_COMPONENT_LIMIT:
+            raise ValueError(
+                f"exact_micro inlines centroids as literal expressions; "
+                f"{n_components} components exceeds the "
+                f"{_EXPR_COMPONENT_LIMIT}-component plan-size limit — use a "
+                f"coarser codebook or the float path (strategy='udf')"
+            )
+
         def vec(col):
             return micro_vec(col)
 

@@ -24,7 +24,9 @@ dynamic partition overwrite gives the same partition-level atomicity):
    (delete wins over a same-key upsert), upserts minus deletes append.
 4. Write back with ``partitionOverwriteMode=dynamic``: only partitions
    present in the merged output are replaced; every other day's files
-   are untouched.
+   are untouched. A changed day whose rows were ALL deleted is absent
+   from the output — dynamic overwrite cannot emit an empty partition —
+   so those days are cleared explicitly afterward.
 
 The merge is IDEMPOTENT: re-applying the same batch yields the same end
 state (upserts replace by key, deletes of absent keys are no-ops), so
@@ -79,17 +81,14 @@ def incremental_merge(
     # Materialize BEFORE the write: the merged plan reads the same
     # partition directories the write is about to replace, and Spark
     # (rightly) refuses to overwrite a path it is still reading from.
-    # The checkpoint is the merge's write barrier — exactly what a
-    # MERGE INTO implementation does internally (read side materialized,
-    # then commit). Reliable checkpoint when a checkpoint dir is set;
-    # localCheckpoint otherwise (executor-loss window is the duration
-    # of this function, not the lifetime of a returned frame).
-    sc = spark.sparkContext
-    merged = (
-        merged.checkpoint(eager=True)
-        if sc.getCheckpointDir() is not None
-        else merged.localCheckpoint(eager=True)
-    )
+    # The barrier is the merge's write barrier — exactly what a MERGE
+    # INTO implementation does internally (read side materialized, then
+    # commit). Leak/fault trade handled by materialize_barrier; the
+    # executor-loss window is the duration of this function, not the
+    # lifetime of a returned frame.
+    from jobhouse_spark.materialize import materialize_barrier  # noqa: PLC0415
+
+    merged = materialize_barrier(merged)
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
@@ -101,4 +100,16 @@ def incremental_merge(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # Dynamic overwrite only replaces partitions PRESENT in the output:
+    # a day whose rows were ALL deleted contributes zero rows to
+    # `merged`, so its old files would silently survive. Clear such
+    # days explicitly with a static overwrite of the partition dir
+    # (empty write: deletes the old files, leaves an empty partition).
+    remaining = {str(r[0]) for r in merged.select(day_col).distinct().collect()}
+    emptied = [d for d in changed_days if d not in remaining]
+    if emptied:
+        empty = merged.drop(day_col).filter(F.lit(False))
+        for d in emptied:
+            empty.write.mode("overwrite").parquet(f"{silver_root}/{day_col}={d}")
     return changed_days

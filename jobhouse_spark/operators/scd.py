@@ -60,15 +60,21 @@ def scd2_apply(
     cur = history.filter(F.col("valid_to").isNull())
     closed = history.filter(F.col("valid_to").isNotNull())
 
-    o = cur.select(*cols, "valid_from").alias("o")
-    n = batch.select(*cols).alias("n")
+    # Explicit presence markers + a null-safe key join: key-nullness is
+    # NOT a usable match sentinel — a NULL-key history or batch row
+    # would read as "absent" on its own side and silently vanish from
+    # the output. eqNullSafe lets NULL-key rows match each other (one
+    # NULL-key version, like any other key), and the markers carry
+    # presence independently of key values.
+    o = cur.select(*cols, "valid_from", F.lit(True).alias("__has_old")).alias("o")
+    n = batch.select(*cols, F.lit(True).alias("__has_new")).alias("n")
     same: Column = reduce(
         lambda a, b: a & b,
         [F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")) for c in attr_cols],
     )
-    j = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
-    has_old = F.col(f"o.{key}").isNotNull()
-    has_new = F.col(f"n.{key}").isNotNull()
+    j = o.join(n, F.col(f"o.{key}").eqNullSafe(F.col(f"n.{key}")), "full_outer")
+    has_old = F.col("o.__has_old").isNotNull()
+    has_new = F.col("n.__has_new").isNotNull()
     as_of_d = F.lit(as_of).cast("date")
 
     close_now = has_old & ((has_new & ~same) | (F.lit(treat_missing_as_delete) & ~has_new))

@@ -59,8 +59,12 @@ def _should_broadcast_probes(
     )
     if threshold <= 0:
         return False
-    first = queries.select(vec_col).head()
-    dim = len(first[0]) if first and first[0] is not None else 0
+    # width from the first NON-NULL vector: a null first row would read
+    # as dim=0 and under-size a huge probe side into an approved
+    # broadcast (the OOM this gate exists to prevent). All-null probes
+    # hash to zero bucket rows, so broadcasting them is trivially safe.
+    first = queries.select(vec_col).na.drop().head()
+    dim = len(first[0]) if first else 0
     per_row = num_hash_tables * (dim * 8 + 48)
     max_rows = threshold // max(per_row, 1)
     return queries.limit(max_rows + 1).count() <= max_rows
@@ -111,13 +115,9 @@ def lsh_projection_vectors(
     BRP path of ``lsh_top_k`` — exposed so a differential oracle can
     interpolate the SAME constants into its SQL (the l2c/
     minhash_coefficients pattern)."""
-    import random  # noqa: PLC0415
+    from jobhouse_spark.functions.hashing import seeded_int_matrix  # noqa: PLC0415
 
-    rng = random.Random(seed)
-    return [
-        [rng.randint(-component_range, component_range) for _ in range(dim)]
-        for _ in range(num_tables)
-    ]
+    return seeded_int_matrix(seed, num_tables, dim, component_range)
 
 
 def _floor_div(d, w: int):
@@ -364,8 +364,10 @@ def minhash_near_duplicates(
     - "persist": LAZY — ``featured`` stays persisted and the returned
       plan is fully recomputable (fault-tolerant). The caller owns
       cleanup: the persisted relation is attached to the returned
-      DataFrame as ``df.jh_cached_inputs`` (unpersist each after
-      consuming, or leak one cached relation per call).
+      DataFrame as ``df.jh_cached_inputs`` — capture it BEFORE chaining
+      (transformations return new DataFrames without the attribute),
+      and unpersist each after consuming. ``release_persisted_inputs()``
+      frees all outstanding ones when handles were lost.
     - "lazy": no persist, no checkpoint — a pure plan with zero
       session state and full fault tolerance; the tokenize/shingle/
       hash chain recomputes up to three times when the plan runs.
@@ -403,11 +405,10 @@ def minhash_near_duplicates(
     )
     # binary feature set: hashed shingle indices, deduped (set semantics)
     if feature_hash == "md5":
+        from jobhouse_spark.functions.hashing import md5_int32  # noqa: PLC0415
+
         def _feat(s):
-            return F.pmod(
-                F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-                F.lit(num_features),
-            )
+            return F.pmod(md5_int32(s), F.lit(num_features))
     else:
         def _feat(s):
             return F.pmod(F.xxhash64(s), F.lit(num_features))
@@ -495,15 +496,39 @@ def minhash_near_duplicates(
         # whose blocks are ContextCleaner-managed (freed when the
         # returned DataFrame is GC'd) but NOT recomputable after
         # executor loss — the fault-tolerance trade in the docstring.
-        has_ckpt_dir = out.sparkSession.sparkContext.getCheckpointDir() is not None
-        out = out.checkpoint(eager=True) if has_ckpt_dir else out.localCheckpoint(eager=True)
+        from jobhouse_spark.materialize import materialize_barrier  # noqa: PLC0415
+
+        out = materialize_barrier(out)
         featured.unpersist()
         return out
     if materialize == "persist":
-        # lazy + fault-tolerant; the caller owns the cache release
+        # lazy + fault-tolerant; the caller owns the cache release.
+        # NOTE: grab jh_cached_inputs from THIS object before chaining —
+        # every transformation returns a new DataFrame without the
+        # attribute. The module registry backs the lost-handle case:
+        # release_persisted_inputs() frees everything outstanding.
         out.jh_cached_inputs = [featured]
+        _PERSISTED_INPUTS.append(featured)
         return out
     return out
+
+
+# featured relations handed out by materialize='persist' (in case the
+# caller loses the jh_cached_inputs handle through chaining)
+_PERSISTED_INPUTS: list[DataFrame] = []
+
+
+def release_persisted_inputs() -> int:
+    """Unpersist every cached input relation handed out by
+    ``minhash_near_duplicates(materialize='persist')`` calls in this
+    process — the coarse escape hatch when per-call handles were lost
+    through DataFrame chaining. Safe to call anytime (unpersist is a
+    hint; consumed results are unaffected). Returns the count released."""
+    n = 0
+    while _PERSISTED_INPUTS:
+        _PERSISTED_INPUTS.pop().unpersist()
+        n += 1
+    return n
 
 
 def ngram_jaccard_pairs(

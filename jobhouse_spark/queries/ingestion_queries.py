@@ -17,6 +17,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jobhouse_spark.functions.hashing import MD5_INT32_SQL, md5_int32
 from jobhouse_spark.operators.dedup import dedup_anti_join
 from jobhouse_spark.queries.registry import register
 from jobhouse_spark.sources.bronze import (
@@ -190,13 +191,8 @@ def a16_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # md5-derived 32-bit int of a row's content — the cross-engine row hash
-# (Spark: conv(hex, 16, 10); DuckDB: positional hex-digit expansion, the
-# l2c-verified equivalent)
-_ROW_H_SQL = (
-    "CAST(list_sum(list_transform(range(1, 9), j -> "
-    "(strpos('0123456789abcdef', substr(md5(concat_ws('|', event_id, "
-    "event_type, user_id)), j, 1)) - 1) * 16.0 ** (8 - j))) AS BIGINT)"
-)
+# (functions/hashing: Spark md5_int32 ≡ DuckDB MD5_INT32_SQL)
+_ROW_H_SQL = MD5_INT32_SQL.format(x="concat_ws('|', event_id, event_type, user_id)")
 
 
 _A16C_ORACLE = f"""
@@ -210,7 +206,11 @@ new AS (
 j AS (
   SELECT o.event_id AS o_id, o.event_type AS o_type, o.user_id AS o_uid,
          n.event_id AS n_id, n.event_type AS n_type, n.user_id AS n_uid,
-         (o.event_type = n.event_type AND o.user_id = n.user_id) AS same
+         -- IS NOT DISTINCT FROM = Spark's eqNullSafe: NULL attrs compare
+         -- equal instead of poisoning `same` to NULL (which would close
+         -- AND skip the version — a different rule than scd2_apply's)
+         ((o.event_type IS NOT DISTINCT FROM n.event_type)
+          AND (o.user_id IS NOT DISTINCT FROM n.user_id)) AS same
   FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id),
 hist AS (
   -- old rows: kept open when unchanged, closed on change/delete
@@ -256,13 +256,7 @@ def a16c_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type", "user_id"],
         "2024-02-02",
     )
-    row_h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", "event_id", "event_type", "user_id")), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
+    row_h = md5_int32(F.concat_ws("|", "event_id", "event_type", "user_id"))
     return (
         hist.groupBy(
             F.col("valid_from").cast("string").alias("valid_from"),
@@ -343,13 +337,7 @@ def a16b_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental_merge(spark, root, ups, dels, key_col="event_id", day_col="day")
 
     merged = spark.read.parquet(root)
-    row_h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", "event_id", "event_type", "user_id")), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
+    row_h = md5_int32(F.concat_ws("|", "event_id", "event_type", "user_id"))
     return (
         merged.groupBy(F.col("day").cast("string").alias("day"))
         .agg(F.count("*").alias("n"), F.sum(row_h).cast("long").alias("sum_h"))

@@ -366,10 +366,9 @@ def _l4b2_oracle() -> str:
     """DuckDB replica of simhash16 on the md5 token-hash path: same
     lowercase whitespace tokenizer, same hex->int token hash, same
     per-bit ±1 vote and sign rule, same bit packing."""
-    hexint = (
-        "CAST(list_sum(list_transform(range(1, 9), j -> "
-        "(strpos('0123456789abcdef', substr(md5(t), j, 1)) - 1) * 16.0 ** (8 - j))) AS BIGINT)"
-    )
+    from jobhouse_spark.functions.hashing import MD5_INT32_SQL  # noqa: PLC0415
+
+    hexint = MD5_INT32_SQL.format(x="t")
     bits = " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
         f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"

@@ -334,9 +334,7 @@ sh AS (
   FROM toked WHERE len(toks) >= 3),
 feats AS (
   SELECT doc, list_distinct(list_transform(shingles, s ->
-           CAST(list_sum(list_transform(range(1, 9), j ->
-             (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
-               * 16.0 ** (8 - j))) AS BIGINT) % 65536)) AS features
+           CAST(list_sum(list_transform(range(1, 9), j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1) * 16.0 ** (8 - j))) AS BIGINT) % 65536)) AS features
   FROM sh),
 sigs AS (
   SELECT doc, band_idx,

@@ -506,10 +506,9 @@ def _l22_oracle() -> str:
     l3c2 exact-integer IVF machinery with seeded centroids."""
     from jobhouse_spark.operators.ann import ivf_fixed_centroids  # noqa: PLC0415
 
-    hext = (
-        "CAST(list_sum(list_transform(range(1, 9), j -> "
-        "(strpos('0123456789abcdef', substr(md5(t), j, 1)) - 1) * 16.0 ** (8 - j))) AS BIGINT)"
-    )
+    from jobhouse_spark.functions.hashing import MD5_INT32_SQL  # noqa: PLC0415
+
+    hext = MD5_INT32_SQL.format(x="t")
     cents = ivf_fixed_centroids(7, 8, 16, 2_000_000)
     vals = ", ".join(f"({i}, {c}::BIGINT[])" for i, c in enumerate(cents))
     return rf"""
@@ -599,8 +598,7 @@ def l22_chunk_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ctoks") >= 4)
     )
 
-    def hext(t):
-        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    from jobhouse_spark.functions.hashing import md5_int32 as hext  # noqa: PLC0415
 
     hs = F.transform(F.col("ctoks"), hext)
     e = F.transform(

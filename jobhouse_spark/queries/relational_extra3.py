@@ -151,13 +151,15 @@ grid AS (
   CROSS JOIN (SELECT unnest(range(10)) AS bin) b),
 p AS (
   SELECT g.event_type, g.bin,
-         (COALESCE(cb.n, 0) + 1.0) / (tb.t + 10.0) AS p_base,
-         (COALESCE(cc.n, 0) + 1.0) / (tc.t + 10.0) AS p_cur
+         -- totals joined LEFT with 0 fallback: a category present in
+         -- only one cohort (the max-drift case) must keep its rows
+         (COALESCE(cb.n, 0) + 1.0) / (COALESCE(tb.t, 0) + 10.0) AS p_base,
+         (COALESCE(cc.n, 0) + 1.0) / (COALESCE(tc.t, 0) + 10.0) AS p_cur
   FROM grid g
   LEFT JOIN counts cb ON cb.event_type = g.event_type AND cb.bin = g.bin AND cb.cohort = 'base'
   LEFT JOIN counts cc ON cc.event_type = g.event_type AND cc.bin = g.bin AND cc.cohort = 'cur'
-  JOIN tot tb ON tb.event_type = g.event_type AND tb.cohort = 'base'
-  JOIN tot tc ON tc.event_type = g.event_type AND tc.cohort = 'cur')
+  LEFT JOIN tot tb ON tb.event_type = g.event_type AND tb.cohort = 'base'
+  LEFT JOIN tot tc ON tc.event_type = g.event_type AND tc.cohort = 'cur')
 SELECT event_type,
        CAST(CAST(SUM((p_cur - p_base) * ln(p_cur / p_base)) AS DECIMAL(18,6)) AS DOUBLE) AS psi
 FROM p GROUP BY 1 ORDER BY 1
@@ -178,6 +180,8 @@ def g20_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     division + floor (engine-identical); psi sums 10 doubles per group
     and rounds through DECIMAL(18,6), absorbing sub-ulp ln()
     differences between engines."""
+    from jobhouse_spark.operators.drift import psi_drift  # noqa: PLC0415
+
     e = Tables(spark, sf_dir).events
     binned = e.select(
         "event_type",
@@ -187,33 +191,4 @@ def g20_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(9),
         ).alias("bin"),
     )
-    counts = binned.groupBy("event_type", "cohort", "bin").agg(F.count("*").alias("n"))
-    tot = counts.groupBy("event_type", "cohort").agg(F.sum("n").alias("t"))
-    grid = (
-        binned.select("event_type")
-        .distinct()
-        .crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bin")))
-    )
-    cb = counts.filter(F.col("cohort") == "base").select(
-        "event_type", "bin", F.col("n").alias("nb")
-    )
-    cc = counts.filter(F.col("cohort") == "cur").select(
-        "event_type", "bin", F.col("n").alias("nc")
-    )
-    tb = tot.filter(F.col("cohort") == "base").select("event_type", F.col("t").alias("tb"))
-    tc = tot.filter(F.col("cohort") == "cur").select("event_type", F.col("t").alias("tc"))
-    p = (
-        grid.join(cb, ["event_type", "bin"], "left")
-        .join(cc, ["event_type", "bin"], "left")
-        .join(tb, "event_type")
-        .join(tc, "event_type")
-        .select(
-            "event_type",
-            ((F.coalesce(F.col("nb"), F.lit(0)) + 1.0) / (F.col("tb") + 10.0)).alias("p_base"),
-            ((F.coalesce(F.col("nc"), F.lit(0)) + 1.0) / (F.col("tc") + 10.0)).alias("p_cur"),
-        )
-    )
-    from jobhouse_spark.queries.registry import fin  # noqa: PLC0415
-
-    psi = F.sum((F.col("p_cur") - F.col("p_base")) * F.log(F.col("p_cur") / F.col("p_base")))
-    return p.groupBy("event_type").agg(fin(psi, 6).alias("psi")).orderBy("event_type")
+    return psi_drift(binned, n_bins=10).orderBy("event_type")

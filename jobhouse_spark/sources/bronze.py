@@ -201,13 +201,14 @@ def quarantine_corrupt(spark: SparkSession, root: str) -> tuple[DataFrame, DataF
     # land in ContextCleaner-managed blocks freed when the returned
     # frames are garbage-collected, rather than a catalog-cache entry
     # that leaks per call in a long-lived session unless the caller
-    # remembers to unpersist. FAULT-TOLERANCE TRADE: localCheckpoint
-    # truncates lineage into executor-local blocks, so the returned
-    # frames are not recomputable after an executor is lost — and the
-    # call is eager. When the session has a reliable checkpoint dir
-    # (sc.setCheckpointDir) the checkpoint survives executor loss.
-    sc = spark.sparkContext
-    df = df.checkpoint(eager=True) if sc.getCheckpointDir() is not None else df.localCheckpoint(eager=True)
+    # remembers to unpersist. FAULT-TOLERANCE TRADE: the default
+    # localCheckpoint is not recomputable after executor loss — and the
+    # call is eager; materialize_barrier upgrades to a reliable
+    # checkpoint only when the session is configured to clean
+    # checkpoint files (else every call would leak disk instead).
+    from jobhouse_spark.materialize import materialize_barrier  # noqa: PLC0415
+
+    df = materialize_barrier(df)
     good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
     return good, bad

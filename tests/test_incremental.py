@@ -130,6 +130,63 @@ def test_scd2_versioning_semantics(spark):
     assert (4, "d", "2024-02-01", "None") in _hist_rows(h5)
 
 
+def test_incremental_merge_clears_fully_deleted_day(spark, tmp_path):
+    """A day whose rows are ALL deleted contributes nothing to the
+    merged output, so dynamic partition overwrite alone would leave its
+    old files on disk — the merge must clear such days explicitly."""
+    root = str(tmp_path / "silver")
+    base = spark.createDataFrame(
+        [(1, "2024-01-05", "a"), (2, "2024-01-05", "b"), (3, "2024-01-06", "c")],
+        "event_id int, day string, payload string",
+    )
+    base.write.mode("overwrite").partitionBy("day").parquet(root)
+
+    empty_ups = base.filter(F.lit(False))
+    dels = spark.createDataFrame(
+        [(1, "2024-01-05"), (2, "2024-01-05")], "event_id int, day string"
+    )
+    changed = incremental_merge(spark, root, empty_ups, dels, "event_id", "day")
+    assert changed == ["2024-01-05"]
+    left = spark.read.parquet(root).collect()
+    assert [(r.event_id, str(r.day), r.payload) for r in left] == [(3, "2024-01-06", "c")]
+
+
+def test_scd2_null_key_rows_survive(spark):
+    """NULL-key rows are dirty-dimension reality: they must version like
+    any other key (null-safe key join), never silently vanish."""
+    from jobhouse_spark.operators.scd import scd2_apply, scd2_open
+
+    hist = scd2_open(
+        spark.createDataFrame([(None, "x"), (1, "a")], "k int, v string"),
+        "2024-01-01",
+    )
+    batch = spark.createDataFrame([(None, "y"), (1, "a")], "k int, v string")
+    h2 = scd2_apply(hist, batch, "k", ["v"], "2024-02-01")
+    assert _hist_rows(h2) == sorted(
+        [
+            (None, "x", "2024-01-01", "2024-02-01"),
+            (None, "y", "2024-02-01", "None"),
+            (1, "a", "2024-01-01", "None"),
+        ],
+        key=repr,
+    )
+
+
+def test_psi_drift_flags_single_cohort_category(spark):
+    """A category present in only one cohort is the max-drift signal —
+    it must produce a (large) psi row, not be inner-joined away."""
+    from jobhouse_spark.operators.drift import psi_drift
+
+    rows = [("old_kind", "base", i % 10) for i in range(100)] + [
+        ("old_kind", "cur", i % 10) for i in range(100)
+    ] + [("new_kind", "cur", i % 3) for i in range(60)]
+    binned = spark.createDataFrame(rows, "event_type string, cohort string, bin int")
+    got = {r.event_type: r.psi for r in psi_drift(binned, n_bins=10).collect()}
+    assert set(got) == {"old_kind", "new_kind"}
+    assert abs(got["old_kind"]) < 0.01  # identical distributions
+    assert got["new_kind"] > 0.5, got  # brand-new category: strong drift
+
+
 def test_incremental_merge_empty_batch_is_noop(spark, sf_dir, tmp_path):
     root = str(tmp_path / "silver")
     e = Tables(spark, sf_dir).events
