@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 
 def incremental_merge(
@@ -67,9 +68,15 @@ def incremental_merge(
     if not changed_days:
         return []
 
-    old_slice = spark.read.parquet(silver_root).filter(
-        F.col(day_col).isin(changed_days)
-    )
+    # Bootstrap: a first-ever merge (streaming sink, fresh silver) has
+    # no table to read yet — treat silver as empty instead of failing
+    # the path lookup.
+    try:
+        old_slice = spark.read.parquet(silver_root).filter(
+            F.col(day_col).isin(changed_days)
+        )
+    except AnalysisException:
+        old_slice = upserts.filter(F.lit(False))
     del_keys = deletes.select(key_col)
     up_keys = upserts.select(key_col)
     surviving_old = old_slice.join(up_keys, key_col, "left_anti").join(

@@ -201,6 +201,50 @@ def write_stream_bronze_exactly_once(events: DataFrame, root: str, on_epoch=None
     q.awaitTermination()
 
 
+def stream_incremental_merge(
+    events: DataFrame,
+    silver_root: str,
+    checkpoint_dir: str,
+    key_col: str = "event_id",
+    day_col: str = "day",
+    on_epoch=None,
+) -> None:
+    """T16: streaming UPSERT sink into a day-partitioned silver table —
+    each micro-batch applies through operators/incremental.
+    incremental_merge (partition-pruned, dynamic partition overwrite).
+
+    Exactly-once WITHOUT epoch-keyed output dirs: the merge itself is
+    IDEMPOTENT (upserts replace by key), so a batch re-executed after a
+    crash-before-offset-commit converges to the same silver state —
+    the same recovery argument as write_stream_bronze_exactly_once, with
+    idempotence supplied by merge semantics instead of directory
+    overwrite. This is the streaming form of the A16b CDC apply: latest
+    row per key wins, only touched day partitions rewrite each batch.
+
+    ``events`` must carry ``day_col`` (the partition key). ``on_epoch``
+    is the crash-injection test seam (post-merge, pre-commit).
+    """
+    from jobhouse_spark.operators.incremental import incremental_merge  # noqa: PLC0415
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # a key appearing twice within one batch collapses to its latest
+        # version before merging (merge expects one row per key)
+        latest = batch_df.dropDuplicates([key_col])
+        empty_deletes = latest.filter(F.lit(False)).select(key_col, day_col)
+        incremental_merge(spark, silver_root, latest, empty_deletes, key_col, day_col)
+        if on_epoch is not None:
+            on_epoch(epoch_id)
+
+    q = (
+        events.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

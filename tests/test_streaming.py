@@ -194,6 +194,73 @@ def test_t9b_crash_recovery_exactly_once(spark, tmp_path):
     assert got2 == sorted((r[0], r[2], r[3]) for r in rows1 + rows2)
 
 
+def test_t16_streaming_incremental_merge_exactly_once(spark, tmp_path):
+    """Streaming upsert sink into day-partitioned silver: per-batch
+    incremental merge, latest-per-key wins, and a crash injected after
+    the merge but before the offset commit recovers exactly-once (merge
+    idempotence supplies the dedup, not epoch-keyed dirs)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from jobhouse_spark.streaming.jobs import stream_incremental_merge
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: keys 1-3 on two days
+    _write_batch(spark, src, [
+        (1, datetime(2024, 1, 5, 1), 10, 1.0),
+        (2, datetime(2024, 1, 5, 2), 20, 2.0),
+        (3, datetime(2024, 1, 6, 1), 30, 3.0),
+    ], "b1.parquet")
+    # batch 2: update key 2 (same day), insert key 4 — plus an intra-
+    # batch duplicate of key 4 (latest wins within the batch)
+    _write_batch(spark, src, [
+        (2, datetime(2024, 1, 5, 2), 20, 22.0),
+        (4, datetime(2024, 1, 7, 1), 40, 4.0),
+        (4, datetime(2024, 1, 7, 1), 40, 44.0),
+    ], "b2.parquet")
+
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    marker = tmp_path / "crashed"
+    seen: list[int] = []
+
+    def crash_once(epoch_id: int) -> None:
+        seen.append(epoch_id)
+        if epoch_id > 0 and not marker.exists():
+            marker.touch()
+            raise RuntimeError("injected crash after merge, before commit")
+
+    def stream():
+        return (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withColumn("day", F.to_date("ts"))
+        )
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        stream_incremental_merge(stream(), silver, ckpt, on_epoch=crash_once)
+    # restart: the uncommitted epoch re-merges (idempotent) and finishes
+    stream_incremental_merge(stream(), silver, ckpt, on_epoch=crash_once)
+
+    got = {
+        r.event_id: (str(r.day), r.user_id, r.value)
+        for r in spark.read.parquet(silver).collect()
+    }
+    # dropDuplicates keeps ONE row per key for the intra-batch dup —
+    # either version is a valid "latest" (no ordering column contract)
+    assert got[4][2] in (4.0, 44.0)
+    expected = {
+        1: ("2024-01-05", 10, 1.0),
+        2: ("2024-01-05", 20, 22.0),
+        3: ("2024-01-06", 30, 3.0),
+        4: ("2024-01-07", 40, got[4][2]),
+    }
+    assert got == expected
+    assert len(seen) >= 3 and seen[1] == seen[2], seen  # epoch re-ran once
+
+
 def test_t10_trigger_available_now(spark, sf_dir):
     """AvailableNow trigger processes everything then terminates."""
     events = stream_events(spark, sf_dir)
