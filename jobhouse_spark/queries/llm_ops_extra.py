@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jobhouse_spark.functions.hashing import MD5_INT32_SQL
 from jobhouse_spark.queries.registry import register
 from jobhouse_spark.tables import Tables
 
@@ -258,4 +259,79 @@ def l10_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampled.groupBy("lang")
         .agg(F.count("*").alias("n_sampled"))
         .orderBy("lang")
+    )
+
+
+@register(
+    "l10b_deterministic_sample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {MD5_INT32_SQL.format(x="CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS rn
+  FROM documents)
+SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM ranked WHERE rn <= 25 GROUP BY lang ORDER BY lang
+""",
+    tags=("llm", "sampling"),
+)
+def l10b_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10b: REPRODUCIBLE k-per-stratum sampling — rank rows inside each
+    stratum by a content hash of their key and keep the first k. Unlike
+    seeded RNG draws (l10), the selection is a pure function of the
+    data: any engine, any partitioning, any rerun picks the SAME rows —
+    the property an eval holdout or debugging slice needs at 100 TB,
+    where 'same seed' does not survive repartitioning. One window per
+    stratum, rank-limit pushed below the shuffle (WindowGroupLimit)."""
+    from jobhouse_spark.functions.hashing import md5_int32  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = Tables(spark, sf_dir).documents
+    w = Window.partitionBy("lang").orderBy(
+        md5_int32(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 25)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("doc_id").cast("long").alias("sum_id"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "l10c_hash_split",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               {MD5_INT32_SQL.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS b
+        FROM documents))
+SELECT split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM assigned GROUP BY split ORDER BY split
+""",
+    tags=("llm", "sampling"),
+)
+def l10c_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10c: REPRODUCIBLE train/val/test split (80/10/10) by key hash —
+    the split every serious pipeline uses instead of randomSplit: a
+    document's assignment is a pure function of its id, so reruns,
+    engine migrations, and incremental additions never shuffle examples
+    across splits (randomSplit reassigns everything whenever the
+    partitioning changes). Map-only + one tiny aggregate."""
+    from jobhouse_spark.functions.hashing import md5_int32  # noqa: PLC0415
+
+    d = Tables(spark, sf_dir).documents
+    b = F.pmod(md5_int32(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"), F.sum("doc_id").cast("long").alias("sum_id"))
+        .orderBy("split")
     )

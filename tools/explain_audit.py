@@ -159,6 +159,10 @@ def main() -> None:
           or "FlatMapGroupsInPandas" in p or "MapInPandasExec" in p or "mapInPandas" in p.lower(),
           "l5b: frame sampling not an Arrow-batched Python map stage")
 
+    p = plan_of(spark, "l10b_deterministic_sample")
+    check("WindowGroupLimit" in p,
+          "l10b: per-stratum sample cap missing rank-limit pushdown")
+
     p = plan_of(spark, "l3b2_lsh_checked")
     check("BroadcastHashJoin" in p,
           "l3b2: probe side not broadcast into the bucket join")
