@@ -187,6 +187,48 @@ def test_psi_drift_flags_single_cohort_category(spark):
     assert got["new_kind"] > 0.5, got  # brand-new category: strong drift
 
 
+def test_incremental_merge_sequence_matches_reference_model(spark, tmp_path):
+    """Three sequential batches (overlapping upserts, deletes,
+    re-inserts of deleted keys, all-deleted days) against an in-memory
+    dict model — the end state after EVERY step must match."""
+    root = str(tmp_path / "silver")
+    schema = "event_id int, day string, payload string"
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema)
+
+    base = [
+        (1, "2024-01-01", "a"), (2, "2024-01-01", "b"),
+        (3, "2024-01-02", "c"), (4, "2024-01-02", "d"),
+        (5, "2024-01-03", "e"),
+    ]
+    df(base).write.mode("overwrite").partitionBy("day").parquet(root)
+    model = {k: (d, p) for k, d, p in base}
+
+    steps = [
+        # (upserts, deletes)
+        ([(2, "2024-01-01", "B"), (6, "2024-01-04", "f")], [(3, "2024-01-02")]),
+        # delete the rest of day 02 (day fully emptied), re-insert key 3
+        ([(3, "2024-01-05", "c2")], [(4, "2024-01-02")]),
+        # delete wins over same-key upsert; update key 6
+        ([(5, "2024-01-03", "E"), (6, "2024-01-04", "F")], [(5, "2024-01-03")]),
+    ]
+    for ups, dels in steps:
+        incremental_merge(spark, root, df(ups), spark.createDataFrame(
+            dels, "event_id int, day string"), "event_id", "day")
+        del_keys = {k for k, _ in dels}
+        for k, d, p in ups:
+            if k not in del_keys:
+                model[k] = (d, p)
+        for k in del_keys:
+            model.pop(k, None)
+        got = {
+            r.event_id: (str(r.day), r.payload)
+            for r in spark.read.parquet(root).collect()
+        }
+        assert got == model, (got, model)
+
+
 def test_incremental_merge_empty_batch_is_noop(spark, sf_dir, tmp_path):
     root = str(tmp_path / "silver")
     e = Tables(spark, sf_dir).events
