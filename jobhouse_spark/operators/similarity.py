@@ -296,6 +296,209 @@ def minhash_coefficients(seed: int, n: int) -> list[tuple[int, int]]:
     ]
 
 
+def _minhash_featurize(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_features: int,
+    feature_hash: str,
+) -> DataFrame:
+    """Stage 1 of the minhash pipeline: (doc, features) — tokenize →
+    n-gram shingles → hashed binary feature set (set semantics). The
+    expensive corpus scan; everything downstream works on the compact
+    int-array features. Shared verbatim by the batch pipeline
+    (minhash_near_duplicates) and the index/incremental API, so stored
+    signatures and fresh ones can never diverge."""
+    base = docs.select(id_col, text_col)
+    # A small corpus read from one parquet file arrives as ONE partition
+    # and the whole featurize chain runs in a single task; spread it.
+    # Gated so a big (already well-partitioned) corpus is NOT given an
+    # extra full shuffle.
+    sc = docs.sparkSession.sparkContext
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism)
+
+    # Row-filter short docs up front instead of a when()-guarded empty
+    # shingle array: transform() over a CaseWhen child defeats codegen
+    # and ran ~100x slower than transform() over a plain nested
+    # expression (measured at sf0.1); the excluded rows are exactly the
+    # empty-set docs the contract drops anyway.
+    # trim before splitting: split on \s+ keeps a leading empty token for
+    # whitespace-padded text, which would shift every shingle (" a b" vs
+    # "a b") and stop padded duplicates from colliding
+    toked = base.select(
+        F.col(id_col).alias("doc"),
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ).alias("toks"),
+    ).filter(F.size("toks") >= shingle_n)
+    shingle_expr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (shingle_n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + j) for j in range(shingle_n)]
+            ),
+        )
+    )
+    # binary feature set: hashed shingle indices, deduped (set semantics)
+    if feature_hash == "md5":
+        from jobhouse_spark.functions.hashing import md5_int32  # noqa: PLC0415
+
+        def _feat(x):
+            return F.pmod(md5_int32(x), F.lit(num_features))
+    else:
+        def _feat(x):
+            return F.pmod(F.xxhash64(x), F.lit(num_features))
+    feat_expr = F.array_distinct(F.transform(shingle_expr, _feat))
+    return toked.select("doc", feat_expr.alias("features"))
+
+
+def _band_signatures(featured: DataFrame, seed: int, num_hash_tables: int) -> DataFrame:
+    """Stage 2: (doc, band_idx, sig) — one minhash function per band
+    (r=1, matching MinHashLSH): sig_i = min over features of
+    (a_i*f + b_i) mod p."""
+    coeffs = minhash_coefficients(seed, num_hash_tables)
+
+    def _perm(a: int, b: int):
+        # closure factory: pyspark's higher-order-function binding counts
+        # lambda params, so the coefficients can't ride as default args
+        return lambda f: F.pmod(
+            a * F.pmod(f, F.lit(_MINHASH_PRIME)) + b, F.lit(_MINHASH_PRIME)
+        )
+
+    sigs = F.array(
+        *[F.array_min(F.transform("features", _perm(a, b))) for a, b in coeffs]
+    )
+    return featured.select("doc", F.posexplode(sigs).alias("band_idx", "sig"))
+
+
+def _capped_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Per-bucket membership cap: a (band, signature) bucket admits at
+    most max_bucket_size docs (lowest ids — deterministic), bounding its
+    pair fan-out to C(cap, 2) instead of C(bucket, 2)."""
+    wb = Window.partitionBy("band_idx", "sig").orderBy(F.col("doc").asc())
+    return (
+        banded.withColumn("__bn", F.row_number().over(wb))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
+
+
+def _exact_jaccard_pairs(
+    cand: DataFrame, features: DataFrame, jaccard_threshold: float
+) -> DataFrame:
+    """Final stage: exact Jaccard on surviving candidate pairs only —
+    two equi-joins pulling feature sets back onto the pair list. No
+    broadcast hint on purpose — the candidate side is bucket-cap-bounded
+    per bucket but NOT globally small (a duplicate-heavy corpus yields
+    C(cap,2) pairs per saturated bucket x bands; measured multi-GB at
+    10x replication, where a forced broadcast OOMs a small driver). AQE
+    converts to broadcast at runtime when the pair set is actually tiny."""
+    fa = features.select(F.col("doc").alias("doc_a"), F.col("features").alias("fa"))
+    fb = features.select(F.col("doc").alias("doc_b"), F.col("features").alias("fb"))
+    # filter on similarity directly (inclusive boundary: sim >= threshold
+    # keeps the pair) instead of a derived 1-x distance comparison whose
+    # rounding can flip exact-boundary pairs
+    sim = F.size(F.array_intersect("fa", "fb")) / F.size(F.array_union("fa", "fb"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim") >= jaccard_threshold)
+        .select("doc_a", "doc_b", (1.0 - F.col("__sim")).alias("jaccard_dist"))
+    )
+
+
+def minhash_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hash_tables: int = 5,
+    num_features: int = 1 << 16,
+    seed: int = 42,
+    shingle_n: int = 3,
+    feature_hash: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the STORED LSH index for incremental dedup: returns
+    (signatures(doc, band_idx, sig), features(doc, features)) — the two
+    compact relations a production pipeline persists (parquet tables)
+    so that future batches never re-featurize the indexed corpus. Both
+    are lazy frames computed with exactly the code the batch pipeline
+    uses; write them with the SAME parameters you will pass to
+    minhash_incremental_pairs."""
+    featured = _minhash_featurize(
+        docs, id_col, text_col, shingle_n, num_features, feature_hash
+    )
+    return _band_signatures(featured, seed, num_hash_tables), featured
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    index_signatures: DataFrame,
+    index_features: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.4,
+    num_hash_tables: int = 5,
+    num_features: int = 1 << 16,
+    seed: int = 42,
+    shingle_n: int = 3,
+    max_bucket_size: int = 500,
+    feature_hash: str = "xxhash64",
+) -> DataFrame:
+    """Incremental near-dup dedup: match a NEW batch against a stored
+    LSH index (minhash_index) WITHOUT re-featurizing the indexed corpus
+    — the shape a 100 TB pipeline actually runs: featurizing is the
+    full-text scan; signatures and features are compact stored columns.
+
+    Only the batch is tokenized/shingled/hashed; the index contributes
+    its stored signatures to the (cheap) bucket-cap-and-join stage and
+    its stored features to the exact rescore. EQUIVALENCE CONTRACT
+    (tested, and hash-checked by l2e): with identical parameters, the
+    result equals minhash_near_duplicates(index_docs UNION new_docs)
+    restricted to pairs involving at least one new doc — including cap
+    behavior, because the cap is applied over the UNIONED signature set
+    (signatures are 5 ints/doc; unioning them is nothing compared to
+    re-featurizing the corpus).
+
+    Returns (doc_a, doc_b, jaccard_dist), doc_a < doc_b; new-vs-index
+    and new-vs-new pairs both included. Eagerly materialized
+    (materialize_barrier) so the batch featurization runs once.
+    """
+    new_feat = _minhash_featurize(
+        new_docs, id_col, text_col, shingle_n, num_features, feature_hash
+    ).persist()
+    new_sigs = _band_signatures(new_feat, seed, num_hash_tables)
+    all_sigs = index_signatures.select("doc", "band_idx", "sig").withColumn(
+        "is_new", F.lit(False)
+    ).unionByName(new_sigs.withColumn("is_new", F.lit(True)))
+    capped = _capped_buckets(all_sigs, max_bucket_size)
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        # at least one NEW side: index-vs-index pairs were already found
+        # when the index was built — recomputing them is the waste this
+        # operator exists to avoid
+        .filter(F.col("a.is_new") | F.col("b.is_new"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    all_feat = index_features.select("doc", "features").unionByName(new_feat)
+    out = _exact_jaccard_pairs(cand, all_feat, jaccard_threshold)
+    from jobhouse_spark.materialize import materialize_barrier  # noqa: PLC0415
+
+    out = materialize_barrier(out)
+    new_feat.unpersist()
+    return out
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -372,84 +575,19 @@ def minhash_near_duplicates(
       session state and full fault tolerance; the tokenize/shingle/
       hash chain recomputes up to three times when the plan runs.
     """
-    base = docs.select(id_col, text_col)
-    # A small corpus read from one parquet file arrives as ONE partition
-    # and the whole featurize chain runs in a single task; spread it.
-    # Gated so a big (already well-partitioned) corpus is NOT given an
-    # extra full shuffle.
-    sc = docs.sparkSession.sparkContext
-    if base.rdd.getNumPartitions() < sc.defaultParallelism:
-        base = base.repartition(sc.defaultParallelism)
-
-    # Row-filter short docs up front instead of a when()-guarded empty
-    # shingle array: transform() over a CaseWhen child defeats codegen
-    # and ran ~100x slower than transform() over a plain nested
-    # expression (measured at sf0.1); the excluded rows are exactly the
-    # empty-set docs the contract drops anyway.
-    # trim before splitting: split on \s+ keeps a leading empty token for
-    # whitespace-padded text, which would shift every shingle (" a b" vs
-    # "a b") and stop padded duplicates from colliding
-    toked = base.select(
-        F.col(id_col).alias("doc"),
-        F.split(
-            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
-        ).alias("toks"),
-    ).filter(F.size("toks") >= shingle_n)
-    shingle_expr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - (shingle_n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("toks"), i + j) for j in range(shingle_n)]
-            ),
-        )
-    )
-    # binary feature set: hashed shingle indices, deduped (set semantics)
-    if feature_hash == "md5":
-        from jobhouse_spark.functions.hashing import md5_int32  # noqa: PLC0415
-
-        def _feat(s):
-            return F.pmod(md5_int32(s), F.lit(num_features))
-    else:
-        def _feat(s):
-            return F.pmod(F.xxhash64(s), F.lit(num_features))
     if materialize not in ("checkpoint", "persist", "lazy"):
         raise ValueError(f"unknown materialize mode {materialize!r}")
-    feat_expr = F.array_distinct(F.transform(shingle_expr, _feat))
+    featured = _minhash_featurize(
+        docs, id_col, text_col, shingle_n, num_features, feature_hash
+    )
     # consumed three times below (signatures + both sides of the exact-
     # Jaccard rejoin); persist so the tokenize/shingle/hash chain runs
     # one corpus scan, not three. The cached relation is one int-array
     # column — far smaller than the text — and spills to disk if not.
-    featured = toked.select("doc", feat_expr.alias("features"))
     if materialize != "lazy":
         featured = featured.persist()
-
-    # one minhash function per band (r=1, matching MinHashLSH):
-    # sig_i = min over features of (a_i*f + b_i) mod p
-    coeffs = minhash_coefficients(seed, num_hash_tables)
-    def _perm(a: int, b: int):
-        # closure factory: pyspark's higher-order-function binding counts
-        # lambda params, so the coefficients can't ride as default args
-        return lambda f: F.pmod(
-            a * F.pmod(f, F.lit(_MINHASH_PRIME)) + b, F.lit(_MINHASH_PRIME)
-        )
-
-    sigs = F.array(
-        *[F.array_min(F.transform("features", _perm(a, b))) for a, b in coeffs]
-    )
-    banded = featured.select(
-        "doc", F.posexplode(sigs).alias("band_idx", "sig")
-    )
-
-    # per-bucket membership cap: a (band, signature) bucket admits at
-    # most max_bucket_size docs (lowest ids — deterministic), bounding
-    # its pair fan-out to C(cap, 2) instead of C(bucket, 2).
-    wb = Window.partitionBy("band_idx", "sig").orderBy(F.col("doc").asc())
-    capped = (
-        banded.withColumn("__bn", F.row_number().over(wb))
-        .filter(F.col("__bn") <= max_bucket_size)
-        .drop("__bn")
-    )
-
+    banded = _band_signatures(featured, seed, num_hash_tables)
+    capped = _capped_buckets(banded, max_bucket_size)
     a = capped.alias("a")
     b = capped.alias("b")
     cand = (
@@ -462,28 +600,7 @@ def minhash_near_duplicates(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-
-    # exact Jaccard on surviving candidates only: two equi-joins pulling
-    # the (persisted) feature sets back onto the pair list. No broadcast
-    # hint on purpose — the candidate side is bucket-cap-bounded per
-    # bucket but NOT globally small (a duplicate-heavy corpus yields
-    # C(cap,2) pairs per saturated bucket x bands; measured multi-GB at
-    # 10x replication, where a forced broadcast OOMs a small driver).
-    # AQE converts to broadcast at runtime when the pair set is actually
-    # tiny, and shuffles on the doc key otherwise.
-    fa = featured.select(F.col("doc").alias("doc_a"), F.col("features").alias("fa"))
-    fb = featured.select(F.col("doc").alias("doc_b"), F.col("features").alias("fb"))
-    # filter on similarity directly (inclusive boundary: sim >= threshold
-    # keeps the pair) instead of a derived 1-x distance comparison whose
-    # rounding can flip exact-boundary pairs
-    sim = F.size(F.array_intersect("fa", "fb")) / F.size(F.array_union("fa", "fb"))
-    out = (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .withColumn("__sim", sim)
-        .filter(F.col("__sim") >= jaccard_threshold)
-        .select("doc_a", "doc_b", (1.0 - F.col("__sim")).alias("jaccard_dist"))
-    )
+    out = _exact_jaccard_pairs(cand, featured, jaccard_threshold)
     if materialize == "checkpoint":
         # Materialize eagerly, then release the cache: without this,
         # every invocation in a long-lived session (bench repeats,

@@ -306,7 +306,7 @@ def l21_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _minhash_oracle(source: str) -> str:
+def _minhash_oracle(source: str, extra_where: str = "") -> str:
     """DuckDB replica of the ENTIRE minhash pipeline with md5 features
     over ``source`` (a subquery yielding (doc_id, text)): same
     trim/lower/split tokenizer, same 3-gram shingles, same hex->int
@@ -358,8 +358,8 @@ scored AS (
   JOIN feats fa ON fa.doc = cand.doc_a
   JOIN feats fb ON fb.doc = cand.doc_b)
 SELECT doc_a, doc_b, 1.0 - sim AS jaccard_dist
-FROM scored WHERE sim >= 0.4 ORDER BY doc_a, doc_b
-"""
+FROM scored WHERE sim >= 0.4{extra_where} ORDER BY doc_a, doc_b
+""".format(extra_where=extra_where)
 
 
 @register(
@@ -414,4 +414,47 @@ def l2d_dedup_then_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = exact_dedup_by_content(docs, "text", "doc_id").select("doc_id", "text")
     return minhash_near_duplicates(
         survivors, jaccard_threshold=0.4, feature_hash="md5"
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "l2e_incremental_minhash",
+    oracle=_minhash_oracle(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 400",
+        extra_where=" AND (doc_a >= 300 OR doc_b >= 300)",
+    ),
+    tags=("llm", "similarity", "dedup"),
+)
+def l2e_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2e: INCREMENTAL near-dup dedup — a new batch (doc_id 300-399)
+    matched against a STORED LSH index of the corpus (doc_id < 300)
+    without re-featurizing the indexed side. The index (band signatures
+    + feature sets, minhash_index) round-trips through parquet exactly
+    as a production pipeline stores it; only the batch tokenizes.
+    Differentially verified against the FULL-recompute oracle restricted
+    to pairs involving a new doc — proving the equivalence contract of
+    minhash_incremental_pairs end-to-end (cap-over-union semantics
+    included), with md5 features both engines compute identically."""
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from jobhouse_spark.operators.similarity import (  # noqa: PLC0415
+        minhash_incremental_pairs,
+        minhash_index,
+    )
+
+    d = Tables(spark, sf_dir).documents
+    index_docs = d.filter(F.col("doc_id") < 300)
+    batch = d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+
+    sigs, feats = minhash_index(index_docs, feature_hash="md5")
+    tag = __import__("hashlib").md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"jh_l2e_{tag}")
+    sigs.write.mode("overwrite").parquet(os.path.join(root, "sigs"))
+    feats.write.mode("overwrite").parquet(os.path.join(root, "feats"))
+    stored_sigs = spark.read.parquet(os.path.join(root, "sigs"))
+    stored_feats = spark.read.parquet(os.path.join(root, "feats"))
+
+    return minhash_incremental_pairs(
+        batch, stored_sigs, stored_feats, jaccard_threshold=0.4, feature_hash="md5"
     ).orderBy("doc_a", "doc_b")

@@ -164,6 +164,44 @@ def test_minhash_releases_cache(spark):
     assert jvm_catalog.isEmpty(), "minhash leaked a persisted relation"
 
 
+def test_incremental_minhash_equals_full_recompute(spark):
+    """minhash_incremental_pairs(batch, stored index) must equal the
+    full-recompute pipeline over (index ∪ batch) restricted to pairs
+    involving a batch doc — on the production xxhash64 path, including
+    planted near-dups across the index/batch boundary."""
+    from jobhouse_spark.operators.similarity import (
+        minhash_incremental_pairs,
+        minhash_index,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, f"document number {i} {body}") for i in range(40)]
+    # batch: 35-39 fresh + near-dups of indexed docs 3 and 7
+    rows += [
+        (100, rows[3][1] + " extra"),
+        (101, rows[7][1]),
+        (102, "completely different content with no overlap whatsoever here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    index_docs = docs.filter(F.col("doc_id") < 40)
+    batch = docs.filter(F.col("doc_id") >= 40)
+
+    sigs, feats = minhash_index(index_docs, num_hash_tables=3)
+    inc = minhash_incremental_pairs(
+        batch, sigs, feats, jaccard_threshold=0.5, num_hash_tables=3
+    )
+    full = minhash_near_duplicates(
+        docs, jaccard_threshold=0.5, num_hash_tables=3
+    ).filter((F.col("doc_a") >= 40) | (F.col("doc_b") >= 40))
+
+    got = sorted(map(tuple, inc.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want and len(want) > 0, (got, want)
+    # the cross-boundary planted dups were actually found
+    found = {(a, b) for a, b, _ in got}
+    assert (3, 100) in found and (7, 101) in found, found
+
+
 def test_minhash_materialize_modes_agree(spark):
     """The three featured-relation lifecycles (eager checkpoint /
     caller-owned persist / pure-lazy recompute) are plumbing, not

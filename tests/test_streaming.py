@@ -219,6 +219,12 @@ def test_t16_streaming_incremental_merge_exactly_once(spark, tmp_path):
         (4, datetime(2024, 1, 7, 1), 40, 4.0),
         (4, datetime(2024, 1, 7, 1), 40, 44.0),
     ], "b2.parquet")
+    # FileStreamSource orders files by MODIFICATION TIME; under suite
+    # load both writes can land in the same clock tick, making batch
+    # order (and thus which upsert wins) nondeterministic — pin it
+    now = time.time()
+    os.utime(os.path.join(src, "b1.parquet"), (now - 100, now - 100))
+    os.utime(os.path.join(src, "b2.parquet"), (now - 50, now - 50))
 
     silver = str(tmp_path / "silver")
     ckpt = str(tmp_path / "ckpt")
