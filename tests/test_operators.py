@@ -130,3 +130,26 @@ def test_e4_single_day_degenerate_null_z(spark, tmp_path):
     )
     duck_pdf = con.execute(q.oracle).fetchdf()
     assert not compare_frames(spark_pdf, duck_pdf)
+
+
+def test_md5_int32_matches_duckdb_bit_for_bit(spark):
+    """The cross-engine hash contract every differential oracle rests
+    on: functions/hashing.md5_int32 (Spark) and MD5_INT32_SQL (DuckDB)
+    must agree bit-for-bit on arbitrary strings — including empties,
+    unicode, and separators."""
+    import duckdb
+
+    from jobhouse_spark.functions.hashing import MD5_INT32_SQL, md5_int32
+    from pyspark.sql import functions as F
+
+    samples = ["", "a", "hello world", "für", "a|b|123", "  padded  ", "0", "emoji🙂"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r.s: r.h for r in df.select("s", md5_int32(F.col("s")).alias("h")).collect()}
+
+    con = duckdb.connect()
+    for s in samples:
+        # dollar-quoted literal: survives quotes/pipes in the sample
+        (want,) = con.execute(
+            "SELECT " + MD5_INT32_SQL.format(x=f"$tok${s}$tok$")
+        ).fetchone()
+        assert got[s] == want, (s, got[s], want)
