@@ -25,10 +25,30 @@ from pyspark.sql import DataFrame
 
 def materialize_barrier(df: DataFrame) -> DataFrame:
     sc = df.sparkSession.sparkContext
-    reliable = sc.getCheckpointDir() is not None and (
+    has_dir = sc.getCheckpointDir() is not None
+    cleans = (
         sc.getConf()
         .get("spark.cleaner.referenceTracking.cleanCheckpoints", "false")
         .lower()
         == "true"
     )
-    return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+    if has_dir and not cleans:
+        # the user signalled they want reliable checkpoints but the
+        # context won't reclaim them — surface the downgrade instead of
+        # silently removing executor-loss recoverability
+        import warnings  # noqa: PLC0415
+
+        warnings.warn(
+            "checkpoint dir is set but "
+            "spark.cleaner.referenceTracking.cleanCheckpoints is false: "
+            "falling back to localCheckpoint (not recoverable after "
+            "executor loss) to avoid unbounded checkpoint-dir growth; "
+            "set the cleaner conf at context start for reliable "
+            "checkpoints",
+            stacklevel=3,
+        )
+    return (
+        df.checkpoint(eager=True)
+        if has_dir and cleans
+        else df.localCheckpoint(eager=True)
+    )

@@ -45,31 +45,45 @@ def psi_drift(
         F.count("*").alias("n")
     )
     tot = counts.groupBy(category_col, cohort_col).agg(F.sum("n").alias("t"))
+    # grid from the COUNTS aggregate, not the raw input: every input
+    # category has >= 1 count row, and this keeps the operator at ONE
+    # scan of binned (a distinct over raw binned would be a second one)
     grid = (
-        binned.select(category_col)
+        counts.select(category_col)
         .distinct()
         .crossJoin(spark.range(n_bins).select(F.col("id").cast("int").alias(bin_col)))
     )
     cb = counts.filter(F.col(cohort_col) == base_label).select(
-        category_col, bin_col, F.col("n").alias("nb")
+        F.col(category_col).alias("cat_b"), F.col(bin_col).alias("bin_b"),
+        F.col("n").alias("nb"),
     )
     cc = counts.filter(F.col(cohort_col) == cur_label).select(
-        category_col, bin_col, F.col("n").alias("nc")
+        F.col(category_col).alias("cat_c"), F.col(bin_col).alias("bin_c"),
+        F.col("n").alias("nc"),
     )
     tb = tot.filter(F.col(cohort_col) == base_label).select(
-        category_col, F.col("t").alias("tb")
+        F.col(category_col).alias("cat_tb"), F.col("t").alias("tb")
     )
     tc = tot.filter(F.col(cohort_col) == cur_label).select(
-        category_col, F.col("t").alias("tc")
+        F.col(category_col).alias("cat_tc"), F.col("t").alias("tc")
     )
+    # NULL-SAFE category joins throughout: a NULL category (unclassified
+    # rows — often a brand-new max-drift bucket) must attach its real
+    # counts; plain equi-joins never match NULL=NULL and would silently
+    # report psi=0 for exactly the category that drifted most
+    cat = F.col(category_col)
     p = (
-        grid.join(cb, [category_col, bin_col], "left")
-        .join(cc, [category_col, bin_col], "left")
+        grid.join(
+            cb, cat.eqNullSafe(F.col("cat_b")) & (F.col(bin_col) == F.col("bin_b")), "left"
+        )
+        .join(
+            cc, cat.eqNullSafe(F.col("cat_c")) & (F.col(bin_col) == F.col("bin_c")), "left"
+        )
         # LEFT + 0 fallback: a category absent from one cohort keeps its
         # rows (uniform smoothed distribution for the absent side) — the
         # max-drift case an inner join would silently drop
-        .join(tb, category_col, "left")
-        .join(tc, category_col, "left")
+        .join(tb, cat.eqNullSafe(F.col("cat_tb")), "left")
+        .join(tc, cat.eqNullSafe(F.col("cat_tc")), "left")
         .select(
             category_col,
             (

@@ -70,12 +70,20 @@ def incremental_merge(
 
     # Bootstrap: a first-ever merge (streaming sink, fresh silver) has
     # no table to read yet — treat silver as empty instead of failing
-    # the path lookup.
+    # the path lookup. ONLY the path-not-found condition may bootstrap:
+    # any other analysis failure on an EXISTING table (unreadable dir,
+    # schema conflict) must raise, or the dynamic overwrite below would
+    # silently replace the changed days with batch-only rows (data loss).
     try:
         old_slice = spark.read.parquet(silver_root).filter(
             F.col(day_col).isin(changed_days)
         )
-    except AnalysisException:
+    except AnalysisException as e:
+        cond = (
+            getattr(e, "getCondition", None) and e.getCondition()
+        ) or (getattr(e, "getErrorClass", None) and e.getErrorClass()) or ""
+        if "PATH_NOT_FOUND" not in str(cond) and "PATH_NOT_FOUND" not in str(e):
+            raise
         old_slice = upserts.filter(F.lit(False))
     del_keys = deletes.select(key_col)
     up_keys = upserts.select(key_col)
@@ -116,6 +124,18 @@ def incremental_merge(
     remaining = {str(r[0]) for r in merged.select(day_col).distinct().collect()}
     emptied = [d for d in changed_days if d not in remaining]
     if emptied:
+        # the clear targets the partition DIRECTORY by name; partition
+        # values Spark would %-escape in the dir name (space, ':', '%',
+        # '/', ...) would make the raw path point elsewhere — refuse
+        # them loudly instead of clearing the wrong directory
+        import re  # noqa: PLC0415
+
+        bad = [d for d in emptied if not re.fullmatch(r"[A-Za-z0-9._-]+", d)]
+        if bad:
+            raise ValueError(
+                f"cannot clear fully-deleted partitions with values needing "
+                f"path escaping: {bad!r} (use plain date-like {day_col} values)"
+            )
         empty = merged.drop(day_col).filter(F.lit(False))
         for d in emptied:
             empty.write.mode("overwrite").parquet(f"{silver_root}/{day_col}={d}")

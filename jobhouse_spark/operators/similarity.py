@@ -470,6 +470,15 @@ def minhash_incremental_pairs(
         new_docs, id_col, text_col, shingle_n, num_features, feature_hash
     ).persist()
     new_sigs = _band_signatures(new_feat, seed, num_hash_tables)
+    # Re-submitted ids (a re-crawl of an indexed doc): the BATCH version
+    # wins — the indexed rows for those ids are dropped before the
+    # union, otherwise the doc would carry two signature/feature rows
+    # (double-counted in bucket caps, duplicated output pairs). The
+    # equivalence contract then reads: equals the full recompute over
+    # (index MINUS resubmitted ids) UNION batch.
+    new_ids = new_feat.select("doc")
+    index_signatures = index_signatures.join(new_ids, "doc", "left_anti")
+    index_features = index_features.join(new_ids, "doc", "left_anti")
     all_sigs = index_signatures.select("doc", "band_idx", "sig").withColumn(
         "is_new", F.lit(False)
     ).unionByName(new_sigs.withColumn("is_new", F.lit(True)))
@@ -624,6 +633,14 @@ def minhash_near_duplicates(
         # every transformation returns a new DataFrame without the
         # attribute. The module registry backs the lost-handle case:
         # release_persisted_inputs() frees everything outstanding.
+        # Self-pruning: entries the caller already unpersisted (storage
+        # level back to NONE) drop out here, so well-behaved callers
+        # don't accumulate dead references in a long-lived session.
+        _PERSISTED_INPUTS[:] = [
+            d
+            for d in _PERSISTED_INPUTS
+            if d.storageLevel.useMemory or d.storageLevel.useDisk
+        ]
         out.jh_cached_inputs = [featured]
         _PERSISTED_INPUTS.append(featured)
         return out

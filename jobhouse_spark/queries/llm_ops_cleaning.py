@@ -319,6 +319,9 @@ def _minhash_oracle(source: str, extra_where: str = "") -> str:
         minhash_coefficients,
     )
 
+    from jobhouse_spark.functions.hashing import MD5_INT32_SQL  # noqa: PLC0415
+
+    _MD5I = MD5_INT32_SQL.format(x="s")
     bands = ", ".join(
         f"({i}, {a}, {b})"
         for i, (a, b) in enumerate(minhash_coefficients(42, 5))
@@ -334,7 +337,7 @@ sh AS (
   FROM toked WHERE len(toks) >= 3),
 feats AS (
   SELECT doc, list_distinct(list_transform(shingles, s ->
-           CAST(list_sum(list_transform(range(1, 9), j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1) * 16.0 ** (8 - j))) AS BIGINT) % 65536)) AS features
+           {_MD5I} % 65536)) AS features
   FROM sh),
 sigs AS (
   SELECT doc, band_idx,
@@ -359,7 +362,7 @@ scored AS (
   JOIN feats fb ON fb.doc = cand.doc_b)
 SELECT doc_a, doc_b, 1.0 - sim AS jaccard_dist
 FROM scored WHERE sim >= 0.4{extra_where} ORDER BY doc_a, doc_b
-""".format(extra_where=extra_where)
+"""
 
 
 @register(

@@ -207,6 +207,7 @@ def stream_incremental_merge(
     checkpoint_dir: str,
     key_col: str = "event_id",
     day_col: str = "day",
+    order_col: str = "ts",
     on_epoch=None,
 ) -> None:
     """T16: streaming UPSERT sink into a day-partitioned silver table —
@@ -221,16 +222,30 @@ def stream_incremental_merge(
     overwrite. This is the streaming form of the A16b CDC apply: latest
     row per key wins, only touched day partitions rewrite each batch.
 
-    ``events`` must carry ``day_col`` (the partition key). ``on_epoch``
+    ``events`` must carry ``day_col`` (the partition key) and
+    ``order_col`` (the version order within a batch). ``on_epoch``
     is the crash-injection test seam (post-merge, pre-commit).
     """
+    from pyspark.sql import Window  # noqa: PLC0415
+
     from jobhouse_spark.operators.incremental import incremental_merge  # noqa: PLC0415
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        # a key appearing twice within one batch collapses to its latest
-        # version before merging (merge expects one row per key)
-        latest = batch_df.dropDuplicates([key_col])
+        # a key appearing twice within one batch collapses to its LATEST
+        # version by order_col before merging (merge expects one row per
+        # key). NOT dropDuplicates: that keeps a partition-order-
+        # dependent row, so the upsert value would be nondeterministic
+        # within a batch AND across crash replays. Exact order_col ties
+        # break on a content hash — retry-deterministic, never arbitrary.
+        w = Window.partitionBy(key_col).orderBy(
+            F.col(order_col).desc(), F.xxhash64(*batch_df.columns).asc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         empty_deletes = latest.filter(F.lit(False)).select(key_col, day_col)
         incremental_merge(spark, silver_root, latest, empty_deletes, key_col, day_col)
         if on_epoch is not None:

@@ -202,6 +202,33 @@ def test_incremental_minhash_equals_full_recompute(spark):
     assert (3, 100) in found and (7, 101) in found, found
 
 
+def test_incremental_minhash_resubmitted_id_batch_wins(spark):
+    """A batch doc whose id already exists in the index (re-crawl) must
+    not double-count: the batch version replaces the indexed one — no
+    duplicate output pairs, and matching uses the NEW text."""
+    from jobhouse_spark.operators.similarity import (
+        minhash_incremental_pairs,
+        minhash_index,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} {body}") for i in range(20)],
+        "doc_id int, text string",
+    )
+    sigs, feats = minhash_index(docs, num_hash_tables=3)
+    # re-submit doc 5 with text now near-identical to doc 9's
+    batch = spark.createDataFrame(
+        [(5, f"document number 9 {body} updated")], "doc_id int, text string"
+    )
+    pairs = minhash_incremental_pairs(
+        batch, sigs, feats, jaccard_threshold=0.5, num_hash_tables=3
+    ).collect()
+    keys = [(r.doc_a, r.doc_b) for r in pairs]
+    assert len(keys) == len(set(keys)), f"duplicate pairs: {keys}"
+    assert (5, 9) in keys, keys  # matched via the NEW text, not the stale index row
+
+
 def test_minhash_materialize_modes_agree(spark):
     """The three featured-relation lifecycles (eager checkpoint /
     caller-owned persist / pure-lazy recompute) are plumbing, not
