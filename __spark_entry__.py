@@ -57,24 +57,26 @@ _HEAD = (
     "u1_union",
     "a16b_incremental_merge",
     "s14_corrupt_quarantine",
-    # F — scalar function surface (f4_array/f5_map/f6_json/f8_cast
-    # verified in driver_sim/tests; slots go to the round-6 checked
-    # ANN pipelines)
+    # F — scalar function surface (f2/f4/f5/f6/f8 verified in
+    # driver_sim/tests; slots go to the round-6 incremental dedup +
+    # checked ANN pipelines)
     "f1_string",
-    "f2_datetime",
+    "l2e_incremental_minhash",
     "l3b2_lsh_checked",
     "l3c2_ivf_checked",
     # L-cleaning — PII redaction representative
     "l18_pii_redaction",
-    # T — structured streaming (batch-equivalent oracles)
+    # T — structured streaming (batch-equivalent oracles; t8 verified
+    # in driver_sim — slot goes to the SCD2 history applier)
     "t2_tumbling_window",
     "t4_session_window",
     "t6_stream_dedup",
-    "t8_stream_static_join",
-    # X — Python execution surface
+    "a16c_scd2_history",
+    # X — Python execution surface (x6 verified in driver_sim — slot
+    # goes to the fuzzy entity-resolution join)
     "x2_pandas_udf",
     "x4_apply_in_pandas",
-    "x6_python_udtf",
+    "j14_fuzzy_join",
     # L — LLM data-pipeline operators
     "l1_exact_dedup",
     "l2b_ngram_jaccard",
