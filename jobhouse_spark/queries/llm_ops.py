@@ -521,3 +521,66 @@ def l6b_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "l6c_unigram_logprob",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents),
+uni AS (
+  SELECT tok, COUNT(*) AS c FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+stats AS (SELECT SUM(c) AS total, COUNT(*) AS vocab FROM uni),
+doc_toks AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks WHERE doc_id < 200),
+lp AS (
+  SELECT doc_id,
+         CAST(ln((u.c + 1.0) / (s.total + s.vocab)) AS DECIMAL(18,9)) AS lp
+  FROM doc_toks d JOIN uni u USING (tok) CROSS JOIN stats s)
+SELECT doc_id, COUNT(*) AS n_tok,
+       CAST(CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE)
+         AS avg_logprob
+FROM lp GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("llm", "text", "quality"),
+)
+def l6c_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6c: perplexity-proxy quality score — per-document average
+    unigram log-probability under the corpus's own Laplace-smoothed
+    unigram model (the CCNet/RefinedWeb 'LM quality filter' with the
+    n-gram model collapsed to unigrams: gibberish and off-distribution
+    docs score low, fluent in-distribution text scores high).
+
+    Scale shape: ONE corpus scan builds the unigram table (partial+final
+    agg); the model — vocab counts + two scalars — is lexicon-sized at
+    any corpus size, so scoring is a broadcast join + map-side math and
+    one groupBy(doc) aggregate. Determinism: per-token log-probs round
+    through DECIMAL(18,9) BEFORE summing (decimal addition is exact in
+    any order — AQE/retries can't perturb results), then one exact
+    int-over-int style division rounds through DECIMAL(18,6)."""
+    from jobhouse_spark.queries.registry import dec  # noqa: PLC0415
+
+    d = Tables(spark, sf_dir).documents
+    tok = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    uni = d.select(tok).groupBy("tok").agg(F.count("*").alias("c"))
+    stats = uni.agg(F.sum("c").alias("total"), F.count("*").alias("vocab"))
+    doc_toks = d.filter(F.col("doc_id") < 200).select("doc_id", tok)
+    lp = (
+        doc_toks.join(F.broadcast(uni), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            dec(
+                F.log((F.col("c") + F.lit(1.0)) / (F.col("total") + F.col("vocab"))), 9
+            ).alias("lp"),
+        )
+    )
+    return (
+        lp.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            fin(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
