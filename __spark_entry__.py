@@ -29,79 +29,85 @@ from jobhouse_spark.queries import all_queries  # noqa: E402
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # One hash-checkable representative per SURVEY §2 family, 50 exactly.
+#
+# ROUND-7 ROTATION: the driver had only ever hash-checked the same ~50
+# entries; this head swaps 35 slots to FIRST-TIME entries (s9/s15, j11,
+# g11/g20, w3b, u1b, f3/f7/f9, t1/t3/t11/t12, x1/x5/x7, e1/e4,
+# l1b/l2b2/l2c/l2d/l8/l10c/l16/l21/l22, jh2/jh3/jh4, q2/q5/q9, sq4) so
+# the adversarial check covers never-driver-green rows. Every rotated-
+# OUT entry remains verified by the identical oracle in
+# tools/driver_sim.py (full registry) and tests/.
 _HEAD = (
-    # S — sources/sinks
+    # S — sources/sinks (s1 anchor; ORC + schema evolution first-timers)
     "s1_parquet_scan",
-    "s4_partitioned_write_roundtrip",
-    "s6_jdbc_roundtrip",
+    "s9_orc_roundtrip",
+    "s15_schema_evolution",
     # P — projection/filter
     "p1_projection",
     "p2_filter",
-    "p5_nested_access",
-    # J — joins
+    # J — joins (j1 anchor; expression-key join first-timer)
     "j1_inner_equi",
-    "j3_broadcast",
-    "j8_asof_join",
-    # G — aggregates
+    "j11_join_with_expr_key",
+    # G — aggregates (g1 anchor/flagship; pivot + PSI drift first-timers)
     "g1_groupby_agg",
-    "g2_count_distinct",
-    "g6_percentiles",
-    # W — windows
+    "g11_pivot",
+    "g20_psi_drift",
+    # W — windows (w1 anchor; RANGE frame first-timer)
     "w1_row_number",
-    "w4_topk_per_group",
-    "w5_latest_per_key",
+    "w3b_range_frame",
     # O — ordering
     "o1_global_sort",
-    # U — set ops (u2_intersect/u3_except verified in driver_sim/tests;
-    # slots go to the S-family quarantine scan + incremental CDC merge)
-    "u1_union",
-    "a16b_incremental_merge",
-    "s14_corrupt_quarantine",
-    # F — scalar function surface (f2/f4/f5/f6/f8 verified in
-    # driver_sim/tests; slots go to the round-6 incremental dedup +
-    # checked ANN pipelines)
-    "f1_string",
-    "l2e_incremental_minhash",
-    "l3b2_lsh_checked",
-    "l3c2_ivf_checked",
-    # L-cleaning — PII redaction representative
-    "l18_pii_redaction",
-    # T — structured streaming (batch-equivalent oracles; t8 verified
-    # in driver_sim — slot goes to the SCD2 history applier)
+    # U — set ops (UNION ALL counting first-timer)
+    "u1b_union_all_count",
+    # F — scalar function surface (math/hash/VARIANT first-timers)
+    "f3_math",
+    "f7_hash",
+    "f9_variant",
+    # T — structured streaming (t2 anchor; source, sliding window,
+    # stream-stream join, Python stream source first-timers)
     "t2_tumbling_window",
-    "t4_session_window",
-    "t6_stream_dedup",
-    "a16c_scd2_history",
-    # X — Python execution surface (x6 verified in driver_sim — slot
-    # goes to the fuzzy entity-resolution join)
-    "x2_pandas_udf",
-    "x4_apply_in_pandas",
-    "j14_fuzzy_join",
-    # L — LLM data-pipeline operators
+    "t1_stream_source",
+    "t3_sliding_window",
+    "t11_stream_stream_join",
+    "t12_python_stream_source",
+    # X — Python execution surface (scalar UDF, mapInPandas, mapInArrow
+    # first-timers; x2/x4 verified in driver_sim/tests)
+    "x1_scalar_udf",
+    "x5_map_in_pandas",
+    "x7_map_in_arrow",
+    # E — event analytics (funnel + anomaly first-timers)
+    "e1_funnel_conversion",
+    "e4_daily_anomalies",
+    # L — LLM data-pipeline operators (l1/l3 anchors; checked-twin and
+    # lifecycle first-timers)
     "l1_exact_dedup",
-    "l2b_ngram_jaccard",
+    "l1b_dedup_survivors",
+    "l2b2_ngram_jaccard_capped",
+    "l2c_minhash_checked",
+    "l2d_dedup_then_minhash",
     "l3_cosine_topk",
-    "l4_text_stats",
-    "l6_quality_filter",
-    "l7_embedding_neardup",
-    "l11_doc_chunking",
-    "l13_contamination_overlap",
-    "l14_bm25",
-    "l15_dedup_clusters",
+    "l8_language_id",
+    "l10c_hash_split",
+    "l16_embedding_centroids",
+    "l21_duplicated_spans",
+    "l22_chunk_embed_ann",
     # JH — the reference's gold marts (replay fixture -> bronze ->
     # silver -> gold, hash-checked against a fixture-rebuilding oracle)
     "jh1_gold_daily_mart",
-    # A — ingestion/bronze
+    "jh2_salary_by_experience",
+    "jh3_datasource_v2",
+    "jh4_gold_employer_features",
+    # A — ingestion/bronze (a8 anchor; incremental CDC merge)
     "a8_bronze_roundtrip",
-    "a8b_bronze_hive_pruned",
-    "a15_dedup_check",
-    "a16_change_detection",
-    # TPC-H analytics
-    "q6_forecast_revenue",
+    "a16b_incremental_merge",
+    # TPC-H analytics (q18 anchor; q2/q5/q9 first-timers)
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
     "q18_large_volume_customer",
-    # subqueries
+    # subqueries (sq2 anchor; recursive CTE first-timer)
     "sq2_correlated_exists",
-    "sq5_lateral_topk",
+    "sq4_recursive_spine",
 )
 
 

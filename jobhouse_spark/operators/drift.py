@@ -37,12 +37,29 @@ def psi_drift(
     (category_col, cohort_col, bin_col). Returns (category, psi-double).
     Deterministic cross-engine: counts are exact ints, probabilities
     int-over-int double divisions, and the ln-sum rounds through
-    DECIMAL(18,6) (absorbing sub-ulp ln differences)."""
+    DECIMAL(18,6) (absorbing sub-ulp ln differences).
+
+    PRE-BINNED CONTRACT: ``bin_col`` must be a non-null int in
+    [0, n_bins). Violations FAIL the job (assert_true below) instead of
+    silently deflating PSI — an out-of-range/NULL bin would never match
+    the grid left-join and its counts would vanish from both cohorts."""
     from jobhouse_spark.queries.registry import fin  # noqa: PLC0415
 
     spark = binned.sparkSession
-    counts = binned.groupBy(category_col, cohort_col, bin_col).agg(
-        F.count("*").alias("n")
+    # the guard is routed THROUGH the bin column (not a dropped side
+    # column, which column pruning would silently eliminate): every
+    # downstream use reads the checked value, so violations always fire
+    checked_bin = F.when(
+        F.col(bin_col).between(0, n_bins - 1), F.col(bin_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"psi_drift: {bin_col} outside pre-binned contract [0, {n_bins})")
+        )
+    )
+    counts = (
+        binned.withColumn(bin_col, checked_bin)
+        .groupBy(category_col, cohort_col, bin_col)
+        .agg(F.count("*").alias("n"))
     )
     tot = counts.groupBy(category_col, cohort_col).agg(F.sum("n").alias("t"))
     # grid from the COUNTS aggregate, not the raw input: every input

@@ -105,22 +105,29 @@ def incremental_merge(
 
     merged = materialize_barrier(merged)
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            merged.write.mode("overwrite")
-            .partitionBy(day_col)
-            .parquet(silver_root)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Per-write option (Spark 3.0+), NOT a session-conf flip: a session
+    # mutation would leak dynamic semantics into any concurrent
+    # partitioned overwrite in the same session during the window, and
+    # concurrent merges would race on the restore.
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(day_col)
+        .parquet(silver_root)
+    )
 
     # Dynamic overwrite only replaces partitions PRESENT in the output:
     # a day whose rows were ALL deleted contributes zero rows to
     # `merged`, so its old files would silently survive. Clear such
     # days explicitly with a static overwrite of the partition dir
     # (empty write: deletes the old files, leaves an empty partition).
+    #
+    # NON-ATOMICITY WINDOW (documented contract): each partition write
+    # is atomic, but the dynamic overwrite above and this clear are two
+    # steps. A crash between them leaves fully-deleted days' stale rows
+    # visible until the batch is re-applied; because the merge is
+    # idempotent, the re-run converges. Readers between a crash and the
+    # re-run may observe resurrected rows for those days only.
     remaining = {str(r[0]) for r in merged.select(day_col).distinct().collect()}
     emptied = [d for d in changed_days if d not in remaining]
     if emptied:

@@ -68,9 +68,14 @@ def scd2_apply(
     # presence independently of key values.
     o = cur.select(*cols, "valid_from", F.lit(True).alias("__has_old")).alias("o")
     n = batch.select(*cols, F.lit(True).alias("__has_new")).alias("n")
+    # seeded with lit(True): a keys-only dimension (attr_cols == []) is
+    # a valid contract — every matched key compares "same", so only
+    # inserts/deletes produce version changes — rather than an opaque
+    # TypeError out of an initializer-less reduce()
     same: Column = reduce(
         lambda a, b: a & b,
         [F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")) for c in attr_cols],
+        F.lit(True),
     )
     j = o.join(n, F.col(f"o.{key}").eqNullSafe(F.col(f"n.{key}")), "full_outer")
     has_old = F.col("o.__has_old").isNotNull()

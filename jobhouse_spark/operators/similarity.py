@@ -671,6 +671,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs (the deterministic
     counterpart of MinHash, oracle-checkable).
@@ -678,6 +679,20 @@ def ngram_jaccard_pairs(
     Scalable shape: explode shingles → self-join on shingle (inverted
     index!) → count common shingles per pair → Jaccard from set sizes.
     No cross product: pairs sharing zero shingles are never materialized.
+
+    ``max_df`` caps the hot-shingle fan-out: the inverted-index
+    self-join emits C(df, 2) pairs per shingle, so ONE boilerplate
+    3-gram shared by 10^6 web documents would materialize ~5*10^11 join
+    rows in a single key. With ``max_df=K``, shingles whose document
+    frequency exceeds K are dropped from the index BEFORE the self-join
+    (the CCNet / suffix-array-dedup stop-gram move; same pruning as the
+    j14 fuzzy join's stop-grams), bounding per-shingle join input at
+    C(K, 2). Semantics become Jaccard over the PRUNED shingle universe
+    — set sizes are recomputed over surviving shingles so the ratio
+    stays a true Jaccard of the capped sets (deterministic, oracle-
+    mirrorable). Boilerplate shared by >K docs no longer contributes to
+    similarity, which is the point: it carries no dedup signal. Default
+    ``None`` preserves exact semantics for bounded inputs.
     """
     # coalesce makes the token array provably non-nullable: otherwise
     # Catalyst infers isnotnull(set_size) downstream and pushes the
@@ -712,6 +727,35 @@ def ngram_jaccard_pairs(
     inv = shingled.select(
         "doc", "set_size", F.explode_outer("shingles").alias("shingle")
     )
+    if max_df is not None:
+        from jobhouse_spark.materialize import materialize_barrier  # noqa: PLC0415
+
+        # The capped dataflow reads the inverted index from FOUR
+        # consumers (df counts, the anti-join, the size recompute, and
+        # both self-join branches); without a barrier Catalyst inlines
+        # the tokenize+shingle+explode pipeline into every branch —
+        # measured as 8 Generate chains / 0 reused exchanges, i.e.
+        # tokenizing the corpus ~8x at 100 TB. Two barriers make the
+        # expensive stages run ONCE each: shingling once, pruning once.
+        inv = materialize_barrier(inv.drop("set_size"))
+        # shingles are array_distinct'd per doc, so count(*) per shingle
+        # IS document frequency. The hot set (df > K) has at most
+        # total_postings / K entries — small for any real K, and AQE
+        # broadcasts the anti-join side when it is; no forced broadcast
+        # so a pathological hot set can still shuffle instead of OOM.
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        pruned = materialize_barrier(inv.join(hot, "shingle", "left_anti"))
+        # set sizes recomputed over SURVIVING shingles (count(*) per doc
+        # = pruned distinct-shingle count) so jaccard stays exact over
+        # the capped universe; docs fully pruned vanish — they cannot
+        # pair anyway (no surviving postings to join on).
+        sizes = pruned.groupBy("doc").agg(F.count("*").alias("set_size"))
+        inv = pruned.join(sizes, "doc")
     a = inv.alias("a")
     b = inv.alias("b")
     common = (

@@ -191,3 +191,70 @@ def t12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("page")
     )
+
+
+def _jh4_oracle() -> str:
+    """DuckDB replica of the employer feature mart: silver rebuilt from
+    the raw fixture, then salary stats + the hashing-trick title
+    embedding (MD5_INT32_SQL token hash -> dim h%16, signed weight
+    (h>>4)%2001-1000, per-dim sums pooled across an employer's
+    postings)."""
+    from jobhouse_spark.functions.hashing import MD5_INT32_SQL  # noqa: PLC0415
+
+    hext = MD5_INT32_SQL.format(x="t")
+    dims = ",\n         ".join(
+        f"CAST(list_sum(list_transform(hs, h -> CASE WHEN h % 16 = {d} "
+        f"THEN (h >> 4) % 2001 - 1000 ELSE 0 END)) AS BIGINT) AS e{d}"
+        for d in range(4)
+    )
+    embs = ", ".join(f"CAST(SUM(e{d}) AS BIGINT) AS emb_{d}" for d in range(4))
+    return rf"""
+WITH it AS (
+  SELECT unnest(items) AS v
+  FROM read_json('{FIXTURE}', format='array')
+),
+silver AS (
+  SELECT v.employer.name AS employer_name,
+         CAST(CASE
+           WHEN v.salary."from" IS NOT NULL AND v.salary."to" IS NOT NULL
+             THEN (v.salary."from" + v.salary."to") / 2
+           WHEN v.salary."from" IS NOT NULL THEN v.salary."from"
+           ELSE v.salary."to" END AS DOUBLE) AS salary_mid,
+         string_split_regex(lower(trim(coalesce(v.name, ''))), '\s+') AS toks
+  FROM it
+),
+feat AS (
+  SELECT employer_name, salary_mid,
+         len(toks) AS title_tokens,
+         list_transform(toks, t -> {hext}) AS hs
+  FROM silver
+),
+dims AS (
+  SELECT employer_name, salary_mid, title_tokens,
+         {dims}
+  FROM feat
+)
+SELECT employer_name,
+       COUNT(*) AS n_postings,
+       COUNT(salary_mid) AS n_with_salary,
+       CAST(CAST(AVG(CAST(salary_mid AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
+         AS avg_salary_mid,
+       MIN(salary_mid) AS min_salary_mid,
+       MAX(salary_mid) AS max_salary_mid,
+       CAST(SUM(title_tokens) AS BIGINT) AS title_tokens,
+       {embs}
+FROM dims GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("jh4_gold_employer_features", oracle=_jh4_oracle(), tags=("jobhouse", "gold", "ml"))
+def jh4_gold_employer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JH4: Gold ML-feature mart — per-employer salary stats plus
+    hashing-trick title-embedding features (silver.gold_employer_features),
+    through the full replay→bronze→silver pipeline. The text features
+    reuse the l22 embedder discipline (md5 token hash picks dimension +
+    signed weight; JVM HOF expressions, zero Python in the hot path),
+    so the mart is deterministic and hash-checked end-to-end."""
+    from jobhouse_spark.silver import gold_employer_features  # noqa: PLC0415
+
+    return gold_employer_features(_silver(spark))

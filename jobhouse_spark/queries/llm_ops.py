@@ -87,7 +87,7 @@ WITH shingled AS (
                 string_split_regex(lower(text), '\\s+')[i+1] || ' ' ||
                 string_split_regex(lower(text), '\\s+')[i+2]
          )) AS shingles
-  FROM documents WHERE doc_id < 120
+  FROM documents WHERE doc_id < 500
 ),
 sized AS (SELECT doc, shingles, len(shingles) AS set_size FROM shingled),
 inv AS (SELECT doc, set_size, unnest(shingles) AS shingle FROM sized),
@@ -111,8 +111,55 @@ def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Jaccard threshold compares exact integers (count ratios), so
     both engines agree with no fp tolerance issues.
     """
-    d = Tables(spark, sf_dir).documents.filter(F.col("doc_id") < 120)
+    d = Tables(spark, sf_dir).documents.filter(F.col("doc_id") < 500)
     pairs = ngram_jaccard_pairs(d, n=3, threshold=0.18)
+    return pairs.select("doc_a", "doc_b", "n_common").orderBy("doc_a", "doc_b")
+
+
+@register(
+    "l2b2_ngram_jaccard_capped",
+    oracle="""
+WITH shingled AS (
+  SELECT doc_id AS doc,
+         list_distinct(list_transform(
+           range(1, len(string_split_regex(lower(text), '\\s+')) - 1),
+           i -> string_split_regex(lower(text), '\\s+')[i] || ' ' ||
+                string_split_regex(lower(text), '\\s+')[i+1] || ' ' ||
+                string_split_regex(lower(text), '\\s+')[i+2]
+         )) AS shingles
+  FROM documents WHERE doc_id < 500
+),
+inv0 AS (SELECT doc, unnest(shingles) AS shingle FROM shingled),
+hot AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) > 4),
+inv AS (SELECT doc, shingle FROM inv0
+        WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc, COUNT(*) AS set_size FROM inv GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common
+FROM common
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.18
+ORDER BY doc_a, doc_b
+""",
+    tags=("llm", "dedup"),
+)
+def l2b2_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2b2: the df-capped twin of l2b — same inverted-index exact
+    Jaccard, with shingles of document frequency > 4 dropped before the
+    self-join (ngram_jaccard_pairs(max_df=4)) and set sizes recomputed
+    over the pruned universe. This is the 100 TB shape: the uncapped
+    self-join emits C(df, 2) rows per shingle, so one boilerplate
+    3-gram shared by 10^6 docs would be ~5*10^11 join rows in one key;
+    the cap bounds every shingle at C(4, 2). Oracle mirrors the cap
+    (HAVING COUNT(*) > 4 → NOT IN) so the pruned-universe Jaccard is
+    hash-checked end-to-end, cap active on real data."""
+    d = Tables(spark, sf_dir).documents.filter(F.col("doc_id") < 500)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.18, max_df=4)
     return pairs.select("doc_a", "doc_b", "n_common").orderBy("doc_a", "doc_b")
 
 

@@ -451,8 +451,12 @@ def l2e_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
 
     sigs, feats = minhash_index(index_docs, feature_hash="md5")
+    # path includes the Spark application id: two concurrent drivers
+    # over the same sf_dir must never share (and clobber) the index
+    # directory mid-read — md5(sf_dir) alone was world-shared
     tag = __import__("hashlib").md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"jh_l2e_{tag}")
+    app_id = spark.sparkContext.applicationId
+    root = os.path.join(tempfile.gettempdir(), f"jh_l2e_{tag}_{app_id}")
     sigs.write.mode("overwrite").parquet(os.path.join(root, "sigs"))
     feats.write.mode("overwrite").parquet(os.path.join(root, "feats"))
     stored_sigs = spark.read.parquet(os.path.join(root, "sigs"))

@@ -160,3 +160,55 @@ def gold_salary_by_experience(silver: DataFrame) -> DataFrame:
         )
         .orderBy("experience")
     )
+
+
+def gold_employer_features(silver: DataFrame, n_dims: int = 4) -> DataFrame:
+    """Gold ML-feature mart (the mermaid's "ML features" box,
+    docs/Pipeline Architecture.mermaid:27-30): one feature row per
+    employer — salary stats plus text-derived features from posting
+    titles via the engine's hashing-trick embedder (the same
+    md5-token-hash → signed-weight-per-dim pooling l22 uses for
+    chunk embeddings; deterministic, cross-engine exact).
+
+    Scale shape: one narrow map (tokenize + per-dim signed sums are
+    JVM HOF expressions, no Python) and ONE groupBy(employer) shuffle
+    with map-side partial aggregation — the same plan at 100 TB.
+    """
+    from jobhouse_spark.functions.hashing import md5_int32  # noqa: PLC0415
+    from jobhouse_spark.queries.registry import dec, fin  # noqa: PLC0415
+
+    toks = F.split(
+        F.lower(F.trim(F.coalesce(F.col("title"), F.lit("")))), r"\s+"
+    )
+    hs = F.transform(toks, md5_int32)
+
+    def dim_sum(d: int):
+        return F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                F.pmod(h, F.lit(16)) == d,
+                F.pmod(F.shiftright(h, 4), F.lit(2001)) - 1000,
+            ).otherwise(F.lit(0)),
+        )
+
+    base = silver.select(
+        "employer_name",
+        "salary_mid",
+        F.size(toks).alias("title_tokens"),
+        *[dim_sum(d).alias(f"emb_{d}") for d in range(n_dims)],
+    )
+    return (
+        base.groupBy("employer_name")
+        .agg(
+            F.count("*").alias("n_postings"),
+            F.count("salary_mid").alias("n_with_salary"),
+            fin(F.avg(dec(F.col("salary_mid")))).alias("avg_salary_mid"),
+            F.min("salary_mid").alias("min_salary_mid"),
+            F.max("salary_mid").alias("max_salary_mid"),
+            F.sum("title_tokens").alias("title_tokens"),
+            *[F.sum(f"emb_{d}").alias(f"emb_{d}") for d in range(n_dims)],
+        )
+        .orderBy("employer_name")
+    )

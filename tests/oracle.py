@@ -24,7 +24,14 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con.execute("SET TimeZone='UTC'")
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
+        if os.path.isdir(path):
+            # multi-file layout (tools/make_scale_data.py): a directory
+            # of part files — glob it, same relation
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS "
+                f"SELECT * FROM read_parquet('{path}/*.parquet')"
+            )
+        elif os.path.exists(path):
             con.execute(
                 f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
             )

@@ -242,3 +242,38 @@ def test_incremental_merge_empty_batch_is_noop(spark, sf_dir, tmp_path):
         spark, root, empty, empty.select("event_id", "day"), "event_id", "day"
     ) == []
     assert _partition_state(root) == before
+
+
+def test_scd2_keys_only_dimension(spark):
+    """attr_cols == [] is a valid keys-only dimension: matched keys are
+    always 'same' (seeded reduce), so only inserts/deletes version."""
+    from jobhouse_spark.operators.scd import scd2_apply, scd2_open
+
+    hist = scd2_open(
+        spark.createDataFrame([(1,), (2,)], "k int"), "2024-01-01"
+    )
+    batch = spark.createDataFrame([(2,), (3,)], "k int")
+    h2 = scd2_apply(hist, batch, "k", [], "2024-02-01")
+    rows = sorted(
+        (r.k, str(r.valid_from), str(r.valid_to)) for r in h2.collect()
+    )
+    assert rows == [
+        (1, "2024-01-01", "2024-02-01"),  # absent from batch: closed
+        (2, "2024-01-01", "None"),        # matched, keys-only: untouched
+        (3, "2024-02-01", "None"),        # new key: opened
+    ]
+
+
+def test_psi_drift_rejects_out_of_contract_bins(spark):
+    """An out-of-range (or NULL) bin violates the pre-binned contract;
+    it must FAIL the job, not silently deflate PSI by falling off the
+    grid left-join."""
+    import pytest
+
+    from jobhouse_spark.operators.drift import psi_drift
+
+    rows = [("k", "base", 3), ("k", "cur", 12)]  # 12 >= n_bins
+    binned = spark.createDataFrame(rows, "event_type string, cohort string, bin int")
+    with pytest.raises(Exception) as ei:
+        psi_drift(binned, n_bins=10).collect()
+    assert "pre-binned contract" in str(ei.value)

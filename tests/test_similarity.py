@@ -258,3 +258,36 @@ def test_minhash_materialize_modes_agree(spark):
 
     with pytest.raises(ValueError, match="materialize"):
         minhash_near_duplicates(docs, materialize="bogus")
+
+
+def test_ngram_jaccard_max_df_bounds_hot_shingle_fanout(spark):
+    """A boilerplate shingle shared by 1000 docs would put C(1000,2) ~=
+    5e5 rows into the inverted-index self-join from ONE key (at web
+    scale: 5e11). With max_df, the hot shingle is dropped BEFORE the
+    join, so docs sharing ONLY boilerplate produce zero pairs — and the
+    join's per-shingle input is bounded at C(max_df, 2)."""
+    from jobhouse_spark.operators.similarity import ngram_jaccard_pairs
+
+    # every doc: 3 shared boilerplate tokens (ONE shared 3-gram) + a
+    # unique tail, so any pair overlaps only via the hot shingle
+    docs = spark.createDataFrame(
+        [(i, f"lorem ipsum dolor u{i} v{i} w{i}") for i in range(1000)],
+        "doc_id long, text string",
+    )
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_df=100)
+    assert capped.count() == 0
+
+    # contrast on a small slice: uncapped, the same data DOES pair via
+    # the boilerplate shingle (jaccard 1/9 per pair) — C(30,2) pairs
+    uncapped = ngram_jaccard_pairs(docs.filter("doc_id < 30"), n=3, threshold=0.01)
+    assert uncapped.count() == 30 * 29 // 2
+
+    # and with real overlap ABOVE the boilerplate, capped still finds it
+    dup = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words here entirely now")],
+        "doc_id long, text string",
+    )
+    got = ngram_jaccard_pairs(dup, n=3, threshold=0.5, max_df=100).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]

@@ -134,6 +134,31 @@ def main() -> None:
           "l2b: shingle expr duplicated into pushed filters "
           "(InferFiltersFromGenerate regression)")
 
+    p = plan_of(spark, "l2b2_ngram_jaccard_capped")
+    check("ExistingRDD" in p,
+          "l2b2: pruned inverted index not materialized "
+          "(shingle pipeline would recompute per self-join branch)")
+    check("Generate" not in p,
+          "l2b2: shingle explode inlined into the self-join branches "
+          "(corpus tokenized per consumer)")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE))
+    check(n_exchanges <= 4,
+          f"l2b2: {n_exchanges} shuffles (sizes + self-join + pair agg expected)")
+    check("CartesianProduct" not in p, "l2b2: capped self-join degenerated")
+
+    p = plan_of(spark, "l22_chunk_embed_ann")
+    check("BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+          "l22: probes not broadcast into the cell-pruned ANN join")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "l22: hashing-trick embedder left the JVM")
+    check("CartesianProduct" not in p, "l22: ANN probe fell back to a cross product")
+
+    p = plan_of(spark, "jh4_gold_employer_features")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "jh4: title feature embedder left the JVM")
+    check(p.count("HashAggregate") >= 2,
+          "jh4: employer rollup lost map-side partial aggregation")
+
     p = plan_of(spark, "l14_bm25")
     check("SortMergeJoin" not in p, "l14: idf/stats joins not broadcast")
     check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,

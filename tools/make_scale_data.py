@@ -10,6 +10,13 @@ verbatim, which is the interesting stress for the dedup/similarity
 family: every bucket gets N-fold membership and the capped-pair designs
 must hold.
 
+Fact tables are written as a DIRECTORY of ~32 parquet files
+(PER_THREAD_OUTPUT), not one file: the single-file layout serialized
+every scan onto one input split regardless of cores, which contaminated
+every scan-bound scaling measurement (p2 read 4.7x at 10x purely from
+the artifact). A directory named `{table}.parquet` reads identically in
+Spark (directory scan) and DuckDB (tests.oracle globs `dir/*.parquet`).
+
 Usage: python tools/make_scale_data.py [src_sf_dir] [dst_dir] [factor]
 Defaults: /root/testdata/sf0.1 /tmp/jh_scale_10x 10
 """
@@ -42,6 +49,9 @@ def main() -> None:
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # without this, COPY preserves insertion order through a single
+    # writer thread and PER_THREAD_OUTPUT still yields ONE file
+    con.execute("SET preserve_insertion_order = false")
 
     for name in FIXED_DIMS:
         con.execute(
@@ -62,17 +72,37 @@ def main() -> None:
             r[0]: r[1]
             for r in con.execute(f"DESCRIBE SELECT * FROM read_parquet('{src_path}')").fetchall()
         }
-        repl = ", ".join(
-            f"CAST({k} + i * {OFFSET} AS {types[k]}) AS {k}" for k in keys
-        )
-        con.execute(
-            f"COPY (SELECT t.* REPLACE ({repl}) "
-            f"FROM read_parquet('{src_path}') t "
-            f"CROSS JOIN (SELECT unnest(range({factor})) AS i) copies) "
-            f"TO '{dst}/{name}.parquet' (FORMAT PARQUET)"
-        )
-        n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{dst}/{name}.parquet')").fetchone()[0]
-        print(f"{name}: {n} rows ({factor}x)")
+        # one parquet file per (copy, chunk) under a directory named
+        # {name}.parquet — an honest multi-split layout for both engines
+        # (Spark scans the dir; tests.oracle globs dir/*.parquet).
+        # chunks-per-copy tops the file count up to >= 32 even at small
+        # factors; the chunk filter hashes the first key column, so the
+        # split is deterministic and disjoint-and-complete per copy.
+        # (A single COPY ... PER_THREAD_OUTPUT writes ONE file here:
+        # the cross-join source defeats DuckDB's parallel writer.)
+        out = f"{dst}/{name}.parquet"
+        if os.path.isfile(out):
+            os.remove(out)
+        os.makedirs(out, exist_ok=True)
+        chunks = max(1, -(-32 // factor))  # ceil(32/factor)
+        for i in range(factor):
+            repl = ", ".join(
+                f"CAST({k} + {i * OFFSET} AS {types[k]}) AS {k}" for k in keys
+            )
+            for j in range(chunks):
+                where = (
+                    f"WHERE hash({keys[0]}) % {chunks} = {j}" if chunks > 1 else ""
+                )
+                con.execute(
+                    f"COPY (SELECT t.* REPLACE ({repl}) "
+                    f"FROM read_parquet('{src_path}') t {where}) "
+                    f"TO '{out}/data_{i:03d}_{j:02d}.parquet' (FORMAT PARQUET)"
+                )
+        n_files = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{out}/*.parquet')"
+        ).fetchone()[0]
+        print(f"{name}: {n} rows ({factor}x) in {n_files} files")
 
 
 if __name__ == "__main__":
