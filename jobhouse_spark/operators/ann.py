@@ -228,3 +228,89 @@ def ivf_top_k(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "score", "rn")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[int]],
+    tau_sq_num: int = 49,
+    tau_sq_den: int = 400,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023 —
+    public method: cluster embeddings, prune near-identical vectors
+    WITHIN each cluster), exact-integer and oracle-checkable.
+
+    1. Every vector quantizes to int64 micro-units and is assigned to
+       its nearest integer centroid by exact squared-L2 argmin
+       (map-only JVM expressions, ties break on centroid index).
+    2. Within each cell — and ONLY within a cell; this is what bounds
+       the pairwise cost, exactly as SemDeDup's k ∝ N clustering does —
+       pairs are tested with the l7 exact cosine threshold:
+       cos(a,b) >= τ evaluated as den·dot² >= num·‖a‖²·‖b‖² in integer
+       arithmetic (128-bit only at the final compare; τ² = num/den).
+    3. A vector is a DUPLICATE if some SMALLER-id vector in its cell
+       clears the threshold (deterministic survivor election without
+       transitive closure — the "keep one per group" SemDeDup policy
+       as a one-pass, engine-reproducible contract; for cluster-level
+       dedup compose with operators/graph.py as l15 does).
+
+    Returns (vec_id, cell, is_duplicate) for every input vector.
+
+    Range contract (inherited from the l7 test): embedding components
+    must be unit-ish (|x| <= ~1, i.e. micro-units <= ~1e6) so dot² at
+    dim 64 stays ~4e27, inside the DECIMAL(38,0) compare. Components of
+    magnitude 1000 would push dot² past 1e38 and fail loudly under ANSI
+    arithmetic (no silent wrap).
+
+    Scale shape: one map-only assignment pass, one shuffle on cell,
+    per-cell self-join bounded by cell population (n_cells grows with
+    the corpus, as in the published method). No all-pairs anywhere.
+    """
+    from jobhouse_spark.functions.vectors import dot_micro, micro_vec  # noqa: PLC0415
+
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        micro_vec(F.col(vec_col)).alias("mv"),
+        _nearest_centroid_expr(
+            micro_vec(F.col(vec_col)), centroids, k=1, integer_micro=True
+        )[0].alias("cell"),
+    )
+    norms = assigned.withColumn("n2", dot_micro(F.col("mv"), F.col("mv")))
+    a, b = norms.alias("a"), norms.alias("b")
+    big = "decimal(38,0)"
+    dot = dot_micro(F.col("a.mv"), F.col("b.mv"))
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            dot.alias("dot"),
+            F.col("a.n2").alias("na2"),
+            F.col("b.n2").alias("nb2"),
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(tau_sq_den).cast(big)
+                * F.col("dot").cast(big)
+                * F.col("dot").cast(big)
+                >= F.lit(tau_sq_num).cast(big)
+                * F.col("na2").cast(big)
+                * F.col("nb2").cast(big)
+            )
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    return norms.join(
+        dup_ids.withColumn("__dup", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cell",
+        F.coalesce(F.col("__dup"), F.lit(False)).alias("is_duplicate"),
+    )

@@ -335,3 +335,67 @@ def l10c_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("doc_id").cast("long").alias("sum_id"))
         .orderBy("split")
     )
+
+
+def _l23_oracle() -> str:
+    """DuckDB replica of the full SemDeDup pipeline: micro-unit
+    quantization, exact-integer centroid assignment (seeded constants),
+    per-cell pairwise l7 cosine test, smaller-id survivor election."""
+    from jobhouse_spark.operators.ann import ivf_fixed_centroids  # noqa: PLC0415
+
+    cents = ivf_fixed_centroids(11, 8, 64, 400_000)
+    vals = ", ".join(f"({i}, {c}::BIGINT[])" for i, c in enumerate(cents))
+    return f"""
+WITH m AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) * 1000000
+                     AS BIGINT)) AS mv
+  FROM embeddings),
+cent(cell, cv) AS (VALUES {vals}),
+dists AS (
+  SELECT vec_id, mv, cell,
+         CAST(list_sum(list_transform(list_zip(mv, cv),
+                                      z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS d
+  FROM m CROSS JOIN cent),
+assigned AS (
+  SELECT vec_id, mv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS r
+    FROM dists) t WHERE r = 1),
+norms AS (
+  SELECT vec_id, mv, cell,
+         CAST(list_sum(list_transform(list_zip(mv, mv), t -> t[1]*t[2]))
+              AS BIGINT) AS n2
+  FROM assigned),
+dup AS (
+  SELECT DISTINCT b.vec_id FROM (
+    SELECT b.vec_id,
+           CAST(list_sum(list_transform(list_zip(a.mv, b.mv), t -> t[1]*t[2]))
+                AS BIGINT) AS dot,
+           a.n2 AS na2, b.n2 AS nb2
+    FROM norms a JOIN norms b ON a.cell = b.cell AND a.vec_id < b.vec_id) b
+  WHERE dot > 0
+    AND 400 * CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)
+        >= 49 * CAST(na2 AS HUGEINT) * CAST(nb2 AS HUGEINT))
+SELECT n.vec_id, n.cell,
+       n.vec_id IN (SELECT vec_id FROM dup) AS is_duplicate
+FROM norms n ORDER BY n.vec_id
+"""
+
+
+@register("l23_semantic_dedup", oracle=_l23_oracle(), tags=("llm", "similarity", "dedup"))
+def l23_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L23: SemDeDup-shaped semantic dedup (operators/ann.semantic_dedup)
+    — embeddings cluster into 8 seeded integer cells, then each cell
+    prunes vectors that have a smaller-id neighbor with cosine >= 0.35
+    (the l7 exact-integer test; 128-bit only at the final compare).
+    Every stage — quantization, cell argmin, per-cell pair test,
+    survivor election — is hash-checked against a from-scratch DuckDB
+    replica. Scale shape: map-only assignment + per-cell self-join;
+    n_cells grows with the corpus (SemDeDup's k ∝ N), so no cell — and
+    therefore no join — is ever corpus-sized."""
+    from jobhouse_spark.operators.ann import ivf_fixed_centroids, semantic_dedup  # noqa: PLC0415
+
+    emb = Tables(spark, sf_dir).embeddings
+    cents = ivf_fixed_centroids(11, 8, 64, 400_000)
+    return semantic_dedup(emb, cents).orderBy("vec_id")

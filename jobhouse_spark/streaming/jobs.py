@@ -43,7 +43,13 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
     directly — that case needs the nanosAsLong long-read + DIV 1000 shim."""
     import pyarrow.parquet as pa_pq  # noqa: PLC0415
 
-    ts = pa_pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        # multi-file layout (tools/make_scale_data.py): probe any part
+        # file — the generator writes a uniform schema
+        parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        path = os.path.join(path, parts[0])
+    ts = pa_pq.read_schema(path).field("ts").type
     return getattr(ts, "unit", None) == "ns"
 
 
@@ -57,10 +63,15 @@ def _events_stream_dir(sf_dir: str) -> str:
         import tempfile  # noqa: PLC0415
 
         d = tempfile.mkdtemp(prefix="jh_events_stream_")
-        os.symlink(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(d, "events.parquet"),
-        )
+        src = os.path.join(sf_dir, "events.parquet")
+        if os.path.isdir(src):
+            # multi-file layout: link each part file flat into the
+            # stream dir (file sources don't recurse into a subdir link)
+            for f in sorted(os.listdir(src)):
+                if f.endswith(".parquet"):
+                    os.symlink(os.path.join(src, f), os.path.join(d, f))
+        else:
+            os.symlink(src, os.path.join(d, "events.parquet"))
         _STREAM_DIRS[sf_dir] = d
     return _STREAM_DIRS[sf_dir]
 

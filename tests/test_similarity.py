@@ -291,3 +291,27 @@ def test_ngram_jaccard_max_df_bounds_hot_shingle_fanout(spark):
     )
     got = ngram_jaccard_pairs(dup, n=3, threshold=0.5, max_df=100).collect()
     assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+
+
+def test_semantic_dedup_flags_planted_duplicates(spark):
+    """A vector cluster containing an exact copy and a near-copy must
+    flag the higher-id members as duplicates; an orthogonal-ish vector
+    must survive. Smaller-id survivor election is deterministic."""
+    from jobhouse_spark.operators.ann import ivf_fixed_centroids, semantic_dedup
+
+    base = [1.0] + [0.0] * 63
+    near = [1.0, 0.001] + [0.0] * 62
+    far = [0.0] * 32 + [1.0] + [0.0] * 31
+    rows = [(1, base), (2, base), (3, near), (9, far)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_fixed_centroids(11, 8, 64, 400_000)
+    got = {r.vec_id: r.is_duplicate for r in semantic_dedup(emb, cents).collect()}
+    assert got[1] is False          # smallest id in its group survives
+    assert got[2] is True           # exact copy of 1
+    # near-copy: same cell as base iff the quantizer puts them together;
+    # cosine(base, near) ~ 0.9999 >= 0.35, so if co-located it must flag
+    cells = {r.vec_id: r.cell for r in
+             semantic_dedup(emb, cents).select("vec_id", "cell").collect()}
+    if cells[3] == cells[1]:
+        assert got[3] is True
+    assert got[9] is False          # no similar smaller-id neighbor

@@ -153,6 +153,12 @@ def main() -> None:
           "l22: hashing-trick embedder left the JVM")
     check("CartesianProduct" not in p, "l22: ANN probe fell back to a cross product")
 
+    p = plan_of(spark, "l23_semantic_dedup")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "l23: integer cell assignment left the JVM")
+    check("CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "l23: per-cell pair test degenerated to a cross product")
+
     p = plan_of(spark, "jh4_gold_employer_features")
     check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
           "jh4: title feature embedder left the JVM")
