@@ -42,3 +42,29 @@ def seeded_int_matrix(
         [rng.randint(-component_range, component_range) for _ in range(dim)]
         for _ in range(n)
     ]
+
+
+# --- hashing-trick embedder (single source of truth) -----------------------
+# Token hash h (md5_int32, non-negative) contributes to exactly one of 16
+# dimensions (h % 16) a signed integer weight ((h >> 4) % 2001 - 1000).
+# Used by BOTH the l22 chunk embedder and the jh4 employer feature mart;
+# their DuckDB oracles interpolate HASH_EMB_TERM_SQL, so the Spark
+# expression and both SQL replicas can never drift independently (the
+# same discipline as MD5_INT32_SQL above).
+
+HASH_EMB_DIMS = 16
+
+# interpolate with .format(h=<hash expr>, d=<dimension expr or literal>)
+HASH_EMB_TERM_SQL = (
+    "CASE WHEN {h} % 16 = {d} THEN ({h} >> 4) % 2001 - 1000 ELSE 0 END"
+)
+
+
+def hash_embed_term(h: Column, d) -> Column:
+    """Spark twin of HASH_EMB_TERM_SQL: the signed contribution of token
+    hash ``h`` to dimension ``d`` (an int literal or a Column — both
+    occur: jh4 unrolls dimensions, l22 ranges over them)."""
+    return F.when(
+        F.pmod(h, F.lit(HASH_EMB_DIMS)) == d,
+        F.pmod(F.shiftright(h, 4), F.lit(2001)) - 1000,
+    ).otherwise(F.lit(0))

@@ -278,6 +278,14 @@ def semantic_dedup(
         )[0].alias("cell"),
     )
     norms = assigned.withColumn("n2", dot_micro(F.col("mv"), F.col("mv")))
+    # norms feeds THREE plan branches (both self-join sides + the final
+    # flag join); without a barrier Catalyst inlines the quantization +
+    # O(n_cells x dim) argmin into every branch — the same per-branch
+    # recompute ngram_jaccard_pairs' capped path guards against. One
+    # materialization = genuinely one assignment pass.
+    from jobhouse_spark.materialize import materialize_barrier  # noqa: PLC0415
+
+    norms = materialize_barrier(norms)
     a, b = norms.alias("a"), norms.alias("b")
     big = "decimal(38,0)"
     dot = dot_micro(F.col("a.mv"), F.col("b.mv"))

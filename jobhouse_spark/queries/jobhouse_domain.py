@@ -199,12 +199,16 @@ def _jh4_oracle() -> str:
     embedding (MD5_INT32_SQL token hash -> dim h%16, signed weight
     (h>>4)%2001-1000, per-dim sums pooled across an employer's
     postings)."""
-    from jobhouse_spark.functions.hashing import MD5_INT32_SQL  # noqa: PLC0415
+    from jobhouse_spark.functions.hashing import (  # noqa: PLC0415
+        HASH_EMB_TERM_SQL,
+        MD5_INT32_SQL,
+    )
 
     hext = MD5_INT32_SQL.format(x="t")
     dims = ",\n         ".join(
-        f"CAST(list_sum(list_transform(hs, h -> CASE WHEN h % 16 = {d} "
-        f"THEN (h >> 4) % 2001 - 1000 ELSE 0 END)) AS BIGINT) AS e{d}"
+        "CAST(list_sum(list_transform(hs, h -> "
+        + HASH_EMB_TERM_SQL.format(h="h", d=d)
+        + f")) AS BIGINT) AS e{d}"
         for d in range(4)
     )
     embs = ", ".join(f"CAST(SUM(e{d}) AS BIGINT) AS emb_{d}" for d in range(4))

@@ -453,10 +453,18 @@ def l2e_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs, feats = minhash_index(index_docs, feature_hash="md5")
     # path includes the Spark application id: two concurrent drivers
     # over the same sf_dir must never share (and clobber) the index
-    # directory mid-read — md5(sf_dir) alone was world-shared
+    # directory mid-read — md5(sf_dir) alone was world-shared. The
+    # per-app path would leak one parquet tree per application into
+    # /tmp, so removal is registered at interpreter exit (the returned
+    # frame is lazy — the files must outlive this function, but not
+    # the process).
+    import atexit  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
     tag = __import__("hashlib").md5(sf_dir.encode()).hexdigest()[:8]
     app_id = spark.sparkContext.applicationId
     root = os.path.join(tempfile.gettempdir(), f"jh_l2e_{tag}_{app_id}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     sigs.write.mode("overwrite").parquet(os.path.join(root, "sigs"))
     feats.write.mode("overwrite").parquet(os.path.join(root, "feats"))
     stored_sigs = spark.read.parquet(os.path.join(root, "sigs"))

@@ -337,13 +337,17 @@ def l10c_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _l23_oracle() -> str:
+def _l23_oracle(n_cells: int = 8) -> str:
     """DuckDB replica of the full SemDeDup pipeline: micro-unit
     quantization, exact-integer centroid assignment (seeded constants),
-    per-cell pairwise l7 cosine test, smaller-id survivor election."""
+    per-cell pairwise l7 cosine test, smaller-id survivor election.
+
+    ``n_cells`` defaults to the registered entry's 8; the 30x scale
+    check (SCALE.md) interpolates the same template at k=240 — SemDeDup
+    grows k with the corpus, and the oracle must grow with it."""
     from jobhouse_spark.operators.ann import ivf_fixed_centroids  # noqa: PLC0415
 
-    cents = ivf_fixed_centroids(11, 8, 64, 400_000)
+    cents = ivf_fixed_centroids(11, n_cells, 64, 400_000)
     vals = ", ".join(f"({i}, {c}::BIGINT[])" for i, c in enumerate(cents))
     return f"""
 WITH m AS (

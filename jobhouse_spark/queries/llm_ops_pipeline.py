@@ -506,9 +506,13 @@ def _l22_oracle() -> str:
     l3c2 exact-integer IVF machinery with seeded centroids."""
     from jobhouse_spark.operators.ann import ivf_fixed_centroids  # noqa: PLC0415
 
-    from jobhouse_spark.functions.hashing import MD5_INT32_SQL  # noqa: PLC0415
+    from jobhouse_spark.functions.hashing import (  # noqa: PLC0415
+        HASH_EMB_TERM_SQL,
+        MD5_INT32_SQL,
+    )
 
     hext = MD5_INT32_SQL.format(x="t")
+    term = HASH_EMB_TERM_SQL.format(h="h", d="d")
     cents = ivf_fixed_centroids(7, 8, 16, 2_000_000)
     vals = ", ".join(f"({i}, {c}::BIGINT[])" for i, c in enumerate(cents))
     return rf"""
@@ -527,7 +531,7 @@ emb AS (
   SELECT chunk_id, chunk_start, doc_id,
          list_transform(range(0, 16), d ->
            CAST(list_sum(list_transform(hs, h ->
-             CASE WHEN h % 16 = d THEN (h >> 4) % 2001 - 1000 ELSE 0 END)) AS BIGINT)) AS e
+             {term})) AS BIGINT)) AS e
   FROM hs),
 m AS (
   SELECT chunk_id, chunk_start, doc_id,
@@ -600,17 +604,15 @@ def l22_chunk_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from jobhouse_spark.functions.hashing import md5_int32 as hext  # noqa: PLC0415
 
+    from jobhouse_spark.functions.hashing import hash_embed_term  # noqa: PLC0415
+
     hs = F.transform(F.col("ctoks"), hext)
     e = F.transform(
         F.sequence(F.lit(0), F.lit(15)),
         lambda dim: F.aggregate(
             hs,
             F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(
-                F.pmod(h, F.lit(16)) == dim,
-                F.pmod(F.shiftright(h, 4), F.lit(2001)) - 1000,
-            ).otherwise(F.lit(0)),
+            lambda acc, h: acc + hash_embed_term(h, dim),
         ),
     )
     emb = F.transform(e, lambda v: v.cast("double") / F.lit(1000.0))

@@ -174,7 +174,10 @@ def gold_employer_features(silver: DataFrame, n_dims: int = 4) -> DataFrame:
     JVM HOF expressions, no Python) and ONE groupBy(employer) shuffle
     with map-side partial aggregation — the same plan at 100 TB.
     """
-    from jobhouse_spark.functions.hashing import md5_int32  # noqa: PLC0415
+    from jobhouse_spark.functions.hashing import (  # noqa: PLC0415
+        hash_embed_term,
+        md5_int32,
+    )
     from jobhouse_spark.queries.registry import dec, fin  # noqa: PLC0415
 
     toks = F.split(
@@ -186,11 +189,7 @@ def gold_employer_features(silver: DataFrame, n_dims: int = 4) -> DataFrame:
         return F.aggregate(
             hs,
             F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(
-                F.pmod(h, F.lit(16)) == d,
-                F.pmod(F.shiftright(h, 4), F.lit(2001)) - 1000,
-            ).otherwise(F.lit(0)),
+            lambda acc, h: acc + hash_embed_term(h, d),
         )
 
     base = silver.select(

@@ -48,6 +48,11 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
         # multi-file layout (tools/make_scale_data.py): probe any part
         # file — the generator writes a uniform schema
         parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if not parts:
+            raise FileNotFoundError(
+                f"no parquet part files in {path} — truncated corpus "
+                f"(interrupted make_scale_data.py run?)"
+            )
         path = os.path.join(path, parts[0])
     ts = pa_pq.read_schema(path).field("ts").type
     return getattr(ts, "unit", None) == "ns"

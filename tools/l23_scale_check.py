@@ -1,0 +1,83 @@
+"""One-off 30x check for l23 (SemDeDup semantic dedup).
+
+The REGISTERED l23 fixes k=8 cells so its sf0.01 oracle stays static;
+SemDeDup's own prescription is k proportional to N, which keeps the
+per-cell self-join bounded. This script runs BOTH at a scale corpus:
+
+  1. the scale-correct shape (k = 8 * factor), hash-checked against the
+     same DuckDB oracle template interpolated at that k — value
+     correctness of the full pipeline at scale;
+  2. the registered fixed-k=8 shape, Spark side only, timed — the
+     known-quadratic configuration, reported honestly.
+
+Usage: JH_SIM_DRIVER_MEM=12g python tools/l23_scale_check.py \
+           [sf_dir] [n_cells]   (defaults /tmp/jh_scale_30x 240)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jh_scale_30x"
+N_CELLS = int(sys.argv[2]) if len(sys.argv) > 2 else 240
+
+mem = os.environ.get("JH_SIM_DRIVER_MEM")
+if mem and "PYSPARK_SUBMIT_ARGS" not in os.environ:
+    os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from jobhouse_spark.operators.ann import ivf_fixed_centroids, semantic_dedup  # noqa: E402
+from jobhouse_spark.queries.llm_ops_extra import _l23_oracle  # noqa: E402
+from jobhouse_spark.tables import Tables  # noqa: E402
+from tests.oracle import compare_frames, duckdb_connect  # noqa: E402
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("l23_scale_check")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = Tables(spark, SF_DIR).embeddings
+
+    # 1. scale-correct k: hash-check vs the k-interpolated oracle
+    t0 = time.perf_counter()
+    df = semantic_dedup(emb, ivf_fixed_centroids(11, N_CELLS, 64, 400_000)).orderBy(
+        "vec_id"
+    )
+    pdf = df.toPandas()
+    t_spark = time.perf_counter() - t0
+    duck = duckdb_connect(SF_DIR)
+    t0 = time.perf_counter()
+    duck_pdf = duck.execute(_l23_oracle(N_CELLS)).fetchdf()
+    problems = compare_frames(pdf, duck_pdf)
+    t_duck = time.perf_counter() - t0
+    print(
+        f"l23 k={N_CELLS}: {'HASH-MATCH' if not problems else 'FAIL ' + str(problems)} "
+        f"({len(pdf)} rows, spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)"
+    )
+    if problems:
+        sys.exit(1)
+
+    # 2. registered fixed-k=8 shape, Spark side only, timed
+    t0 = time.perf_counter()
+    n = (
+        semantic_dedup(emb, ivf_fixed_centroids(11, 8, 64, 400_000))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    del n
+    print(f"l23 k=8 (registered shape), spark-only: {time.perf_counter() - t0:.1f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

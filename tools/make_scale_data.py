@@ -10,12 +10,15 @@ verbatim, which is the interesting stress for the dedup/similarity
 family: every bucket gets N-fold membership and the capped-pair designs
 must hold.
 
-Fact tables are written as a DIRECTORY of ~32 parquet files
-(PER_THREAD_OUTPUT), not one file: the single-file layout serialized
-every scan onto one input split regardless of cores, which contaminated
-every scan-bound scaling measurement (p2 read 4.7x at 10x purely from
-the artifact). A directory named `{table}.parquet` reads identically in
-Spark (directory scan) and DuckDB (tests.oracle globs `dir/*.parquet`).
+Fact tables are written as a DIRECTORY of factor x ceil(32/factor)
+parquet files (one explicit COPY per copy/chunk — a single COPY with
+PER_THREAD_OUTPUT writes ONE file here because the cross-join source
+defeats DuckDB's parallel writer), never one file: the single-file
+layout serialized every scan onto one input split regardless of cores,
+which contaminated every scan-bound scaling measurement (p2 read 4.7x
+at 10x purely from the artifact). A directory named `{table}.parquet`
+reads identically in Spark (directory scan) and DuckDB (tests.oracle
+globs `dir/*.parquet`).
 
 Usage: python tools/make_scale_data.py [src_sf_dir] [dst_dir] [factor]
 Defaults: /root/testdata/sf0.1 /tmp/jh_scale_10x 10
@@ -49,9 +52,6 @@ def main() -> None:
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    # without this, COPY preserves insertion order through a single
-    # writer thread and PER_THREAD_OUTPUT still yields ONE file
-    con.execute("SET preserve_insertion_order = false")
 
     for name in FIXED_DIMS:
         con.execute(
@@ -78,12 +78,17 @@ def main() -> None:
         # chunks-per-copy tops the file count up to >= 32 even at small
         # factors; the chunk filter hashes the first key column, so the
         # split is deterministic and disjoint-and-complete per copy.
-        # (A single COPY ... PER_THREAD_OUTPUT writes ONE file here:
-        # the cross-join source defeats DuckDB's parallel writer.)
+        # clear ANY stale artifact — a leftover single file, or a dir
+        # from a previous run with a different factor/chunking whose
+        # surviving part files would silently duplicate rows in the glob
         out = f"{dst}/{name}.parquet"
         if os.path.isfile(out):
             os.remove(out)
-        os.makedirs(out, exist_ok=True)
+        elif os.path.isdir(out):
+            import shutil  # noqa: PLC0415
+
+            shutil.rmtree(out)
+        os.makedirs(out)
         chunks = max(1, -(-32 // factor))  # ceil(32/factor)
         for i in range(factor):
             repl = ", ".join(
