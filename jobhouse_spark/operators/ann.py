@@ -31,6 +31,13 @@ from jobhouse_spark.functions.vectors import dot_micro, dot_product, micro_vec
 # cells x 768 dims would be a 3M-node plan — that's the UDF's job.
 _EXPR_COMPONENT_LIMIT = 8192
 
+# Target rows per cell sub-shard in semantic_dedup's pair stage: a
+# same-shard task tests ~_PAIR_SHARD_ROWS^2/2 integer dots at the
+# measured ~2-7 us each (interpreted HOF + decimal threshold), i.e.
+# single-digit seconds per task, small enough that no one task
+# dominates a stage even when one cell holds most of the corpus.
+_PAIR_SHARD_ROWS = 1500
+
 
 def _nearest_centroid_expr(
     vec_col, centroids: list[list[float]], k: int = 1, integer_micro: bool = False
@@ -270,12 +277,24 @@ def semantic_dedup(
     """
     from jobhouse_spark.functions.vectors import dot_micro, micro_vec  # noqa: PLC0415
 
+    # Assignment strategy mirrors nearest_cells: literal JVM expressions
+    # for small codebooks, the Arrow/numpy matmul for large ones. The
+    # higher-order-function argmin is NOT codegen'd (CodegenFallback) —
+    # measured ~26 ms/row at k=240 x dim 64 — so a k-proportional-to-N
+    # codebook MUST take the udf path. For integer micro-unit inputs the
+    # two are bit-identical, not merely close: every term (c², v·c,
+    # their sums at dim 64) stays below 2^53, so the float64 matmul is
+    # exact integer arithmetic and the ranking key c²-2v·c orders cells
+    # identically to squared L2 (the ||v||² row constant cancels),
+    # ties breaking on centroid index in both (stable argsort).
+    n_components = len(centroids) * (len(centroids[0]) if centroids else 0)
+    mv = micro_vec(F.col(vec_col))
+    if n_components <= _EXPR_COMPONENT_LIMIT:
+        cell = _nearest_centroid_expr(mv, centroids, k=1, integer_micro=True)[0]
+    else:
+        cell = _nearest_centroid_udf(mv, centroids, k=1)[0]
     assigned = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        micro_vec(F.col(vec_col)).alias("mv"),
-        _nearest_centroid_expr(
-            micro_vec(F.col(vec_col)), centroids, k=1, integer_micro=True
-        )[0].alias("cell"),
+        F.col(id_col).alias("vec_id"), mv.alias("mv"), cell.alias("cell")
     )
     norms = assigned.withColumn("n2", dot_micro(F.col("mv"), F.col("mv")))
     # norms feeds THREE plan branches (both self-join sides + the final
@@ -286,20 +305,61 @@ def semantic_dedup(
     from jobhouse_spark.materialize import materialize_barrier  # noqa: PLC0415
 
     norms = materialize_barrier(norms)
-    a, b = norms.alias("a"), norms.alias("b")
+
+    # --- skew-proof pair enumeration (triangle sub-sharding) ---------
+    # Task time in the pair stage is cell_pop^2/2 dot products, so ONE
+    # hot cell serializes the whole stage: measured at 30x/k=240, the
+    # top cell held 11k of 60k vectors = 64% of all 94M pairs in a
+    # single task (829 s wall at <2 cores). Neither AQE remedy sees it:
+    # size-based partition coalescing counts BYTES (60k vectors ~ 40 MB
+    # -> folds partitions), and OptimizeSkewedJoin splits by partition
+    # byte size too (~5 MB of hot-cell rows is far under any skew
+    # threshold) — compute-per-pair is invisible to both. The classic
+    # triangle scheme restores balance with EXACT semantics: split each
+    # cell into S = ceil(pop / _PAIR_SHARD_ROWS) hash-buckets; bucket
+    # pair (i, j), i <= j, is an independent join key, so a hot cell
+    # becomes S(S+1)/2 bounded tasks instead of one quadratic one. A
+    # row in bucket s joins as the A side for keys (s, j >= s) and as
+    # the B side for keys (i <= s, s) — every unordered row pair meets
+    # exactly once: cross-bucket pairs at (min, max) in fixed
+    # orientation (no id condition; the duplicate is greatest(id)),
+    # same-bucket pairs under a_id < b_id as before. Replication is
+    # S+1 copies per hot-cell row — linear, vs the quadratic pair work
+    # it parallelizes. Bucket choice (hash) affects only WHERE a pair
+    # is tested, never the result, so the DuckDB oracle is unchanged.
+    counts = norms.groupBy("cell").agg(F.count("*").alias("pop"))
+    nsub = F.greatest(
+        F.lit(1), F.ceil(F.col("pop") / F.lit(_PAIR_SHARD_ROWS))
+    ).cast("int")
+    sharded = norms.join(
+        F.broadcast(counts.select("cell", nsub.alias("nsub"))), "cell"
+    ).withColumn("sub", F.pmod(F.hash("vec_id"), F.col("nsub")).cast("int"))
+    a = sharded.select(
+        "cell",
+        F.col("vec_id").alias("a_id"),
+        F.col("mv").alias("a_mv"),
+        F.col("n2").alias("na2"),
+        F.col("sub").alias("s1"),
+        F.explode(F.sequence(F.col("sub"), F.col("nsub") - 1)).alias("s2"),
+    )
+    b = sharded.select(
+        "cell",
+        F.col("vec_id").alias("b_id"),
+        F.col("mv").alias("b_mv"),
+        F.col("n2").alias("nb2"),
+        F.explode(F.sequence(F.lit(0), F.col("sub"))).alias("s1"),
+        F.col("sub").alias("s2"),
+    )
     big = "decimal(38,0)"
-    dot = dot_micro(F.col("a.mv"), F.col("b.mv"))
+    dot = dot_micro(F.col("a_mv"), F.col("b_mv"))
     dup_ids = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        a.join(b, ["cell", "s1", "s2"])
+        .filter((F.col("s1") < F.col("s2")) | (F.col("a_id") < F.col("b_id")))
         .select(
-            F.col("b.vec_id").alias("vec_id"),
+            F.greatest(F.col("a_id"), F.col("b_id")).alias("vec_id"),
             dot.alias("dot"),
-            F.col("a.n2").alias("na2"),
-            F.col("b.n2").alias("nb2"),
+            "na2",
+            "nb2",
         )
         .filter(
             (F.col("dot") > 0)

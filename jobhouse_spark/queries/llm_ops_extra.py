@@ -337,16 +337,18 @@ def l10c_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _l23_oracle(n_cells: int = 8) -> str:
+def _l23_oracle(n_cells: int = 8, id_bound: int | None = 2000) -> str:
     """DuckDB replica of the full SemDeDup pipeline: micro-unit
     quantization, exact-integer centroid assignment (seeded constants),
     per-cell pairwise l7 cosine test, smaller-id survivor election.
 
-    ``n_cells`` defaults to the registered entry's 8; the 30x scale
-    check (SCALE.md) interpolates the same template at k=240 — SemDeDup
-    grows k with the corpus, and the oracle must grow with it."""
+    Defaults mirror the registered entry (k=8 over the vec_id < 2000
+    slice); the 30x scale check (SCALE.md) interpolates the same
+    template at k=240 with no id bound — SemDeDup grows k with the
+    corpus, and the oracle must grow with it."""
     from jobhouse_spark.operators.ann import ivf_fixed_centroids  # noqa: PLC0415
 
+    where = f"WHERE vec_id < {id_bound}" if id_bound is not None else ""
     cents = ivf_fixed_centroids(11, n_cells, 64, 400_000)
     vals = ", ".join(f"({i}, {c}::BIGINT[])" for i, c in enumerate(cents))
     return f"""
@@ -355,7 +357,7 @@ WITH m AS (
          list_transform(embedding,
            x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) * 1000000
                      AS BIGINT)) AS mv
-  FROM embeddings),
+  FROM embeddings {where}),
 cent(cell, cv) AS (VALUES {vals}),
 dists AS (
   SELECT vec_id, mv, cell,
@@ -395,11 +397,15 @@ def l23_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the l7 exact-integer test; 128-bit only at the final compare).
     Every stage — quantization, cell argmin, per-cell pair test,
     survivor election — is hash-checked against a from-scratch DuckDB
-    replica. Scale shape: map-only assignment + per-cell self-join;
-    n_cells grows with the corpus (SemDeDup's k ∝ N), so no cell — and
-    therefore no join — is ever corpus-sized."""
+    replica. The entry slices vec_id < 2000 so its FIXED k=8 codebook
+    stays matched to its input at any sf (at sf0.01 the slice is the
+    whole table): with k pinned, cell population — and the per-cell
+    pair test — grows quadratically with the corpus, which is exactly
+    why SemDeDup grows k ∝ N. The unbounded scale shape IS exercised,
+    at scale-correct k, by tools/l23_scale_check.py (hash-checked at
+    30x/k=240 against this same oracle template)."""
     from jobhouse_spark.operators.ann import ivf_fixed_centroids, semantic_dedup  # noqa: PLC0415
 
-    emb = Tables(spark, sf_dir).embeddings
+    emb = Tables(spark, sf_dir).embeddings.filter(F.col("vec_id") < 2000)
     cents = ivf_fixed_centroids(11, 8, 64, 400_000)
     return semantic_dedup(emb, cents).orderBy("vec_id")
