@@ -359,20 +359,26 @@ WITH m AS (
                      AS BIGINT)) AS mv
   FROM embeddings {where}),
 cent(cell, cv) AS (VALUES {vals}),
+-- cell argmin as an AGGREGATE, not a window over the cross join: the
+-- window form materializes n_vecs x n_cells rows EACH CARRYING the
+-- 64-element mv list (at 100x/k=800 that is 160M rows ~ 100 GB and a
+-- kernel OOM kill, observed 2026-08-14); arg_min streams the same
+-- distances through a 200k-group hash agg and mv is joined back after.
+-- Tie on the smaller cell index is baked into the HUGEINT key (d
+-- dominates: cell < 100000 and d*100000 cannot collide across d's).
 dists AS (
-  SELECT vec_id, mv, cell,
+  SELECT vec_id, cell,
          CAST(list_sum(list_transform(list_zip(mv, cv),
                                       z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS d
   FROM m CROSS JOIN cent),
 assigned AS (
-  SELECT vec_id, mv, cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS r
-    FROM dists) t WHERE r = 1),
+  SELECT vec_id, arg_min(cell, CAST(d AS HUGEINT) * 100000 + cell) AS cell
+  FROM dists GROUP BY vec_id),
 norms AS (
-  SELECT vec_id, mv, cell,
+  SELECT m.vec_id, m.mv, a.cell,
          CAST(list_sum(list_transform(list_zip(mv, mv), t -> t[1]*t[2]))
               AS BIGINT) AS n2
-  FROM assigned),
+  FROM m JOIN assigned a USING (vec_id)),
 dup AS (
   SELECT DISTINCT b.vec_id FROM (
     SELECT b.vec_id,

@@ -315,3 +315,51 @@ def test_semantic_dedup_flags_planted_duplicates(spark):
     if cells[3] == cells[1]:
         assert got[3] is True
     assert got[9] is False          # no similar smaller-id neighbor
+
+
+def test_semantic_dedup_subsharding_matches_brute_force(spark, monkeypatch):
+    """Triangle sub-sharding regression (SCALE.md SemDeDup post-mortem):
+    force S > 1 by shrinking the shard size, plant a HOT cell (many
+    co-located vectors, some duplicate pairs, some not), and require the
+    sub-sharded pair enumeration to produce EXACTLY the brute-force
+    duplicate set — every unordered pair tested once, none twice (a
+    double-test would still flag the same ids, so also assert against a
+    run where only same-bucket pairs would be missed: the planted dups
+    span buckets by construction of the id hash)."""
+    from jobhouse_spark.operators import ann
+    from jobhouse_spark.operators.ann import ivf_fixed_centroids, semantic_dedup
+
+    monkeypatch.setattr(ann, "_PAIR_SHARD_ROWS", 7)  # 60 rows -> S = 9
+
+    # 30 near-duplicate pairs around one direction (hot cell) + 10 loners
+    rows = []
+    for i in range(30):
+        v = [1.0, 0.002 * i] + [0.0] * 62
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, v))        # exact copy, one id up
+    for i in range(10):
+        v = [0.0] * 64
+        v[4 + i * 5] = 1.0                 # scattered, no near neighbor
+        rows.append((1000 + i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_fixed_centroids(11, 8, 64, 400_000)
+    out = semantic_dedup(emb, cents).collect()
+
+    # brute force over the SAME cells/quantization read back from the op
+    cell_of = {r.vec_id: r.cell for r in out}
+    mv = {vid: [round(x * 1e6) for x in v] for vid, v in rows}
+    tau_dups = set()
+    for aid in mv:
+        for bid in mv:
+            if aid < bid and cell_of[aid] == cell_of[bid]:
+                dot = sum(x * y for x, y in zip(mv[aid], mv[bid]))
+                na2 = sum(x * x for x in mv[aid])
+                nb2 = sum(x * x for x in mv[bid])
+                if dot > 0 and 400 * dot * dot >= 49 * na2 * nb2:
+                    tau_dups.add(bid)
+    got = {r.vec_id: r.is_duplicate for r in out}
+    assert {vid for vid, d in got.items() if d} == tau_dups
+    # the planted structure must be non-trivial for the test to mean
+    # anything: lots of dups, and at least one loner surviving
+    assert len(tau_dups) >= 30
+    assert any(not got[1000 + i] for i in range(10))

@@ -158,6 +158,11 @@ def main() -> None:
           "l23: integer cell assignment left the JVM")
     check("CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
           "l23: per-cell pair test degenerated to a cross product")
+    # the triangle sub-shard keys must survive refactors: without them a
+    # hot cell serializes the pair stage (measured 828 s at 30x; AQE
+    # cannot see compute-per-pair skew — SCALE.md SemDeDup post-mortem)
+    check("s1" in p and "s2" in p,
+          "l23: pair join lost the (cell, s1, s2) sub-shard keys")
 
     p = plan_of(spark, "jh4_gold_employer_features")
     check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
