@@ -8,10 +8,13 @@ per-cell self-join bounded. This script runs BOTH at a scale corpus:
      same DuckDB oracle template interpolated at that k — value
      correctness of the full pipeline at scale;
   2. (only with --with-fixed-k) the UNSLICED fixed-k=8 shape, Spark
-     side only, timed — the known-quadratic configuration (measured
-     >30 min at 30x: 60k vectors / 8 cells = 28M pairs per cell with
-     an interpreted-HOF dot per pair), kept opt-in so the default run
-     is bounded.
+     side only, timed — the quadratic-total-work configuration
+     (60k vectors / 8 cells = 28M pairs PER CELL at 30x). Before
+     triangle sub-sharding this never finished inside 30 min; after,
+     it measures 219 s at 30x — parallel and bounded per task, but the
+     total pair count still grows with (corpus/k)^2, which is exactly
+     why SemDeDup grows k with N (the k ∝ N run above is 70-80 s on
+     the same corpus). Kept opt-in so the default run is brief.
 
 Usage: JH_SIM_DRIVER_MEM=12g python -u tools/l23_scale_check.py \
            [sf_dir] [n_cells] [--with-fixed-k]
