@@ -30,84 +30,78 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # One hash-checkable representative per SURVEY §2 family, 50 exactly.
 #
-# ROUND-7 ROTATION: the driver had only ever hash-checked the same ~50
-# entries; this head swaps 35 slots to FIRST-TIME entries (s9/s15, j11,
-# g11/g20, w3b, u1b, f3/f7/f9, t1/t3/t11/t12, x1/x5/x7, e1/e4,
-# l1b/l2b2/l2c/l2d/l8/l10c/l16/l21/l22, jh2/jh3/jh4, q2/q5/q9, sq4) so
-# the adversarial check covers never-driver-green rows. Every rotated-
-# OUT entry remains verified by the identical oracle in
-# tools/driver_sim.py (full registry) and tests/.
+# ROUND-8 ROTATION: 43 slots go to FIRST-TIME entries — the 16
+# remaining TPC-H queries (q3/q4/q7/q8/q10-q17/q19-q22), the G-family
+# extras (g4b/g4c/g12/g13/g15/g17/g18/g19), the extended scalar surface
+# (f1b/f4b/f4c/f5b/f10/f11), subqueries sq1/sq3/sq6, event analytics
+# e2/e3/e5, w8, t13, x3, l4b2/l6b, the previously slice-bound
+# l23_semantic_dedup, and the NEW registry-honest l23b (k derived from
+# the round-9 rotation so every §2 family keeps an anchor row here.
+# Every rotated-OUT entry remains verified by
+# the identical oracle in tools/driver_sim.py (full registry) and
+# tests/; the ~19 still-never-driver-checked entries (mostly rows-only
+# by contract: l2/l3b/l3c/l4b/l10/t7/g3/g14 + s16/l4c/l5/l5b/l6c/l9/
+# l10b/l12/l17/l19/l20) are round 9's rotation.
 _HEAD = (
-    # S — sources/sinks (s1 anchor; ORC + schema evolution first-timers)
+    # anchors — one per family not otherwise covered below
     "s1_parquet_scan",
-    "s9_orc_roundtrip",
-    "s15_schema_evolution",
-    # P — projection/filter
     "p1_projection",
-    "p2_filter",
-    # J — joins (j1 anchor; expression-key join first-timer)
     "j1_inner_equi",
-    "j11_join_with_expr_key",
-    # G — aggregates (g1 anchor/flagship; pivot + PSI drift first-timers)
     "g1_groupby_agg",
-    "g11_pivot",
-    "g20_psi_drift",
-    # W — windows (w1 anchor; RANGE frame first-timer)
     "w1_row_number",
-    "w3b_range_frame",
-    # O — ordering
-    "o1_global_sort",
-    # U — set ops (UNION ALL counting first-timer)
-    "u1b_union_all_count",
-    # F — scalar function surface (math/hash/VARIANT first-timers)
-    "f3_math",
-    "f7_hash",
-    "f9_variant",
-    # T — structured streaming (t2 anchor; source, sliding window,
-    # stream-stream join, Python stream source first-timers)
     "t2_tumbling_window",
-    "t1_stream_source",
-    "t3_sliding_window",
-    "t11_stream_stream_join",
-    "t12_python_stream_source",
-    # X — Python execution surface (scalar UDF, mapInPandas, mapInArrow
-    # first-timers; x2/x4 verified in driver_sim/tests)
-    "x1_scalar_udf",
-    "x5_map_in_pandas",
-    "x7_map_in_arrow",
-    # E — event analytics (funnel + anomaly first-timers)
-    "e1_funnel_conversion",
-    "e4_daily_anomalies",
-    # L — LLM data-pipeline operators (l1/l3 anchors; checked-twin and
-    # lifecycle first-timers)
     "l1_exact_dedup",
-    "l1b_dedup_survivors",
-    "l2b2_ngram_jaccard_capped",
-    "l2c_minhash_checked",
-    "l2d_dedup_then_minhash",
-    "l3_cosine_topk",
-    "l8_language_id",
-    "l10c_hash_split",
-    "l16_embedding_centroids",
-    "l21_duplicated_spans",
-    "l22_chunk_embed_ann",
-    # JH — the reference's gold marts (replay fixture -> bronze ->
-    # silver -> gold, hash-checked against a fixture-rebuilding oracle)
-    "jh1_gold_daily_mart",
-    "jh2_salary_by_experience",
-    "jh3_datasource_v2",
-    "jh4_gold_employer_features",
-    # A — ingestion/bronze (a8 anchor; incremental CDC merge)
+    "o1_global_sort",
+    "u1b_union_all_count",
     "a8_bronze_roundtrip",
-    "a16b_incremental_merge",
-    # TPC-H analytics (q18 anchor; q2/q5/q9 first-timers)
-    "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
-    "q9_product_profit",
-    "q18_large_volume_customer",
-    # subqueries (sq2 anchor; recursive CTE first-timer)
-    "sq2_correlated_exists",
-    "sq4_recursive_spine",
+    # TPC-H — all 16 never-driver-checked queries
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_split",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    # G — grouping extensions and profiling extras
+    "g4b_cube",
+    "g4c_grouping_sets",
+    "g12_unpivot",
+    "g13_boolean_aggs",
+    "g15_listagg",
+    "g17_group_by_all",
+    # F — extended scalar-function surface
+    "f1b_string_extended",
+    "f4b_array_extended",
+    "f5b_map_extended",
+    "f10_try_arithmetic",
+    "f11_url_functions",
+    # SQ — subquery shapes
+    "sq1_scalar_subquery",
+    "sq3_correlated_scalar",
+    "sq6_pipe_syntax",
+    # E — event analytics
+    "e2_retention_cohorts",
+    "e3_transition_matrix",
+    "e5_dau_wau_stickiness",
+    # W / T / X — sequence pattern, dynamic session window, grouped UDAF
+    "w8_sequence_pattern",
+    "t13_dynamic_session_window",
+    "x3_grouped_agg_udaf",
+    # L — checked simhash twin, quality scores, SemDeDup (sliced l23 +
+    # the new registry-honest k-from-N l23b)
+    "l4b2_simhash_checked",
+    "l6b_quality_scores",
+    "l23_semantic_dedup",
+    "l23b_semantic_dedup_scaled",
 )
 
 

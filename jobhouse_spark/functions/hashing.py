@@ -44,6 +44,32 @@ def seeded_int_matrix(
     ]
 
 
+def md5_int_matrix(
+    tag: str, n: int, dim: int, component_range: int
+) -> list[list[int]]:
+    """Deterministic n x dim integer matrix whose components are pure
+    md5 functions of (tag, row, col) — unlike seeded_int_matrix (a
+    Python PRNG an oracle can only receive as interpolated constants),
+    every component here is computable in ANY engine with md5, so a
+    differential oracle can DERIVE the whole matrix at runtime. This is
+    what lets l23b size its codebook from COUNT(*) inside the SQL
+    itself. SQL twin: MD5_INT32_SQL over '{tag}:' || row || ':' || col,
+    then % (2*component_range+1) - component_range (verified
+    bit-identical to this function in tests/test_llm_ops.py)."""
+    import hashlib  # noqa: PLC0415
+
+    span = 2 * component_range + 1
+    return [
+        [
+            int(hashlib.md5(f"{tag}:{r}:{c}".encode()).hexdigest()[:8], 16)
+            % span
+            - component_range
+            for c in range(dim)
+        ]
+        for r in range(n)
+    ]
+
+
 # --- hashing-trick embedder (single source of truth) -----------------------
 # Token hash h (md5_int32, non-negative) contributes to exactly one of 16
 # dimensions (h % 16) a signed integer weight ((h >> 4) % 2001 - 1000).

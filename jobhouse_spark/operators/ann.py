@@ -274,7 +274,19 @@ def semantic_dedup(
     Scale shape: one map-only assignment pass, one shuffle on cell,
     per-cell self-join bounded by cell population (n_cells grows with
     the corpus, as in the published method). No all-pairs anywhere.
+
+    tau must be strictly positive: the ``dot > 0`` pre-filter (which
+    keeps the squared compare orientation-safe) excludes orthogonal/
+    negative-cosine pairs, so tau_sq_num = 0 ("any non-negative
+    cosine") would silently drop the cos = 0 boundary — rejected at
+    entry instead.
     """
+    if tau_sq_num <= 0 or tau_sq_den <= 0:
+        raise ValueError(
+            "semantic_dedup requires a strictly positive threshold: "
+            f"tau_sq_num={tau_sq_num}, tau_sq_den={tau_sq_den} (the dot > 0 "
+            "pre-filter makes tau = 0 unrepresentable)"
+        )
     from jobhouse_spark.functions.vectors import dot_micro, micro_vec  # noqa: PLC0415
 
     # Assignment strategy mirrors nearest_cells: literal JVM expressions

@@ -750,11 +750,15 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         pruned = materialize_barrier(inv.join(hot, "shingle", "left_anti"))
-        # set sizes recomputed over SURVIVING shingles (count(*) per doc
-        # = pruned distinct-shingle count) so jaccard stays exact over
-        # the capped universe; docs fully pruned vanish — they cannot
-        # pair anyway (no surviving postings to join on).
-        sizes = pruned.groupBy("doc").agg(F.count("*").alias("set_size"))
+        # set sizes recomputed over SURVIVING shingles (count(shingle)
+        # per doc = pruned distinct-shingle count) so jaccard stays
+        # exact over the capped universe; docs fully pruned vanish —
+        # they cannot pair anyway (no surviving postings to join on).
+        # count(shingle), not count(*): explode_outer's NULL-shingle
+        # rows (empty-shingle docs) survive the left_anti prune (NULL
+        # never equality-matches) and count(*) would give empty docs
+        # set_size=1 instead of 0.
+        sizes = pruned.groupBy("doc").agg(F.count("shingle").alias("set_size"))
         inv = pruned.join(sizes, "doc")
     a = inv.alias("a")
     b = inv.alias("b")

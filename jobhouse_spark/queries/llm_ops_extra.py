@@ -348,6 +348,10 @@ def _l23_oracle(n_cells: int = 8, id_bound: int | None = 2000) -> str:
     corpus, and the oracle must grow with it."""
     from jobhouse_spark.operators.ann import ivf_fixed_centroids  # noqa: PLC0415
 
+    # the HUGEINT tie-break key d * 100000 + cell is only injective for
+    # cell < 100000; a larger codebook would corrupt the ordering
+    # silently (l23b derives its multiplier from k instead)
+    assert n_cells < 100_000, f"tie-break multiplier assumes k < 100000, got {n_cells}"
     where = f"WHERE vec_id < {id_bound}" if id_bound is not None else ""
     cents = ivf_fixed_centroids(11, n_cells, 64, 400_000)
     vals = ", ".join(f"({i}, {c}::BIGINT[])" for i, c in enumerate(cents))
@@ -414,4 +418,96 @@ def l23_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Tables(spark, sf_dir).embeddings.filter(F.col("vec_id") < 2000)
     cents = ivf_fixed_centroids(11, 8, 64, 400_000)
+    return semantic_dedup(emb, cents).orderBy("vec_id")
+
+
+def _l23b_oracle(crange: int = 400_000) -> str:
+    """DuckDB replica of the UNSLICED, k-from-N SemDeDup pipeline.
+
+    Everything the Python side computes is re-derived inside the SQL:
+    k = max(8, ceil(COUNT(*)/250)) from the same table, centroid
+    component (cell, d) = md5_int32('c23:cell:d') % (2R+1) - R (the
+    md5_int_matrix twin), assignment argmin with an EXACT tie-break key
+    d*k + cell (injective for any k — the fixed-multiplier l23 form
+    asserts k < 100000 instead), then the same per-cell l7 cosine test
+    and smaller-id survivor election as _l23_oracle. arg_min streams
+    through a hash agg rather than a vector-carrying window (the 100x
+    OOM lesson recorded in SCALE.md)."""
+    span = 2 * crange + 1
+    md5c = MD5_INT32_SQL.format(
+        x="'c23:' || CAST(cell AS VARCHAR) || ':' || CAST(d AS VARCHAR)"
+    )
+    return f"""
+WITH p AS (
+  SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0) AS INTEGER)) AS k
+  FROM embeddings),
+cent AS (
+  SELECT CAST(cell AS INTEGER) AS cell,
+         list_transform(range(0, 64),
+                        d -> {md5c} % {span} - {crange}) AS cv
+  FROM (SELECT UNNEST(range(0, (SELECT k FROM p))) AS cell)),
+m AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) * 1000000
+                     AS BIGINT)) AS mv
+  FROM embeddings),
+dists AS (
+  SELECT vec_id, cell,
+         CAST(list_sum(list_transform(list_zip(mv, cv),
+                                      z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS d
+  FROM m CROSS JOIN cent),
+assigned AS (
+  SELECT vec_id,
+         arg_min(cell, CAST(d AS HUGEINT) * (SELECT k FROM p) + cell) AS cell
+  FROM dists GROUP BY vec_id),
+norms AS (
+  SELECT m.vec_id, m.mv, a.cell,
+         CAST(list_sum(list_transform(list_zip(mv, mv), t -> t[1]*t[2]))
+              AS BIGINT) AS n2
+  FROM m JOIN assigned a USING (vec_id)),
+dup AS (
+  SELECT DISTINCT b.vec_id FROM (
+    SELECT b.vec_id,
+           CAST(list_sum(list_transform(list_zip(a.mv, b.mv), t -> t[1]*t[2]))
+                AS BIGINT) AS dot,
+           a.n2 AS na2, b.n2 AS nb2
+    FROM norms a JOIN norms b ON a.cell = b.cell AND a.vec_id < b.vec_id) b
+  WHERE dot > 0
+    AND 400 * CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)
+        >= 49 * CAST(na2 AS HUGEINT) * CAST(nb2 AS HUGEINT))
+SELECT n.vec_id, n.cell,
+       n.vec_id IN (SELECT vec_id FROM dup) AS is_duplicate
+FROM norms n ORDER BY n.vec_id
+"""
+
+
+@register(
+    "l23b_semantic_dedup_scaled",
+    oracle=_l23b_oracle(),
+    tags=("llm", "similarity", "dedup"),
+)
+def l23b_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L23b: registry-honest SemDeDup — the l23 pipeline with NO id
+    slice and the codebook size derived from the corpus itself:
+    k = max(8, ceil(N / 250)), SemDeDup's k ∝ N policy, with
+    md5-derived centroids (functions/hashing.md5_int_matrix) that BOTH
+    engines compute from scratch — so this one registered entry is
+    exact at every sf (sf0.01 k=8, sf0.1 k=20, the 30x corpus k=240 —
+    the tools/l23_scale_check.py shape, now inside the registry
+    contract instead of beside it). The only driver-side action is the
+    O(1)-output COUNT that sizes the codebook — the analogue of
+    SemDeDup's clustering step, and the same single extra pass a
+    k-means fit would spend. Assignment auto-switches to the
+    Arrow/numpy path past 8192 expression components (k >= 128), per
+    the measured CodegenFallback cliff documented in operators/ann.py.
+    """
+    import math  # noqa: PLC0415
+
+    from jobhouse_spark.functions.hashing import md5_int_matrix  # noqa: PLC0415
+    from jobhouse_spark.operators.ann import semantic_dedup  # noqa: PLC0415
+
+    emb = Tables(spark, sf_dir).embeddings
+    k = max(8, math.ceil(emb.count() / 250))
+    cents = md5_int_matrix("c23", k, 64, 400_000)
     return semantic_dedup(emb, cents).orderBy("vec_id")

@@ -363,3 +363,63 @@ def test_semantic_dedup_subsharding_matches_brute_force(spark, monkeypatch):
     # anything: lots of dups, and at least one loner surviving
     assert len(tau_dups) >= 30
     assert any(not got[1000 + i] for i in range(10))
+
+
+def test_semantic_dedup_rejects_non_positive_threshold(spark):
+    """tau = 0 ('any non-negative cosine') is unrepresentable: the
+    dot > 0 pre-filter would silently drop the cos = 0 boundary, so the
+    op must refuse at entry instead of returning wrong results."""
+    import pytest
+
+    from jobhouse_spark.operators.ann import ivf_fixed_centroids, semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    cents = ivf_fixed_centroids(11, 8, 64, 400_000)
+    with pytest.raises(ValueError, match="strictly positive"):
+        semantic_dedup(emb, cents, tau_sq_num=0)
+    with pytest.raises(ValueError, match="strictly positive"):
+        semantic_dedup(emb, cents, tau_sq_den=0)
+
+
+def test_md5_int_matrix_matches_duckdb():
+    """The l23b codebook contract: md5_int_matrix (Python) and its SQL
+    twin (MD5_INT32_SQL over 'tag:row:col' then % (2R+1) - R) must
+    agree component-for-component, so the k-from-N oracle can derive
+    the centroids at runtime instead of interpolating constants."""
+    import duckdb
+
+    from jobhouse_spark.functions.hashing import MD5_INT32_SQL, md5_int_matrix
+
+    R = 400_000
+    want = md5_int_matrix("c23", 5, 7, R)
+    md5c = MD5_INT32_SQL.format(
+        x="'c23:' || CAST(cell AS VARCHAR) || ':' || CAST(d AS VARCHAR)"
+    )
+    got = duckdb.connect().execute(
+        f"""
+        SELECT list_transform(range(0, 7), d -> {md5c} % {2 * R + 1} - {R})
+        FROM (SELECT UNNEST(range(0, 5)) AS cell) ORDER BY cell
+        """
+    ).fetchall()
+    assert [list(r[0]) for r in got] == want
+
+
+def test_ngram_jaccard_capped_empty_doc_set_size(spark):
+    """ADVICE r7: explode_outer's NULL-shingle rows survive the max_df
+    left_anti prune; the per-doc size recompute must not count them
+    (an empty-shingle doc would get set_size=1 and could corrupt any
+    future consumer of the size). Empty docs produce no pairs, and the
+    pair set over real docs is unchanged by their presence."""
+    from jobhouse_spark.operators.similarity import ngram_jaccard_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "xx"),  # < n tokens -> empty shingle set -> NULL explode row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=100).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+    assert all(r.jaccard == 1.0 for r in got)

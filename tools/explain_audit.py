@@ -14,6 +14,7 @@ Run: python tools/explain_audit.py   (exit 1 on any violation)
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -21,7 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from jobhouse_spark.queries import all_queries
 from jobhouse_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.01"
+# AQE/broadcast decisions are size-dependent: the same audit must hold
+# on the scale-ladder layouts, not just the tiny default (pass the data
+# dir as argv[1], e.g. /tmp/jh_scale_30x — VERDICT r7 task #4).
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 
 def plan_of(spark, name: str) -> str:
@@ -160,9 +164,26 @@ def main() -> None:
           "l23: per-cell pair test degenerated to a cross product")
     # the triangle sub-shard keys must survive refactors: without them a
     # hot cell serializes the pair stage (measured 828 s at 30x; AQE
-    # cannot see compute-per-pair skew — SCALE.md SemDeDup post-mortem)
-    check("s1" in p and "s2" in p,
+    # cannot see compute-per-pair skew — SCALE.md SemDeDup post-mortem).
+    # Match s1#/s2# attribute refs inside the JOIN's key list — not bare
+    # substrings ('s1' occurs as a fragment of other attribute/codegen
+    # names), and not hashpartitioning (at small sf the stats make the
+    # pair join a BroadcastHashJoin with no exchange at all; the keys
+    # line is the scale-invariant signature of the sub-sharded join).
+    check(re.search(r"keys \[\d+\]: \[[^\]]*\bs1#\d+[^\]]*\bs2#\d+", p) is not None,
           "l23: pair join lost the (cell, s1, s2) sub-shard keys")
+
+    p = plan_of(spark, "l23b_semantic_dedup_scaled")
+    # assignment strategy is scale-dependent BY DESIGN: k <= 128 stays
+    # pure-JVM expressions; a k-from-N codebook past 8192 components
+    # must take the Arrow/numpy path (the CodegenFallback argmin cliff,
+    # operators/ann.py). Row-at-a-time Python is wrong at every scale.
+    check("BatchEvalPython" not in p,
+          "l23b: cell assignment fell back to row-at-a-time Python")
+    check("CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "l23b: per-cell pair test degenerated to a cross product")
+    check(re.search(r"keys \[\d+\]: \[[^\]]*\bs1#\d+[^\]]*\bs2#\d+", p) is not None,
+          "l23b: pair join lost the (cell, s1, s2) sub-shard keys")
 
     p = plan_of(spark, "jh4_gold_employer_features")
     check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
