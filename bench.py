@@ -30,12 +30,19 @@ def main() -> None:
     # run's codegen/classloading warm-up can't dominate it
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    # honest exclusion knob for extreme-scale rungs: raw l2's output
+    # grows C(N,2) per copy-group under replication (the ANSWER grows,
+    # not the plan — SCALE.md), so 300x runs skip it and say so in the
+    # JSON rather than silently dropping it from the set
+    ap.add_argument("--skip", default="", help="comma-separated query names to skip")
     args = ap.parse_args()
 
     spark = get_spark(app_name="jobhouse_bench")
     qs = all_queries()
     if args.tag != "all":
         qs = {k: q for k, q in qs.items() if args.tag in q.tags}
+    skipped = [s for s in args.skip.split(",") if s]
+    qs = {k: q for k, q in qs.items() if k not in skipped}
 
     # one warm-up action so JVM/codegen startup isn't billed to the first query
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -76,6 +83,7 @@ def main() -> None:
                 "cpu_sec": cpu_timings,
                 "repeat": max(1, args.repeat),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"skipped": skipped} if skipped else {}),
             }
         )
     )

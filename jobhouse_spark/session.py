@@ -29,6 +29,16 @@ def get_spark(
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` so tests and bench
     share one code path; pass an explicit cluster master in production.
+
+    Multi-tenant sessions: pass
+    ``extra_conf={"spark.scheduler.mode": "FAIR"}`` and have each query
+    thread call ``sc.setLocalProperty("spark.scheduler.pool", <tenant>)``.
+    Measured at 30x (SCALE.md, tools/concurrency_bench.py): under the
+    default FIFO a 1.2 s query stuck behind big scans ran 5.3 s (4.3x
+    interference); FAIR pools cap interference at ~1.4x on substantive
+    queries and raise aggregate throughput (3.1x vs serial on 6
+    concurrent queries). Scheduler mode is fixed at context start — it
+    cannot be flipped on a live session.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
