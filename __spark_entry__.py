@@ -52,7 +52,6 @@ _HEAD = (
     "t2_tumbling_window",
     "l1_exact_dedup",
     "o1_global_sort",
-    "u1b_union_all_count",
     "a8_bronze_roundtrip",
     # TPC-H — all 16 never-driver-checked queries
     "q3_shipping_priority",
@@ -98,6 +97,7 @@ _HEAD = (
     "x3_grouped_agg_udaf",
     # L — checked simhash twin, quality scores, SemDeDup (sliced l23 +
     # the new registry-honest k-from-N l23b)
+    "g14b_exact_percentile",
     "l4b2_simhash_checked",
     "l6b_quality_scores",
     "l23_semantic_dedup",

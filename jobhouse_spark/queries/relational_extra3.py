@@ -52,6 +52,36 @@ def g14_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g14b_exact_percentile",
+    oracle="""
+SELECT quantile_cont(o_custkey, 0.25) AS p25,
+       quantile_cont(o_custkey, 0.5) AS p50,
+       quantile_cont(o_custkey, 0.75) AS p75
+FROM orders
+""",
+    tags=("agg",),
+)
+def g14b_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14b: EXACT interpolated percentile — the hash-checked twin of
+    the g14 sketch, per the l2->l2c twin discipline: the approximate op
+    stays rows-only by contract, the exact mechanism is differentially
+    verified. Bit-equality across engines is guaranteed by construction,
+    not luck: the input is an integer key and the quantile fractions are
+    dyadic (0.25/0.5/0.75), so position = (n-1)*p, its fractional part,
+    and the interpolation lo + (hi-lo)*frac are all exactly
+    representable doubles — any algebraic arrangement either engine
+    uses yields the identical bit pattern (a non-dyadic p like 0.9, or
+    a 2-decimal price column, would NOT have this property; see
+    tests/oracle.py exact-repr float canon)."""
+    o = Tables(spark, sf_dir).orders
+    return o.select(
+        F.expr("percentile(o_custkey, 0.25D)").alias("p25"),
+        F.expr("percentile(o_custkey, 0.5D)").alias("p50"),
+        F.expr("percentile(o_custkey, 0.75D)").alias("p75"),
+    )
+
+
+@register(
     "g18_table_profile",
     oracle="""
 SELECT 'o_custkey' AS col, COUNT(*) AS n,

@@ -146,13 +146,16 @@ def main() -> None:
           "l2b2: shingle explode inlined into the self-join branches "
           "(corpus tokenized per consumer)")
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE))
-    # scale-dependent by design: at sf0.01 one self-join side broadcasts
-    # (4 exchanges: 2x sizes agg + pair agg + final sort); at 30x both
-    # sides are too big to broadcast, so the self-join adds 2 shingle
-    # shuffles (6 total) — the correct plan at that size. Anything past
-    # 6 means a plan-branch recompute leaked back in (the 8-Generate
+    # scale-dependent by design — the plan upgrades two joins from
+    # broadcast to SMJ as their build sides outgrow the threshold:
+    # sf0.01 = 4 exchanges (2x sizes agg + pair agg + final sort; both
+    # joins broadcast), 30x = 6 (+2 shingle shuffles, self-join goes
+    # SMJ), 100x = 8 (+2 doc shuffles, the per-doc sizes join goes SMJ
+    # too — at real corpus sizes broadcasting one-row-per-doc would
+    # OOM, and AQE can still demote it back at runtime). Anything past
+    # 8 means a plan-branch recompute leaked in (the 8-Generate
     # regression the ExistingRDD/Generate checks above also guard).
-    check(n_exchanges <= 6,
+    check(n_exchanges <= 8,
           f"l2b2: {n_exchanges} shuffles (sizes + self-join + pair agg expected)")
     check("CartesianProduct" not in p, "l2b2: capped self-join degenerated")
 
