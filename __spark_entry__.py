@@ -30,25 +30,27 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # One hash-checkable representative per SURVEY §2 family, 50 exactly.
 #
-# ROUND-8 ROTATION: 43 slots go to FIRST-TIME entries — the 16
-# remaining TPC-H queries (q3/q4/q7/q8/q10-q17/q19-q22), the G-family
-# extras (g4b/g4c/g12/g13/g15/g17/g18/g19), the extended scalar surface
-# (f1b/f4b/f4c/f5b/f10/f11), subqueries sq1/sq3/sq6, event analytics
-# e2/e3/e5, w8, t13, x3, l4b2/l6b, the previously slice-bound
-# l23_semantic_dedup, and the NEW registry-honest l23b (k derived from
-# the round-9 rotation so every §2 family keeps an anchor row here.
-# Every rotated-OUT entry remains verified by
-# the identical oracle in tools/driver_sim.py (full registry) and
-# tests/; the ~19 still-never-driver-checked entries (mostly rows-only
-# by contract: l2/l3b/l3c/l4b/l10/t7/g3/g14 + s16/l4c/l5/l5b/l6c/l9/
-# l10b/l12/l17/l19/l20) are round 9's rotation.
+# ROUND-8 ROTATION: 41 slots go to FIRST-TIME entries (never had a
+# driver-green row in CORRECTNESS_r01–r07) — the 16 remaining TPC-H
+# queries (q3/q4/q7/q8/q10-q17/q19-q22), G-family extras
+# (g4b/g4c/g12/g13/g15/g17), the extended scalar surface
+# (f1b/f4b/f5b/f10/f11), subqueries sq1/sq3/sq6, event analytics
+# e2/e3/e5, w8, t13, x3, the checked twins g14b/l4b2, l6b, the
+# previously slice-bound l23_semantic_dedup, and the NEW
+# registry-honest l23b (k derived from N). The other 9 slots are
+# per-family anchors. Every rotated-OUT entry remains verified by the
+# identical oracle in tools/driver_sim.py (full registry) and tests/.
+# ROUND-9 BACKLOG (exactly 21 never-driver-checked entries, computed
+# as registry minus the union of CORRECTNESS_r01–r07 keys minus this
+# head; most are rows-only by contract): f4c g14 g18 g19 l2 l3b l3c
+# l4b l4c l5 l5b l6c l9 l10 l10b l12 l17 l19 l20 s16 t7.
 _HEAD = (
     # anchors — one per family not otherwise covered below
     "s1_parquet_scan",
     "p1_projection",
     "j1_inner_equi",
     "g1_groupby_agg",
-    "w1_row_number",
+    "u1b_union_all_count",
     "t2_tumbling_window",
     "l1_exact_dedup",
     "o1_global_sort",

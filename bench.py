@@ -41,7 +41,10 @@ def main() -> None:
     qs = all_queries()
     if args.tag != "all":
         qs = {k: q for k, q in qs.items() if args.tag in q.tags}
-    skipped = [s for s in args.skip.split(",") if s]
+    skipped = [s.strip() for s in args.skip.split(",") if s.strip()]
+    unknown = [s for s in skipped if s not in qs]
+    if unknown:  # a typo'd name would otherwise be RECORDED as skipped
+        raise SystemExit(f"--skip names not in the selected set: {unknown}")
     qs = {k: q for k, q in qs.items() if k not in skipped}
 
     # one warm-up action so JVM/codegen startup isn't billed to the first query

@@ -55,7 +55,8 @@ def md5_int_matrix(
     what lets l23b size its codebook from COUNT(*) inside the SQL
     itself. SQL twin: MD5_INT32_SQL over '{tag}:' || row || ':' || col,
     then % (2*component_range+1) - component_range (verified
-    bit-identical to this function in tests/test_llm_ops.py)."""
+    bit-identical to this function in
+    tests/test_similarity.py::test_md5_int_matrix_matches_duckdb)."""
     import hashlib  # noqa: PLC0415
 
     span = 2 * component_range + 1

@@ -493,7 +493,8 @@ def l23b_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = max(8, ceil(N / 250)), SemDeDup's k ∝ N policy, with
     md5-derived centroids (functions/hashing.md5_int_matrix) that BOTH
     engines compute from scratch — so this one registered entry is
-    exact at every sf (sf0.01 k=8, sf0.1 k=20, the 30x corpus k=240 —
+    exact at every sf (sf0.01 N=500 and sf0.1 N=2000 both at the k=8
+    floor, the 30x corpus N=60000 at a grown k=240 —
     the tools/l23_scale_check.py shape, now inside the registry
     contract instead of beside it). The only driver-side action is the
     O(1)-output COUNT that sizes the codebook — the analogue of

@@ -68,10 +68,14 @@ def main() -> None:
     # concurrent: one thread per query; under FAIR each thread gets its
     # own pool so the scheduler round-robins task slots between them
     conc: dict[str, float] = {}
+    errors: dict[str, BaseException] = {}
     def worker(name: str) -> None:
         if MODE == "FAIR":
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
-        conc[name] = round(run_one(name), 2)
+        try:
+            conc[name] = round(run_one(name), 2)
+        except BaseException as exc:  # surface in the report, not as a
+            errors[name] = exc       # later KeyError masking the cause
 
     t0 = time.perf_counter()
     threads = [threading.Thread(target=worker, args=(n,)) for n in QUERY_MIX]
@@ -80,6 +84,10 @@ def main() -> None:
     for t in threads:
         t.join()
     conc_wall = time.perf_counter() - t0
+    if errors:
+        for n, exc in errors.items():
+            print(f"FAILED {n}: {exc!r}", file=sys.stderr)
+        raise SystemExit(f"{len(errors)}/{len(QUERY_MIX)} concurrent queries failed")
 
     serial_total = sum(serial.values())
     print(f"\n| query | serial s | concurrent s ({MODE}) | interference x |")

@@ -65,8 +65,6 @@ def main() -> None:
     p = plan_of(spark, "j1_inner_equi")
     check("PushedFilters: [IsNotNull(c_nationkey)]" in p, "j1: join-key null filter not pushed")
 
-    import re  # noqa: PLC0415
-
     p = plan_of(spark, "w4_topk_per_group")
     check("Window" in p, "w4: no window node")
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE))
@@ -152,11 +150,15 @@ def main() -> None:
     # joins broadcast), 30x = 6 (+2 shingle shuffles, self-join goes
     # SMJ), 100x = 8 (+2 doc shuffles, the per-doc sizes join goes SMJ
     # too — at real corpus sizes broadcasting one-row-per-doc would
-    # OOM, and AQE can still demote it back at runtime). Anything past
-    # 8 means a plan-branch recompute leaked in (the 8-Generate
-    # regression the ExistingRDD/Generate checks above also guard).
-    check(n_exchanges <= 8,
-          f"l2b2: {n_exchanges} shuffles (sizes + self-join + pair agg expected)")
+    # OOM, and AQE can still demote it back at runtime). The bound is
+    # selected per layout so the default-sf run still catches a
+    # plan-branch recompute (the 8-Generate regression the
+    # ExistingRDD/Generate checks above also guard) — pinning the
+    # loosest rung everywhere would let 4->8 regressions pass silently.
+    l2b2_bound = 4 if "testdata" in SF_DIR else (6 if "30x" in SF_DIR else 8)
+    check(n_exchanges <= l2b2_bound,
+          f"l2b2: {n_exchanges} shuffles (bound {l2b2_bound} for {SF_DIR}; "
+          "sizes + self-join + pair agg expected)")
     check("CartesianProduct" not in p, "l2b2: capped self-join degenerated")
 
     p = plan_of(spark, "l22_chunk_embed_ann")

@@ -38,7 +38,10 @@ os.environ["SPARK_DRIVER_MEMORY"] = HEAP
 from jobhouse_spark.queries import all_queries  # noqa: E402
 from jobhouse_spark.session import get_spark  # noqa: E402
 
-UI = "http://localhost:4040/api/v1"
+# Set from this app's own sparkContext.uiWebUrl in main(); a hardcoded
+# :4040 would silently read ANOTHER application's stage metrics whenever
+# that port is already taken and ours binds 4041+.
+UI = ""
 
 
 def _get(path: str):
@@ -66,7 +69,12 @@ def main() -> None:
         "heap not applied — run this tool in a fresh process (the JVM was "
         f"already up with a different driver memory; wanted {HEAP})"
     )
-    app_id = _get("/applications")[0]["id"]
+    global UI
+    ui_base = spark.sparkContext.uiWebUrl
+    assert ui_base, "Spark UI disabled — spill metrics unavailable"
+    UI = f"{ui_base}/api/v1"
+    app_id = spark.sparkContext.applicationId
+    assert any(a["id"] == app_id for a in _get("/applications"))
 
     qs = all_queries()
     names = sorted(k for k, q in qs.items() if "headline" in q.tags)

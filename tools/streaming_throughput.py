@@ -80,6 +80,15 @@ def run_case(spark, max_files: int, provider: str) -> dict:
     q.awaitTermination()
     wall = time.perf_counter() - t0
     progress = q.recentProgress
+    # recentProgress is a ring buffer (spark.sql.streaming.
+    # numRecentProgressUpdates, raised in main()); if a layout ever
+    # produces more batches than it holds, rows/batches would silently
+    # undercount — refuse to report a truncated measurement.
+    limit = int(spark.conf.get("spark.sql.streaming.numRecentProgressUpdates"))
+    assert len(progress) < limit, (
+        f"{len(progress)} progress entries hit the {limit} ring-buffer cap; "
+        "raise numRecentProgressUpdates for this layout"
+    )
     rows = sum(p["numInputRows"] for p in progress)
     batches = sum(1 for p in progress if p["numInputRows"] > 0)
     return {
@@ -94,6 +103,9 @@ def run_case(spark, max_files: int, provider: str) -> dict:
 
 def main() -> None:
     spark = get_spark(app_name="streaming_throughput")
+    # default ring buffer holds 100 progress reports; a 300x-style
+    # layout at maxFilesPerTrigger=8 can exceed that (run_case asserts)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
     cases = [
         run_case(spark, 8, "hdfs"),
