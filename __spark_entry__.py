@@ -30,16 +30,17 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # One hash-checkable representative per SURVEY §2 family, 50 exactly.
 #
-# ROUND-8 ROTATION: 41 slots go to FIRST-TIME entries (never had a
+# ROUND-8 ROTATION: 42 slots go to FIRST-TIME entries (never had a
 # driver-green row in CORRECTNESS_r01–r07) — the 16 remaining TPC-H
 # queries (q3/q4/q7/q8/q10-q17/q19-q22), G-family extras
 # (g4b/g4c/g12/g13/g15/g17), the extended scalar surface
 # (f1b/f4b/f5b/f10/f11), subqueries sq1/sq3/sq6, event analytics
 # e2/e3/e5, w8, t13, x3, the checked twins g14b/l4b2, l6b, the
 # previously slice-bound l23_semantic_dedup, and the NEW
-# registry-honest l23b (k derived from N). The other 9 slots are
-# per-family anchors. Every rotated-OUT entry remains verified by the
-# identical oracle in tools/driver_sim.py (full registry) and tests/.
+# registry-honest l23b (k derived from N) + its replica-collapsing
+# twin l23c. The other 8 slots are per-family anchors. Every
+# rotated-OUT entry remains verified by the identical oracle in
+# tools/driver_sim.py (full registry) and tests/.
 # ROUND-9 BACKLOG (exactly 21 never-driver-checked entries, computed
 # as registry minus the union of CORRECTNESS_r01–r07 keys minus this
 # head; most are rows-only by contract): f4c g14 g18 g19 l2 l3b l3c
@@ -52,7 +53,6 @@ _HEAD = (
     "g1_groupby_agg",
     "u1b_union_all_count",
     "t2_tumbling_window",
-    "l1_exact_dedup",
     "o1_global_sort",
     "a8_bronze_roundtrip",
     # TPC-H — all 16 never-driver-checked queries
@@ -104,6 +104,7 @@ _HEAD = (
     "l6b_quality_scores",
     "l23_semantic_dedup",
     "l23b_semantic_dedup_scaled",
+    "l23c_semantic_dedup_collapsed",
 )
 
 

@@ -244,6 +244,7 @@ def semantic_dedup(
     tau_sq_den: int = 400,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023 —
     public method: cluster embeddings, prune near-identical vectors
@@ -300,7 +301,11 @@ def semantic_dedup(
     # identically to squared L2 (the ||v||² row constant cancels),
     # ties breaking on centroid index in both (stable argsort).
     n_components = len(centroids) * (len(centroids[0]) if centroids else 0)
-    mv = micro_vec(F.col(vec_col))
+    # pre_quantized: vec_col already holds micro-unit BIGINT arrays
+    # (semantic_dedup_collapsed's representative frame) — skip the
+    # quantization; the udf path's array<double> cast stays exact
+    # because micro-unit magnitudes sit far below 2^53.
+    mv = F.col(vec_col) if pre_quantized else micro_vec(F.col(vec_col))
     if n_components <= _EXPR_COMPONENT_LIMIT:
         cell = _nearest_centroid_expr(mv, centroids, k=1, integer_micro=True)[0]
     else:
@@ -393,4 +398,98 @@ def semantic_dedup(
         "vec_id",
         "cell",
         F.coalesce(F.col("__dup"), F.lit(False)).alias("is_duplicate"),
+    )
+
+
+def semantic_dedup_collapsed(
+    corpus: DataFrame,
+    centroids: list[list[int]],
+    tau_sq_num: int = 49,
+    tau_sq_den: int = 400,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """semantic_dedup for replica-heavy corpora: collapse exact-identical
+    vectors FIRST, run the pair stage on one representative per distinct
+    content, then propagate verdicts back — the l1→l2 (l2d) composition
+    lesson applied to SemDeDup. Measured motivation: on the 300x
+    replicated corpus (600k vectors = 300 exact copies of each of 2000),
+    direct semantic_dedup spends 2011 s because within-cell pair count
+    grows ~C(300,2) per content (~90M pairs — the ANSWER growing, not
+    the plan degrading); here the pair stage sees only distinct content,
+    so its cost tracks UNIQUE corpus size at any replication factor.
+
+    Returns (vec_id, cell, is_duplicate) BIT-IDENTICAL to
+    semantic_dedup(corpus, ...) for every input vector. Proof, on the
+    micro-quantized vectors mv (cell, dot, n2 are all pure functions of
+    mv, so replicas share all three):
+
+    - non-representative replica v of content X (rep x = min id < v):
+      direct flags v via the pair (x, v) — same cell, dot = ‖X‖² > 0,
+      test den·‖X‖⁴ ≥ num·‖X‖⁴ ⟺ den ≥ num (asserted; τ ≤ 1) — UNLESS
+      ‖X‖ = 0, where the dot > 0 pre-filter rejects every pair
+      involving v (a zero vector is never anyone's duplicate). Hence:
+      replica is duplicate ⟺ mv has a nonzero component.
+    - representative x: direct flags x iff some u with id(u) < x in
+      cell(x) passes the pair test. u is a replica of some content Y
+      with rep y = min id(Y) ≤ id(u) < x, cell(y) = cell(u), and the
+      test depends only on (mvY, mvX) — so (y, x) is a rep-level
+      witness; conversely a rep-level witness y < x is itself a direct
+      witness. Hence rep verdicts from the collapsed pair stage equal
+      direct verdicts.
+    - NULL embeddings: NULL mv groups together; the rep's NULL cell and
+      false verdict propagate through the null-safe join, matching
+      direct's (NULL cell, false) rows.
+
+    Scale shape: one quantization map + one groupBy(mv) shuffle (the
+    exact-dedup), the full semantic_dedup on the distinct frame, then
+    two joins — rep_out is unique-content-sized (AQE broadcasts it when
+    small) and the mv-join reuses the groupBy's partitioning.
+    """
+    if tau_sq_num > tau_sq_den:
+        raise ValueError(
+            "semantic_dedup_collapsed requires tau <= 1 "
+            f"(tau_sq_num={tau_sq_num} > tau_sq_den={tau_sq_den}): with "
+            "tau > 1 even exact copies are not duplicates and the "
+            "replica shortcut does not hold"
+        )
+    from jobhouse_spark.functions.vectors import micro_vec  # noqa: PLC0415
+    from jobhouse_spark.materialize import materialize_barrier  # noqa: PLC0415
+
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"), micro_vec(F.col(vec_col)).alias("mv")
+    )
+    # one quantization pass, shared by the group-agg and the replica join
+    base = materialize_barrier(base)
+    groups = base.groupBy("mv").agg(F.min("vec_id").alias("rep_id"))
+    reps = groups.select(F.col("rep_id").alias("vec_id"), "mv")
+    rep_out = semantic_dedup(
+        reps,
+        centroids,
+        tau_sq_num,
+        tau_sq_den,
+        id_col="vec_id",
+        vec_col="mv",
+        pre_quantized=True,
+    )
+    joined = base.alias("b").join(
+        groups.alias("g"), F.col("b.mv").eqNullSafe(F.col("g.mv"))
+    )
+    return joined.join(
+        rep_out.select(
+            F.col("vec_id").alias("rep_id"),
+            "cell",
+            F.col("is_duplicate").alias("rep_dup"),
+        ),
+        "rep_id",
+    ).select(
+        F.col("b.vec_id").alias("vec_id"),
+        "cell",
+        F.when(F.col("b.vec_id") == F.col("rep_id"), F.col("rep_dup"))
+        .otherwise(
+            F.coalesce(
+                F.exists(F.col("b.mv"), lambda x: x != F.lit(0)), F.lit(False)
+            )
+        )
+        .alias("is_duplicate"),
     )

@@ -512,3 +512,32 @@ def l23b_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = max(8, math.ceil(emb.count() / 250))
     cents = md5_int_matrix("c23", k, 64, 400_000)
     return semantic_dedup(emb, cents).orderBy("vec_id")
+
+
+@register(
+    "l23c_semantic_dedup_collapsed",
+    oracle=_l23b_oracle(),
+    tags=("llm", "similarity", "dedup"),
+)
+def l23c_semantic_dedup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L23c: l23b through semantic_dedup_collapsed — exact-identical
+    vectors collapse to one representative BEFORE the per-cell pair
+    stage, verdicts propagate back (operators/ann.py has the
+    bit-identity proof, so this shares l23b's oracle verbatim: same
+    k = max(8, ceil(N/250)) from the FULL corpus count, same md5
+    codebook, same output). This is the production composition for
+    replica-heavy corpora — the l1→l2 (l2d) lesson applied to
+    SemDeDup: on the 300x replicated corpus direct l23b spends 2011 s
+    on ~90M within-cell copy-pairs (C(300,2) per content — the answer
+    growing); here the pair stage sees only the 2000 distinct vectors,
+    so cost tracks unique content at any replication factor (SCALE.md
+    round-8 addendum has the measured pair)."""
+    import math  # noqa: PLC0415
+
+    from jobhouse_spark.functions.hashing import md5_int_matrix  # noqa: PLC0415
+    from jobhouse_spark.operators.ann import semantic_dedup_collapsed  # noqa: PLC0415
+
+    emb = Tables(spark, sf_dir).embeddings
+    k = max(8, math.ceil(emb.count() / 250))
+    cents = md5_int_matrix("c23", k, 64, 400_000)
+    return semantic_dedup_collapsed(emb, cents).orderBy("vec_id")

@@ -383,6 +383,60 @@ def test_semantic_dedup_rejects_non_positive_threshold(spark):
         semantic_dedup(emb, cents, tau_sq_den=0)
 
 
+def test_semantic_dedup_collapsed_matches_direct(spark):
+    """semantic_dedup_collapsed claims BIT-IDENTICAL output to direct
+    semantic_dedup (the ann.py docstring carries the proof; this is the
+    adversarial fixture). Corpus stresses every branch of the proof:
+    replicated contents (the shortcut path), replicas of a ZERO vector
+    (dot > 0 pre-filter: never duplicates despite being exact copies),
+    near-copies across DIFFERENT contents (rep-level pair stage must
+    reproduce direct pair verdicts), a NULL embedding pair (NULL cell,
+    false, survives the null-safe join), and a singleton."""
+    import random
+
+    import pytest
+
+    from jobhouse_spark.operators.ann import (
+        ivf_fixed_centroids,
+        semantic_dedup,
+        semantic_dedup_collapsed,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for content in range(12):  # 12 contents x 5 replicas
+        vec = [rng.uniform(-1, 1) for _ in range(64)]
+        for _ in range(5):
+            rows.append((vid, vec))
+            vid += 1
+    near = [v + (0.001 if i == 0 else 0.0) for i, v in enumerate(rows[0][1])]
+    rows.append((vid, near)); vid += 1          # near-copy of content 0
+    for _ in range(3):                          # zero-vector replicas
+        rows.append((vid, [0.0] * 64)); vid += 1
+    rows.append((vid, None)); vid += 1          # NULL embeddings
+    rows.append((vid, None)); vid += 1
+    rows.append((vid, [0.5] * 64)); vid += 1    # singleton
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_fixed_centroids(11, 8, 64, 400_000)
+
+    def canon(df):
+        return sorted(
+            (r.vec_id, r.cell, r.is_duplicate)
+            for r in df.select("vec_id", "cell", "is_duplicate").collect()
+        )
+
+    direct = canon(semantic_dedup(emb, cents))
+    collapsed = canon(semantic_dedup_collapsed(emb, cents))
+    assert direct == collapsed
+    got = dict((v, d) for v, _, d in collapsed)
+    assert got[1] is True and got[0] is False   # replica / representative
+    zero_ids = [vid - 6, vid - 5, vid - 4]
+    assert all(got[z] is False for z in zero_ids)  # zero copies: dot>0 gate
+    with pytest.raises(ValueError, match="tau <= 1"):
+        semantic_dedup_collapsed(emb, cents, tau_sq_num=401, tau_sq_den=400)
+
+
 def test_md5_int_matrix_matches_duckdb():
     """The l23b codebook contract: md5_int_matrix (Python) and its SQL
     twin (MD5_INT32_SQL over 'tag:row:col' then % (2R+1) - R) must
