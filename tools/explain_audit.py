@@ -196,6 +196,21 @@ def main() -> None:
     check(re.search(r"keys \[\d+\]: \[[^\]]*\bs1#\d+[^\]]*\bs2#\d+", p) is not None,
           "l23b: pair join lost the (cell, s1, s2) sub-shard keys")
 
+    p = plan_of(spark, "l23c_semantic_dedup_collapsed")
+    # the whole point of the collapsed form is ONE quantization pass
+    # shared by the group-agg and the replica join — the barrier must
+    # materialize (ExistingRDD), not let Catalyst inline micro_vec into
+    # every branch; and the rep-level pair stage keeps the sub-sharded
+    # join (inherited from semantic_dedup).
+    check("ExistingRDD" in p,
+          "l23c: quantization barrier gone (micro_vec recomputed per branch)")
+    check("CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "l23c: a join degenerated to a cross product")
+    check(re.search(r"keys \[\d+\]: \[[^\]]*\bs1#\d+[^\]]*\bs2#\d+", p) is not None,
+          "l23c: rep pair join lost the (cell, s1, s2) sub-shard keys")
+    check("BatchEvalPython" not in p,
+          "l23c: cell assignment fell back to row-at-a-time Python")
+
     p = plan_of(spark, "jh4_gold_employer_features")
     check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
           "jh4: title feature embedder left the JVM")
