@@ -1,5 +1,12 @@
 """One-off 30x check for l23 (SemDeDup semantic dedup).
 
+HISTORY NOTE (round 8): the k ∝ N shape this script pioneered is now
+REGISTRY-NATIVE — `l23b_semantic_dedup_scaled` derives k from COUNT(*)
+inside both engines and is driver-hash-checked at sf0.01/30x/100x, and
+`l23c_semantic_dedup_collapsed` adds the replica-collapsing composition
+(2011 s → 16.6 s at 300x, bit-identical). This tool remains useful for
+ad-hoc rungs and for timing the fixed-k quadratic shape below.
+
 The REGISTERED l23 fixes k=8 cells so its sf0.01 oracle stays static;
 SemDeDup's own prescription is k proportional to N, which keeps the
 per-cell self-join bounded. This script runs BOTH at a scale corpus:
