@@ -133,6 +133,80 @@ def t7_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t7b_stateful_count_checked",
+    oracle="""
+SELECT user_id, COUNT(*) AS n
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("streaming", "stateful", "checked"),
+)
+def t7b_stateful_count_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7b: hash-checked twin of t7_stateful_count.
+
+    t7 itself is registered rows-only because update-mode EMISSION TIMING
+    (which micro-batch emits which intermediate count) is not
+    SQL-expressible. But the registered query already collapses the
+    emission history with max(n) per key — and a running count is
+    monotone, so max(emissions) == final state == the batch COUNT(*).
+    That collapsed form IS SQL-expressible, which makes the entire
+    stateful pipeline (file stream → applyInPandasWithState running
+    count → update-mode memory sink → max-per-key) end-to-end
+    differentially checkable against a one-line batch oracle. Same
+    checked-twin pattern as l2c/l3b2/l4b2: the production op keeps its
+    honest rows-only contract; the twin proves the machinery.
+    """
+    return t7_stateful_count(spark, sf_dir)
+
+
+@register(
+    "l24_domain_mixture",
+    oracle="""
+WITH w AS (
+  SELECT * FROM (VALUES ('de', 15), ('en', 40), ('es', 15), ('fr', 15),
+                        ('zh', 15)) AS t(lang, w_num)),
+tot AS (SELECT COUNT(*) AS n FROM documents),
+quota AS (
+  SELECT d.lang,
+         LEAST(COUNT(*), (w.w_num * ((6 * t.n) // 10)) // 100) AS n_g
+  FROM documents d JOIN w ON d.lang = w.lang CROSS JOIN tot t
+  GROUP BY d.lang, w.w_num, t.n),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT r.doc_id, r.lang, r.rn
+FROM ranked r JOIN quota q ON r.lang = q.lang
+WHERE r.rn <= q.n_g
+ORDER BY r.lang, r.rn
+""",
+    tags=("llm", "sampling", "mixture"),
+)
+def l24_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L24: deterministic domain-mixture resampling — compose a training
+    corpus at target per-language weights (en 40%, de/es/fr/zh 15%) and
+    60% of the input size, each language contributing exactly
+    min(available, quota) docs chosen by md5 hash rank.
+
+    The Spark plan (operators/mixture.py) decomposes the per-domain
+    global rank into hash-prefix-bucketed local ranks + a broadcast
+    offset table, so no |domains|-task skewed sort exists at scale; the
+    oracle states the SAME selection with a plain per-domain
+    row_number() — different plan, bit-identical answer, which is the
+    point: the checked contract is the SELECTION, the engine is free to
+    plan it scalably.
+    """
+    from jobhouse_spark.operators.mixture import mixture_select  # noqa: PLC0415
+
+    d = Tables(spark, sf_dir).documents
+    weights = [("de", 15), ("en", 40), ("es", 15), ("fr", 15), ("zh", 15)]
+    return mixture_select(d, "lang", "doc_id", weights)
+
+
 def _l8_oracle() -> str:
     """DuckDB replica of detect_language — the marker sets interpolate
     from the SAME LANG_MARKERS constant, the tie rule (first language in

@@ -44,6 +44,11 @@ FUZZ_ENTRIES = (
     "w1_row_number",
     "w4_topk_per_group",
     "w5_latest_per_key",
+    # round-8 additions: mixture quota arithmetic under skewed/missing
+    # lang groups, and SemDeDup's centroid-assignment tie-breaks under
+    # duplicate-vector stress (15% exact-dup vectors in every profile)
+    "l24_domain_mixture",
+    "l23b_semantic_dedup_scaled",
 )
 
 # per-seed stress profile: (exact_dup_rate, null_text_rate, empty_rate,

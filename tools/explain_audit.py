@@ -246,6 +246,20 @@ def main() -> None:
     check("WindowGroupLimit" in p,
           "l10b: per-stratum sample cap missing rank-limit pushdown")
 
+    p = plan_of(spark, "l24_domain_mixture")
+    # the scale contract of mixture_select: the rank window partitions
+    # on (group, hash-prefix bucket) — NOT group alone, which would be a
+    # |domains|-task skewed sort at scale
+    check(re.search(r"windowspecdefinition\(_g#\d+, _b#\d+", p) is not None,
+          "l24: rank window lost the hash-prefix bucket key (per-domain global sort)")
+    # offsets/quota/weights are tiny — all joins broadcast
+    check("SortMergeJoin" not in p and "CartesianProduct" not in p,
+          "l24: a tiny stats join planned as SMJ/cartesian")
+    # bucket_counts barrier: without it the three stat consumers
+    # re-scan the corpus (4 scans instead of 2)
+    check(p.count("Scan parquet") <= 2,
+          f"l24: {p.count('Scan parquet')} corpus scans (stats barrier gone)")
+
     p = plan_of(spark, "l3b2_lsh_checked")
     check("BroadcastHashJoin" in p,
           "l3b2: probe side not broadcast into the bucket join")
