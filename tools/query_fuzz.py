@@ -1,0 +1,459 @@
+"""Query-grammar differential fuzzing (SQLsmith-style, seeded).
+
+The registry checks 184 HAND-WRITTEN query pairs; tests/test_oracle_fuzz.py
+varies the DATA under them. This tool varies the QUERIES: a seeded
+generator emits random SQL from a grammar restricted to the
+deterministic Spark-AND-DuckDB dialect (the same §2.C discipline the
+registry obeys — decimal-cast accumulation, exact-average form, explicit
+aliases, no engine-private functions), runs the ONE SQL text on both
+engines over the same TPC-H parquet, and compares with the driver's
+canonical value-hash (tests.oracle.compare_frames).
+
+What this buys beyond the registry: coverage of the COMBINATORIAL
+expression space — predicate nestings, join chains, group-key/aggregate
+mixes, window + filter interactions, set-ops, scalar subqueries — where
+a Catalyst rewrite (constant folding, predicate pushdown through joins,
+rank-limit pushdown, subquery decorrelation) could silently change
+semantics. Every query is planned by Catalyst with all optimizations
+on; a mismatch means an optimizer-visible semantics bug, not a typo in
+a hand-written oracle.
+
+Dialect-intersection rules (each excludes a known cross-engine trap):
+- every output column gets an explicit ``cN`` alias (name-compare);
+- no raw DATE outputs (engines disagree on date-vs-midnight rendering;
+  timestamps round-trip identically);
+- SUM/AVG over DOUBLE go through CAST(x AS DECIMAL(18,4)) accumulation;
+  AVG is the exact form CAST(SUM(dec)/COUNT AS DOUBLE) — fp-order-free;
+- division only by nonzero constants (ANSI Spark and DuckDB both raise
+  on /0 — but raise DIFFERENTLY, and a fuzzer asserts agreement);
+- ORDER BY only inside window specs, always over a unique total order
+  (group keys + primary key), explicit NULLS placement;
+- string ops stay ASCII (LIKE prefix/suffix of sampled values).
+
+Usage:
+  python tools/query_fuzz.py [sf_dir] [--n=300] [--seed0=1] [--json=PATH]
+Exit 0 iff every seed matches. Writes a one-line JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# ---------------------------------------------------------------------------
+# schema model
+# ---------------------------------------------------------------------------
+
+# bump when the grammar changes: campaign results are only comparable
+# within one grammar version (same seed → same query)
+GRAMMAR_VERSION = 2
+
+TABLES: dict[str, dict[str, str]] = {
+    "lineitem": {
+        "l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+        "l_linenumber": "int", "l_quantity": "float",
+        "l_extendedprice": "float", "l_discount": "float", "l_tax": "float",
+        "l_returnflag": "str", "l_linestatus": "str", "l_shipdate": "ts",
+    },
+    "orders": {
+        "o_orderkey": "int", "o_custkey": "int", "o_orderstatus": "str",
+        "o_totalprice": "float", "o_orderdate": "ts", "o_orderpriority": "str",
+    },
+    "customer": {
+        "c_custkey": "int", "c_name": "str", "c_nationkey": "int",
+        "c_acctbal": "float", "c_mktsegment": "str",
+    },
+    "part": {
+        "p_partkey": "int", "p_name": "str", "p_brand": "str",
+        "p_type": "str", "p_size": "int", "p_retailprice": "float",
+    },
+    "supplier": {
+        "s_suppkey": "int", "s_name": "str", "s_nationkey": "int",
+        "s_acctbal": "float",
+    },
+    "nation": {"n_nationkey": "int", "n_name": "str", "n_regionkey": "int"},
+    "region": {"r_regionkey": "int", "r_name": "str"},
+    # the LLM-corpus table: long multilingual text stresses the string
+    # function surface (LENGTH/LOWER/UPPER/TRIM/SUBSTR, LIKE over CJK)
+    "documents": {
+        "doc_id": "int", "text": "str", "lang": "str",
+        "source": "str", "n_chars": "int",
+    },
+}
+
+# pk: unique total-order key(s) per table (window ORDER BY safety)
+PK: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "orders": ("o_orderkey",),
+    "customer": ("c_custkey",),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
+    "nation": ("n_nationkey",),
+    "region": ("r_regionkey",),
+    "documents": ("doc_id",),
+}
+
+# FK graph: (left_table, left_col, right_table, right_col)
+FKS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+# ---------------------------------------------------------------------------
+# data-derived constant pools (computed once per sf_dir, via DuckDB;
+# only SQL TEXT depends on them, so both engines see identical queries)
+# ---------------------------------------------------------------------------
+
+
+def build_pools(duck) -> dict:
+    """Constant pools per (table, column), plus the data-verified set of
+    tables whose PK columns are actually unique (under key "_unique_pk").
+    The synthetic lineitem has duplicate (l_orderkey, l_linenumber)
+    pairs, so order-SENSITIVE window functions (ROW_NUMBER, running SUM)
+    would be under-specified there — any engine disagreement would be
+    legitimate tie-order freedom, not a bug. RANK stays safe everywhere
+    (tie-stable). Verified per sf_dir, not assumed."""
+    unique_pk = set()
+    for t, pk in PK.items():
+        key = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in pk)
+        n, d = duck.execute(
+            f"SELECT COUNT(*), COUNT(DISTINCT ({key})) FROM {t}"
+        ).fetchone()
+        if n == d:
+            unique_pk.add(t)
+    pools: dict = {"_unique_pk": unique_pk, "_ascii": set()}
+    for t, cols in TABLES.items():
+        for c, ty in cols.items():
+            if ty in ("int", "float"):
+                rows = duck.execute(
+                    f"SELECT quantile_disc({c}, [0.1, 0.35, 0.5, 0.65, 0.9]) "
+                    f"FROM {t}"
+                ).fetchone()[0]
+                pools[(t, c)] = [repr(float(v)) if ty == "float" else str(int(v))
+                                 for v in rows if v is not None]
+            elif ty == "str":
+                rows = duck.execute(
+                    f"SELECT DISTINCT {c} FROM {t} WHERE {c} IS NOT NULL "
+                    f"ORDER BY {c} LIMIT 8"
+                ).fetchall()
+                pools[(t, c)] = [r[0].replace("'", "''") for r in rows]
+                # UPPER/LOWER are only cross-engine-stable on ASCII
+                # (JVM full case mapping vs utf8proc per-codepoint:
+                # e.g. ß→SS vs ß) — verify, don't assume
+                n_non_ascii = duck.execute(
+                    f"SELECT COUNT(*) FROM {t} WHERE "
+                    f"regexp_matches({c}, '[^\\x00-\\x7F]')"
+                ).fetchone()[0]
+                if n_non_ascii == 0:
+                    pools.setdefault("_ascii", set()).add((t, c))
+            elif ty == "ts":
+                rows = duck.execute(
+                    f"SELECT quantile_disc({c}, [0.2, 0.5, 0.8]) FROM {t}"
+                ).fetchone()[0]
+                pools[(t, c)] = [str(v)[:19] for v in rows if v is not None]
+    return pools
+
+
+# ---------------------------------------------------------------------------
+# generator
+# ---------------------------------------------------------------------------
+
+
+class Gen:
+    def __init__(self, seed: int, pools):
+        self.r = random.Random(seed * 1_000_003 + 17)
+        self.pools = pools
+
+    # -- scope: a FROM clause with typed, qualified columns ------------
+    def scope(self, max_joins: int = 2):
+        r = self.r
+        t0 = r.choice(list(TABLES))
+        frm = [t0]
+        cols = [(t0, c, ty) for c, ty in TABLES[t0].items()]
+        sql = t0
+        for _ in range(r.randrange(max_joins + 1)):
+            cands = [fk for fk in FKS
+                     if (fk[0] in frm) != (fk[2] in frm)]  # extend the chain
+            if not cands:
+                break
+            lt, lc, rt, rc = r.choice(cands)
+            new = rt if rt not in frm else lt
+            kind = r.choice(["JOIN", "JOIN", "JOIN", "LEFT JOIN"])
+            sql += f" {kind} {new} ON {lt}.{lc} = {rt}.{rc}"
+            frm.append(new)
+            cols += [(new, c, ty) for c, ty in TABLES[new].items()]
+        return sql, frm, cols
+
+    def col(self, cols, types=("int", "float", "str", "ts")):
+        cand = [x for x in cols if x[2] in types]
+        t, c, ty = self.r.choice(cand)
+        return f"{t}.{c}", ty, (t, c)
+
+    def constant(self, key, ty) -> str:
+        pool = self.pools.get(key) or []
+        if not pool:
+            return {"int": "0", "float": "0.0", "str": "''",
+                    "ts": "TIMESTAMP '1995-01-01 00:00:00'"}[ty]
+        v = self.r.choice(pool)
+        if ty == "str":
+            return f"'{v}'"
+        if ty == "ts":
+            return f"TIMESTAMP '{v}'"
+        return v
+
+    # -- predicates ----------------------------------------------------
+    def simple_pred(self, cols) -> str:
+        r = self.r
+        e, ty, key = self.col(cols)
+        kind = r.choice(["cmp", "cmp", "between", "in", "null", "like"])
+        if kind == "like" and ty != "str":
+            kind = "cmp"
+        if kind == "in" and ty == "ts":
+            kind = "between"
+        if kind == "cmp":
+            op = r.choice(["=", "<>", "<", "<=", ">", ">="])
+            return f"{e} {op} {self.constant(key, ty)}"
+        if kind == "between":
+            a, b = self.constant(key, ty), self.constant(key, ty)
+            return f"{e} BETWEEN least({a}, {b}) AND greatest({a}, {b})"
+        if kind == "in":
+            n = r.randint(1, 3)
+            vals = ", ".join(self.constant(key, ty) for _ in range(n))
+            return f"{e} IN ({vals})"
+        if kind == "null":
+            return f"{e} IS {r.choice(['NULL', 'NOT NULL'])}"
+        # like: prefix/suffix/contains of a sampled value fragment
+        pool = self.pools.get(key) or ["x"]
+        v = r.choice(pool)
+        frag = v[: min(12, max(1, len(v) // 2))] if v else "x"
+        pat = r.choice([f"{frag}%", f"%{frag}", f"%{frag}%"])
+        return f"{e} LIKE '{pat}'"
+
+    def pred(self, cols, depth: int = 2) -> str:
+        r = self.r
+        if depth <= 0 or r.random() < 0.4:
+            p = self.simple_pred(cols)
+            return f"NOT ({p})" if r.random() < 0.1 else p
+        op = r.choice(["AND", "OR"])
+        return f"({self.pred(cols, depth - 1)} {op} {self.pred(cols, depth - 1)})"
+
+    # -- expressions ---------------------------------------------------
+    def num_expr(self, cols) -> str:
+        r = self.r
+        if r.random() < 0.12 and any(x[2] == "str" for x in cols):
+            s, _, _ = self.col(cols, ("str",))
+            return f"LENGTH({s})"
+        e, ty, key = self.col(cols, ("int", "float"))
+        form = r.choice(["plain", "plain", "arith", "case", "coalesce"])
+        if form == "plain":
+            return e
+        if form == "arith":
+            op = r.choice(["+", "-", "*", "/"])
+            k = r.choice(["2", "3", "7", "10"]) if op in ("*", "/") else (
+                self.constant(key, ty))
+            return f"({e} {op} {k})"
+        if form == "case":
+            return (f"(CASE WHEN {self.simple_pred(cols)} THEN {e} "
+                    f"ELSE {self.constant(key, ty)} END)")
+        return f"COALESCE({e}, 0)"
+
+    def group_key(self, cols) -> str:
+        r = self.r
+        e, ty, key = self.col(cols, ("int", "str", "ts"))
+        if ty == "ts":
+            part = r.choice(["YEAR", "MONTH"])
+            return f"EXTRACT({part} FROM {e})"
+        if ty == "str" and r.random() < 0.4:
+            forms = ["TRIM({e})", f"SUBSTR({{e}}, 1, {r.randint(1, 5)})"]
+            if key in self.pools["_ascii"]:
+                forms += ["LOWER({e})", "UPPER({e})"]
+            return r.choice(forms).format(e=e)
+        return e
+
+    def agg(self, cols) -> str:
+        r = self.r
+        kind = r.choice(["count_star", "count", "count_distinct", "minmax",
+                         "sum", "sum", "exact_avg"])
+        if kind == "count_star":
+            return "COUNT(*)"
+        if kind == "count":
+            e, _, _ = self.col(cols)
+            return f"COUNT({e})"
+        if kind == "count_distinct":
+            e, _, _ = self.col(cols, ("int", "str"))
+            return f"COUNT(DISTINCT {e})"
+        if kind == "minmax":
+            e, _, _ = self.col(cols)
+            return f"{r.choice(['MIN', 'MAX'])}({e})"
+        e = self.num_expr(cols)
+        dec = f"CAST({e} AS DECIMAL(18,4))"
+        if kind == "sum":
+            # final cast to DOUBLE = the registry's fin() rule: DuckDB's
+            # fetchdf renders DECIMAL as float ('915.0' vs Spark's
+            # Decimal('915.0000')) and NULL-decimal as NaN — the double
+            # form is representation-identical on both clients
+            return f"CAST(SUM({dec}) AS DOUBLE)"
+        # exact average: decimal accumulation, one final double division
+        return f"CAST(CAST(SUM({dec}) AS DOUBLE) / NULLIF(COUNT({e}), 0) AS DOUBLE)"
+
+    # -- query templates ----------------------------------------------
+    def query(self) -> str:
+        r = self.r
+        shape = r.choice(["agg", "agg", "agg", "distinct", "window",
+                          "setop", "scalar_sub", "having"])
+        if shape in ("agg", "having"):
+            frm, _, cols = self.scope()
+            keys = [self.group_key(cols) for _ in range(r.randrange(3))]
+            keys = list(dict.fromkeys(keys))
+            aggs = [self.agg(cols) for _ in range(r.randint(1, 3))]
+            sel = [f"{k} AS c{i}" for i, k in enumerate(keys)]
+            sel += [f"{a} AS c{len(keys) + i}" for i, a in enumerate(aggs)]
+            q = f"SELECT {', '.join(sel)} FROM {frm}"
+            if r.random() < 0.8:
+                q += f" WHERE {self.pred(cols)}"
+            if keys:
+                q += " GROUP BY " + ", ".join(
+                    str(i + 1) for i in range(len(keys)))
+                if shape == "having":
+                    q += f" HAVING COUNT(*) >= {r.randint(1, 3)}"
+            return q
+        if shape == "distinct":
+            frm, _, cols = self.scope()
+            outs = list(dict.fromkeys(
+                self.group_key(cols) for _ in range(r.randint(1, 3))))
+            sel = ", ".join(f"{e} AS c{i}" for i, e in enumerate(outs))
+            return f"SELECT DISTINCT {sel} FROM {frm} WHERE {self.pred(cols)}"
+        if shape == "window":
+            t = r.choice([t for t in TABLES if len(TABLES[t]) >= 3])
+            cols = [(t, c, ty) for c, ty in TABLES[t].items()]
+            key = self.group_key(cols)
+            order = ", ".join(f"{t}.{k} ASC NULLS FIRST" for k in PK[t])
+            # order-sensitive functions only where the PK order is a
+            # verified total order (see build_pools); RANK is tie-stable
+            if t in self.pools["_unique_pk"]:
+                fn = r.choice(["ROW_NUMBER()", "RANK()",
+                               f"SUM(CAST({self.num_expr(cols)} AS DECIMAL(18,4)))"])
+            else:
+                fn = "RANK()"
+            frame = ("" if fn in ("ROW_NUMBER()", "RANK()") else
+                     " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+            pks = ", ".join(f"{t}.{k} AS pk{i}" for i, k in enumerate(PK[t]))
+            wexpr = f"{fn} OVER (PARTITION BY {key} ORDER BY {order}{frame})"
+            if fn.startswith("SUM"):
+                wexpr = f"CAST({wexpr} AS DOUBLE)"  # fin() rule, see agg()
+            inner = (f"SELECT {key} AS c0, {pks}, {wexpr} AS w "
+                     f"FROM {t} WHERE {self.pred(cols)}")
+            lim = r.randint(2, 5)
+            if fn in ("ROW_NUMBER()", "RANK()"):
+                return f"SELECT * FROM ({inner}) sub WHERE w <= {lim}"
+            return f"SELECT * FROM ({inner}) sub"
+        if shape == "setop":
+            t = r.choice(list(TABLES))
+            cols = [(t, c, ty) for c, ty in TABLES[t].items()]
+            e = self.group_key(cols)
+            op = r.choice(["INTERSECT", "EXCEPT", "UNION", "UNION ALL"])
+            return (f"SELECT {e} AS c0 FROM {t} WHERE {self.pred(cols)} "
+                    f"{op} SELECT {e} AS c0 FROM {t} WHERE {self.pred(cols)}")
+        # scalar_sub: uncorrelated scalar subquery in the predicate
+        frm, _, cols = self.scope(max_joins=1)
+        e, ty, _ = self.col(cols, ("int", "float"))
+        t2 = r.choice(list(TABLES))
+        cols2 = [(t2, c, ty2) for c, ty2 in TABLES[t2].items()]
+        e2, _, _ = self.col(cols2, ("int", "float"))
+        sub = f"SELECT {r.choice(['MIN', 'MAX'])}({e2}) FROM {t2}"
+        if r.random() < 0.5:
+            sub += f" WHERE {self.simple_pred(cols2)}"
+        agg = self.agg(cols)
+        return (f"SELECT COUNT(*) AS c0, {agg} AS c1 FROM {frm} "
+                f"WHERE {e} {r.choice(['<', '>='])} ({sub})")
+
+
+# ---------------------------------------------------------------------------
+# harness
+# ---------------------------------------------------------------------------
+
+
+def run_campaign(spark, duck, pools, seeds, verbose=True):
+    from tests.oracle import compare_frames  # noqa: PLC0415
+
+    failures = []
+    for seed in seeds:
+        sql = Gen(seed, pools).query()
+        try:
+            spark_pdf = spark.sql(sql).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            failures.append((seed, sql, f"spark error: {ex}"))
+            if verbose:
+                print(f"FAIL seed={seed} spark error\n  {sql}\n  {ex}")
+            continue
+        try:
+            duck_pdf = duck.execute(sql).fetchdf()
+        except Exception as ex:  # noqa: BLE001
+            failures.append((seed, sql, f"duckdb error: {ex}"))
+            if verbose:
+                print(f"FAIL seed={seed} duckdb error\n  {sql}\n  {ex}")
+            continue
+        problems = compare_frames(spark_pdf, duck_pdf)
+        if problems:
+            failures.append((seed, sql, "; ".join(problems)))
+            if verbose:
+                print(f"FAIL seed={seed} mismatch\n  {sql}\n  {problems}")
+        elif verbose and seed % 25 == 0:
+            print(f"ok   seed={seed} ({len(spark_pdf)} rows)")
+    return failures
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    n = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--n=")),
+                 "300"))
+    seed0 = int(next((a.split("=")[1] for a in sys.argv
+                      if a.startswith("--seed0=")), "1"))
+    out = next((a.split("=", 1)[1] for a in sys.argv
+                if a.startswith("--json=")), None)
+
+    from pyspark.sql import SparkSession
+
+    from tests.oracle import duckdb_connect
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("query_fuzz")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in TABLES:
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")) \
+            .createOrReplaceTempView(t)
+    duck = duckdb_connect(sf_dir)
+    pools = build_pools(duck)
+
+    seeds = range(seed0, seed0 + n)
+    failures = run_campaign(spark, duck, pools, seeds)
+    summary = {
+        "metric": "query_fuzz", "grammar": GRAMMAR_VERSION,
+        "sf_dir": sf_dir, "n": n, "seed0": seed0,
+        "pass": n - len(failures), "fail": len(failures),
+        "failed_seeds": [s for s, _, _ in failures][:20],
+    }
+    print(json.dumps(summary))
+    if out:
+        with open(out, "w") as f:
+            json.dump(summary, f)
+            f.write("\n")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
