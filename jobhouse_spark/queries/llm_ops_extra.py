@@ -207,6 +207,84 @@ def l24_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_select(d, "lang", "doc_id", weights)
 
 
+def _l25_oracle() -> str:
+    from jobhouse_spark.functions.text import STOPWORDS  # noqa: PLC0415
+
+    stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return rf"""
+WITH s AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+  FROM documents),
+d AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> t IN ({stop_in})))
+           / greatest(len(toks), 1) AS dif
+  FROM s),
+th AS (
+  SELECT quantile_disc(dif, 0.25) AS t1, quantile_disc(dif, 0.5) AS t2,
+         quantile_disc(dif, 0.75) AS t3
+  FROM d)
+SELECT doc_id,
+       CASE WHEN dif IS NULL THEN 0
+            WHEN dif <= t1 THEN 1
+            WHEN dif <= t2 THEN 2
+            WHEN dif <= t3 THEN 3
+            ELSE 4 END AS bin,
+       md5(CAST(doc_id AS VARCHAR)) AS ord_key
+FROM d CROSS JOIN th
+ORDER BY bin, ord_key
+"""
+
+
+@register(
+    "l25_curriculum_bins",
+    oracle=_l25_oracle(),
+    tags=("llm", "text", "curriculum"),
+)
+def l25_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L25: curriculum binning + deterministic training order.
+
+    The data-ordering op a pretraining pipeline needs between filtering
+    and packing: rank every document by a difficulty signal (here the
+    continuous stopword-density heuristic — int/int double division,
+    IEEE-identical cross-engine, same formula l6b hash-checks), split
+    the corpus into exact quartile bins, and emit a reproducible
+    training order (bin ascending = easy-to-hard curriculum; md5 rank
+    inside each bin = deterministic shuffle, the l10b discipline).
+
+    100 TB design: NO global sort — bin thresholds are one
+    percentile_disc aggregate (a single tiny row, broadcast back via
+    crossJoin), binning is a map-side CASE, and the intra-bin order is
+    a hash, not a rank, so downstream writers can range-partition on
+    (bin, ord_key) without ever totally ordering the corpus.
+    percentile_disc picks actual data values (no interpolation), so
+    Spark and DuckDB agree bit-for-bit on the thresholds.
+    """
+    from jobhouse_spark.functions.text import stopword_ratio  # noqa: PLC0415
+
+    d = Tables(spark, sf_dir).documents
+    scored = d.select("doc_id", stopword_ratio(F.col("text")).alias("dif"))
+    th = scored.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY dif)").alias("t1"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dif)").alias("t2"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY dif)").alias("t3"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .select(
+            "doc_id",
+            F.when(F.col("dif").isNull(), F.lit(0))
+            .when(F.col("dif") <= F.col("t1"), F.lit(1))
+            .when(F.col("dif") <= F.col("t2"), F.lit(2))
+            .when(F.col("dif") <= F.col("t3"), F.lit(3))
+            .otherwise(F.lit(4))
+            .alias("bin"),
+            F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+        )
+        .orderBy("bin", "ord_key")
+    )
+
+
 def _l8_oracle() -> str:
     """DuckDB replica of detect_language — the marker sets interpolate
     from the SAME LANG_MARKERS constant, the tie rule (first language in

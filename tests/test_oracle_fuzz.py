@@ -49,6 +49,9 @@ FUZZ_ENTRIES = (
     # duplicate-vector stress (15% exact-dup vectors in every profile)
     "l24_domain_mixture",
     "l23b_semantic_dedup_scaled",
+    # percentile_disc thresholds + NULL-difficulty branch under
+    # null/empty-text stress
+    "l25_curriculum_bins",
 )
 
 # per-seed stress profile: (exact_dup_rate, null_text_rate, empty_rate,
