@@ -256,9 +256,22 @@ def main() -> None:
     check("SortMergeJoin" not in p and "CartesianProduct" not in p,
           "l24: a tiny stats join planned as SMJ/cartesian")
     # bucket_counts barrier: without it the three stat consumers
-    # re-scan the corpus (4 scans instead of 2)
-    check(p.count("Scan parquet") <= 2,
-          f"l24: {p.count('Scan parquet')} corpus scans (stats barrier gone)")
+    # re-scan the corpus (4 scans instead of 2). Count node HEADERS in
+    # the details section — the formatted string lists every node twice
+    # (tree + details), so a raw substring count double-counts.
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
+    check(n_scans <= 2, f"l24: {n_scans} corpus scans (stats barrier gone)")
+
+    p = plan_of(spark, "l25_curriculum_bins")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "l25: difficulty scoring left the JVM")
+    # thresholds are ONE row broadcast back; binning must stay map-side
+    # (scan + tiny agg = 2 corpus scans, no SMJ, no big-side shuffle
+    # beyond the presentation sort)
+    check("SortMergeJoin" not in p and "CartesianProduct" not in p,
+          "l25: threshold join not a broadcast")
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
+    check(n_scans <= 2, f"l25: {n_scans} corpus scans")
 
     p = plan_of(spark, "l3b2_lsh_checked")
     check("BroadcastHashJoin" in p,
