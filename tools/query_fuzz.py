@@ -50,7 +50,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # bump when the grammar changes: campaign results are only comparable
 # within one grammar version (same seed → same query)
-GRAMMAR_VERSION = 2
+GRAMMAR_VERSION = 3
 
 TABLES: dict[str, dict[str, str]] = {
     "lineitem": {
@@ -309,7 +309,8 @@ class Gen:
     def query(self) -> str:
         r = self.r
         shape = r.choice(["agg", "agg", "agg", "distinct", "window",
-                          "setop", "scalar_sub", "having"])
+                          "setop", "scalar_sub", "having",
+                          "exists_sub", "in_sub"])
         if shape in ("agg", "having"):
             frm, _, cols = self.scope()
             keys = [self.group_key(cols) for _ in range(r.randrange(3))]
@@ -363,6 +364,30 @@ class Gen:
             op = r.choice(["INTERSECT", "EXCEPT", "UNION", "UNION ALL"])
             return (f"SELECT {e} AS c0 FROM {t} WHERE {self.pred(cols)} "
                     f"{op} SELECT {e} AS c0 FROM {t} WHERE {self.pred(cols)}")
+        if shape in ("exists_sub", "in_sub"):
+            # correlated EXISTS / IN over an FK edge — exercises
+            # Catalyst's decorrelation into semi/anti joins (and
+            # DuckDB's into its own flattened form); keys are non-null
+            # on both sides so NOT IN keeps set semantics
+            lt, lc, rt, rc = r.choice(FKS)
+            outer, inner, ok, ik = ((lt, rt, lc, rc) if r.random() < 0.5
+                                    else (rt, lt, rc, lc))
+            ocols = [(outer, c, ty) for c, ty in TABLES[outer].items()]
+            icols = [(inner, c, ty) for c, ty in TABLES[inner].items()]
+            ipred = self.pred(icols, depth=1)
+            neg = r.choice(["", "NOT "])
+            if shape == "exists_sub":
+                sub = (f"SELECT 1 FROM {inner} WHERE {inner}.{ik} = "
+                       f"{outer}.{ok} AND {ipred}")
+                where = f"{neg}EXISTS ({sub})"
+            else:
+                sub = f"SELECT {inner}.{ik} FROM {inner} WHERE {ipred}"
+                where = f"{outer}.{ok} {neg}IN ({sub})"
+            agg = self.agg(ocols)
+            q = f"SELECT COUNT(*) AS c0, {agg} AS c1 FROM {outer} WHERE {where}"
+            if r.random() < 0.5:
+                q += f" AND {self.pred(ocols, depth=1)}"
+            return q
         # scalar_sub: uncorrelated scalar subquery in the predicate
         frm, _, cols = self.scope(max_joins=1)
         e, ty, _ = self.col(cols, ("int", "float"))
