@@ -125,3 +125,79 @@ def mixture_select(
         )
         .orderBy(group_col, "rn")
     )
+
+
+def mixture_select_budget(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    weights: Sequence[tuple[str, int]],
+    target_num: int = 6,
+    target_den: int = 10,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Budgeted mixture: same hash-order selection as
+    :func:`mixture_select`, but quotas are a cumulative WEIGHT budget
+    (e.g. characters/tokens), not a row count — the form real
+    pretraining mixes use ("x% of the token budget from domain y").
+
+    A doc is kept iff the running weight total of its domain, in global
+    hash order and INCLUDING the doc, stays within the domain's budget
+    ``(w_g * (target_num * total_weight div target_den)) div 100``.
+    Weights are non-negative, so the running total is monotone and the
+    kept set is a prefix of the hash order — which is what lets the
+    same prefix-bucket decomposition apply to cumulative SUMS instead
+    of ranks: local windowed cumsum within (group, bucket), plus a
+    broadcast per-bucket weight-offset table. NULL weights count 0.
+    """
+    spark = df.sparkSession
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        F.coalesce(F.col(weight_col), F.lit(0)).cast("bigint").alias("_w"),
+        hash_rank(F.col(id_col)).alias("_h"),
+    ).withColumn("_b", F.substring("_h", 1, prefix_len))
+
+    w_local = (
+        Window.partitionBy("_g", "_b")
+        .orderBy("_h", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = docs.withColumn("_lc", F.sum("_w").over(w_local))
+
+    bucket_tot = materialize_barrier(
+        docs.groupBy("_g", "_b").agg(F.sum("_w").alias("_c"))
+    )
+    w_off = (
+        Window.partitionBy("_g")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_tot.select(
+        "_g", "_b", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+
+    wdf = spark.createDataFrame(list(weights), "_g string, _wn bigint")
+    total = bucket_tot.groupBy().agg(F.sum("_c").alias("_t"))
+    quota = (
+        wdf.crossJoin(F.broadcast(total))
+        .select(
+            "_g",
+            F.expr(
+                f"(_wn * (({target_num} * _t) div {target_den})) div 100"
+            ).alias("_quota"),
+        )
+    )
+
+    return (
+        local.join(F.broadcast(offsets), ["_g", "_b"])
+        .join(F.broadcast(quota), "_g")
+        .filter(F.col("_off") + F.col("_lc") <= F.col("_quota"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_g").alias(group_col),
+            (F.col("_off") + F.col("_lc")).alias("cum_w"),
+        )
+        .orderBy(group_col, "cum_w")
+    )

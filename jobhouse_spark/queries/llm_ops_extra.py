@@ -207,6 +207,56 @@ def l24_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_select(d, "lang", "doc_id", weights)
 
 
+@register(
+    "l24b_token_budget_mixture",
+    oracle="""
+WITH w AS (
+  SELECT * FROM (VALUES ('de', 15), ('en', 40), ('es', 15), ('fr', 15),
+                        ('zh', 15)) AS t(lang, w_num)),
+d AS (
+  SELECT doc_id, lang, COALESCE(n_chars, 0) AS wt,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+tot AS (SELECT SUM(wt) AS c FROM d),
+quota AS (
+  SELECT w.lang, (w.w_num * ((6 * t.c) // 10)) // 100 AS q
+  FROM w CROSS JOIN tot t),
+cum AS (
+  SELECT doc_id, lang,
+         CAST(SUM(wt) OVER (PARTITION BY lang ORDER BY h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cum_w
+  FROM d)
+SELECT c.doc_id, c.lang, c.cum_w
+FROM cum c JOIN quota q ON c.lang = q.lang
+WHERE c.cum_w <= q.q
+ORDER BY c.lang, c.cum_w
+""",
+    tags=("llm", "sampling", "mixture"),
+)
+def l24b_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L24b: mixture by WEIGHT budget, not row count — each language
+    receives a share of the total character budget (en 40%, others 15%,
+    of 60% of the corpus's characters), filled in deterministic md5
+    hash order until the next doc would stay within budget.
+
+    This is the form production pretraining mixes actually use ("x% of
+    the token budget from domain y"). Non-negative weights make the
+    running total monotone, so the kept set is a hash-order PREFIX —
+    which is exactly what lets mixture_select's hash-prefix-bucket
+    decomposition generalize from ranks to cumulative sums
+    (operators/mixture.py::mixture_select_budget): local windowed
+    cumsum within (domain, bucket) + a broadcast per-bucket
+    weight-offset table, no per-domain global sort. The oracle states
+    the same selection with a plain per-domain windowed SUM.
+    """
+    from jobhouse_spark.operators.mixture import mixture_select_budget  # noqa: PLC0415
+
+    d = Tables(spark, sf_dir).documents
+    weights = [("de", 15), ("en", 40), ("es", 15), ("fr", 15), ("zh", 15)]
+    return mixture_select_budget(d, "lang", "doc_id", "n_chars", weights)
+
+
 def _l25_oracle() -> str:
     from jobhouse_spark.functions.text import STOPWORDS  # noqa: PLC0415
 

@@ -48,6 +48,7 @@ FUZZ_ENTRIES = (
     # lang groups, and SemDeDup's centroid-assignment tie-breaks under
     # duplicate-vector stress (15% exact-dup vectors in every profile)
     "l24_domain_mixture",
+    "l24b_token_budget_mixture",
     "l23b_semantic_dedup_scaled",
     # percentile_disc thresholds + NULL-difficulty branch under
     # null/empty-text stress

@@ -40,3 +40,18 @@ def test_generator_is_deterministic(fuzz_env):
     assert [Gen(s, fuzz_env).query() for s in (1, 2, 3)] == [
         Gen(s, fuzz_env).query() for s in (1, 2, 3)
     ]
+
+
+def test_harness_detects_divergence(spark, duck, fuzz_env):
+    """Negative control: a 0-FAIL campaign is only evidence if the
+    harness CAN fail. Run one engine on a mutated query (different
+    filter constant) and assert the compare reports it."""
+    from tests.oracle import compare_frames
+
+    sql = "SELECT COUNT(*) AS c0 FROM orders WHERE o_custkey < 50"
+    mutated = sql.replace("< 50", "< 51")
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.execute(mutated).fetchdf()
+    assert compare_frames(spark_pdf, duck_pdf), (
+        "harness failed to flag a mutated query"
+    )

@@ -262,6 +262,16 @@ def main() -> None:
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
     check(n_scans <= 2, f"l24: {n_scans} corpus scans (stats barrier gone)")
 
+    p = plan_of(spark, "l24b_token_budget_mixture")
+    # the cumsum must stay (group, hash-prefix bucket)-partitioned —
+    # same scale contract as l24, generalized from ranks to budgets
+    check(re.search(r"windowspecdefinition\(_g#\d+, _b#\d+", p) is not None,
+          "l24b: cumsum window lost the hash-prefix bucket key")
+    check("SortMergeJoin" not in p and "CartesianProduct" not in p,
+          "l24b: a tiny stats join planned as SMJ/cartesian")
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
+    check(n_scans <= 2, f"l24b: {n_scans} corpus scans (stats barrier gone)")
+
     p = plan_of(spark, "l25_curriculum_bins")
     check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
           "l25: difficulty scoring left the JVM")
