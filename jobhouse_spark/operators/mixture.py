@@ -47,6 +47,52 @@ def hash_rank(id_col: Column) -> Column:
     return F.md5(id_col.cast("string"))
 
 
+def hash_ranked(
+    df: DataFrame, group_col: str, id_col: str, prefix_len: int = 2
+):
+    """Steps (1)-(4) of the decomposition: the group-local GLOBAL hash
+    rank of every row, without any skewed per-group sort. Returns
+    (ranked_df, bucket_counts) where ranked_df carries columns
+    ``_id, _g, _rn`` and bucket_counts the materialized tiny
+    (_g, _b, _c) relation (reused by callers for quota stats)."""
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        hash_rank(F.col(id_col)).alias("_h"),
+    )
+    docs = docs.withColumn("_b", F.substring("_h", 1, prefix_len))
+
+    # (1)+(2) even local ranks: |groups| * 16^prefix_len window partitions
+    w_local = Window.partitionBy("_g", "_b").orderBy("_h", "_id")
+    local = docs.withColumn("_lrn", F.row_number().over(w_local))
+
+    # (3) tiny per-bucket offset table, broadcast back. Group counts and
+    # the corpus total derive from bucket_counts too, and bucket_counts
+    # is materialized ONCE (it is |groups|·16^prefix_len rows): without
+    # the barrier each of the stat consumers re-plans the
+    # aggregate from the scan — with per-branch inferred isnotnull
+    # filters that defeat exchange reuse — so the corpus would be
+    # scanned four times instead of twice (asserted in
+    # tools/explain_audit.py).
+    bucket_counts = materialize_barrier(
+        docs.groupBy("_g", "_b").agg(F.count("*").alias("_c"))
+    )
+    w_off = (
+        Window.partitionBy("_g")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_counts.select(
+        "_g", "_b", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+
+    # (4) global rank = bucket offset + local rank
+    ranked = local.join(F.broadcast(offsets), ["_g", "_b"]).select(
+        "_id", "_g", (F.col("_off") + F.col("_lrn")).alias("_rn")
+    )
+    return ranked, bucket_counts
+
+
 def mixture_select(
     df: DataFrame,
     group_col: str,
@@ -66,36 +112,7 @@ def mixture_select(
     ``weights`` are dropped (weight 0).
     """
     spark = df.sparkSession
-    docs = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(group_col).alias("_g"),
-        hash_rank(F.col(id_col)).alias("_h"),
-    )
-    docs = docs.withColumn("_b", F.substring("_h", 1, prefix_len))
-
-    # (1)+(2) even local ranks: |groups| * 16^prefix_len window partitions
-    w_local = Window.partitionBy("_g", "_b").orderBy("_h", "_id")
-    local = docs.withColumn("_lrn", F.row_number().over(w_local))
-
-    # (3) tiny per-bucket offset table, broadcast back. Group counts and
-    # the corpus total derive from bucket_counts too, and bucket_counts
-    # is materialized ONCE (it is |groups|·16^prefix_len rows): without
-    # the barrier each of the three stat consumers re-plans the
-    # aggregate from the scan — with per-branch inferred isnotnull
-    # filters that defeat exchange reuse — so the corpus would be
-    # scanned four times instead of twice (asserted in
-    # tools/explain_audit.py).
-    bucket_counts = materialize_barrier(
-        docs.groupBy("_g", "_b").agg(F.count("*").alias("_c"))
-    )
-    w_off = (
-        Window.partitionBy("_g")
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = bucket_counts.select(
-        "_g", "_b", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
-    )
+    ranked, bucket_counts = hash_ranked(df, group_col, id_col, prefix_len)
 
     # quotas: exact int64 arithmetic, one-row total broadcast
     wdf = spark.createDataFrame(list(weights), "_g string, _w bigint")
@@ -113,15 +130,13 @@ def mixture_select(
         )
     )
 
-    # (4) global rank = offset + local rank; keep rank <= quota
     return (
-        local.join(F.broadcast(offsets), ["_g", "_b"])
-        .join(F.broadcast(quota), "_g")
-        .filter(F.col("_off") + F.col("_lrn") <= F.col("_quota"))
+        ranked.join(F.broadcast(quota), "_g")
+        .filter(F.col("_rn") <= F.col("_quota"))
         .select(
             F.col("_id").alias(id_col),
             F.col("_g").alias(group_col),
-            (F.col("_off") + F.col("_lrn")).alias("rn"),
+            F.col("_rn").alias("rn"),
         )
         .orderBy(group_col, "rn")
     )
