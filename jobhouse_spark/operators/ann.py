@@ -493,3 +493,99 @@ def semantic_dedup_collapsed(
         )
         .alias("is_duplicate"),
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One EXACT-INTEGER Lloyd refinement step — the hash-checked twin
+    of codebook training (train_centroids above is the production
+    pyspark.ml KMeans; that fit is model-specific and rows-only by
+    SURVEY §2.C rule 6, while this step is differentially checkable).
+
+    assign(C0) → update (per-cell per-component integer mean,
+    ``sum div count`` — truncating division, verified identical in
+    Spark and DuckDB including negatives) → re-assign(C1). Returns
+    per-NEW-cell stats, every column exact int64:
+
+      cell        original id of the refined centroid
+      n_members   members after re-assignment
+      moved_in    members whose cell changed in this step
+      member_chk  sum of member ids (membership checksum)
+      cent_chk    sum of the refined centroid's components
+
+    Exactness: micro-unit inputs are |x| <= ~1.2e6, so refined means
+    are too; c² and v·c terms at dim 64 stay far below 2^53, keeping
+    the large-codebook numpy path bit-identical to the expression path
+    (same argument as semantic_dedup's assignment note). Cells that
+    lose every member in step 1 have no refined centroid and cannot
+    attract members in step 2 — both engines drop them identically.
+
+    Scale shape: two map-only assignment passes over the corpus, one
+    (cell, component) partial+final aggregate (k·dim rows), and a
+    driver collect that is THE MODEL (k·dim integers — the same
+    bounded-by-the-codebook contract as the k-from-N count in l23b);
+    the refined codebook then rides to executors as assignment
+    expressions / a numpy closure exactly like C0. No all-pairs, no
+    per-cell global sort.
+    """
+    from jobhouse_spark.functions.vectors import micro_vec  # noqa: PLC0415
+    from jobhouse_spark.materialize import materialize_barrier  # noqa: PLC0415
+
+    spark = corpus.sparkSession
+    dim = len(centroids[0]) if centroids else 0
+
+    def assign(mv_col, cents):
+        if len(cents) * dim <= _EXPR_COMPONENT_LIMIT:
+            return _nearest_centroid_expr(mv_col, cents, k=1, integer_micro=True)[0]
+        return _nearest_centroid_udf(mv_col, cents, k=1)[0]
+
+    mv = micro_vec(F.col(vec_col))
+    assigned = materialize_barrier(
+        corpus.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("vec_id"),
+            mv.alias("mv"),
+            assign(mv, centroids).alias("cell0"),
+        )
+    )
+
+    # update: per-(cell, component) integer mean — k·dim rows
+    comps = (
+        assigned.select("cell0", F.posexplode("mv").alias("pos", "v"))
+        .groupBy("cell0", "pos")
+        .agg(F.expr("sum(v) div count(1)").alias("comp"))
+        .collect()
+    )
+    by_cell: dict[int, list[int]] = {}
+    for r in comps:
+        by_cell.setdefault(int(r["cell0"]), [0] * dim)[int(r["pos"])] = int(
+            r["comp"]
+        )
+    ids = sorted(by_cell)
+    cents1 = [by_cell[i] for i in ids]
+    id_arr = F.array(*[F.lit(i) for i in ids])
+
+    re_assigned = assigned.select(
+        "vec_id",
+        "cell0",
+        F.element_at(id_arr, assign(F.col("mv"), cents1) + 1).alias("cell"),
+    )
+    chk = spark.createDataFrame(
+        [(i, sum(by_cell[i])) for i in ids], "cell int, cent_chk bigint"
+    )
+    return (
+        re_assigned.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum((F.col("cell0") != F.col("cell")).cast("long")).alias(
+                "moved_in"
+            ),
+            F.sum("vec_id").alias("member_chk"),
+        )
+        .join(F.broadcast(chk), "cell")
+        .select("cell", "n_members", "moved_in", "member_chk", "cent_chk")
+        .orderBy("cell")
+    )

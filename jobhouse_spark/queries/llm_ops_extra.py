@@ -257,6 +257,104 @@ def l24b_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_select_budget(d, "lang", "doc_id", "n_chars", weights)
 
 
+def _l26_oracle(crange: int = 400_000) -> str:
+    """DuckDB replica of one exact-integer Lloyd step: the SAME
+    k-from-COUNT(*) md5 codebook derivation as _l23b_oracle (tag c26),
+    assignment argmin with the d*k+cell tie key, per-(cell, component)
+    integer means via truncating `//` (verified identical to Spark's
+    `div` including negatives), list(comp ORDER BY pos) rebuild, and a
+    second assignment against the refined table-valued codebook."""
+    span = 2 * crange + 1
+    md5c = MD5_INT32_SQL.format(
+        x="'c26:' || CAST(cell AS VARCHAR) || ':' || CAST(d AS VARCHAR)"
+    )
+    return f"""
+WITH p AS (
+  SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0) AS INTEGER)) AS k
+  FROM embeddings),
+cent0 AS (
+  SELECT CAST(cell AS INTEGER) AS cell,
+         list_transform(range(0, 64),
+                        d -> {md5c} % {span} - {crange}) AS cv
+  FROM (SELECT UNNEST(range(0, (SELECT k FROM p))) AS cell)),
+m AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) * 1000000
+                     AS BIGINT)) AS mv
+  FROM embeddings WHERE embedding IS NOT NULL),
+d0 AS (
+  SELECT vec_id, cell,
+         CAST(list_sum(list_transform(list_zip(mv, cv),
+                                      z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS d
+  FROM m CROSS JOIN cent0),
+a0 AS (
+  SELECT vec_id,
+         arg_min(cell, CAST(d AS HUGEINT) * (SELECT k FROM p) + cell) AS cell0
+  FROM d0 GROUP BY vec_id),
+mem AS (SELECT a0.cell0, m.vec_id, m.mv FROM m JOIN a0 USING (vec_id)),
+upd AS (
+  SELECT cell0, t.pos,
+         CAST(SUM(mv[t.pos + 1]) // COUNT(*) AS BIGINT) AS comp
+  FROM mem CROSS JOIN (SELECT UNNEST(range(0, 64)) AS pos) t
+  GROUP BY cell0, t.pos),
+cent1 AS (
+  SELECT cell0 AS cell, list(comp ORDER BY pos) AS cv,
+         CAST(list_sum(list(comp ORDER BY pos)) AS BIGINT) AS cent_chk
+  FROM upd GROUP BY cell0),
+d1 AS (
+  SELECT vec_id, cell,
+         CAST(list_sum(list_transform(list_zip(mv, cv),
+                                      z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS d
+  FROM m CROSS JOIN cent1),
+a1 AS (
+  SELECT vec_id,
+         arg_min(cell, CAST(d AS HUGEINT) * (SELECT k FROM p) + cell) AS cell
+  FROM d1 GROUP BY vec_id)
+SELECT a1.cell,
+       COUNT(*) AS n_members,
+       CAST(SUM(CAST(a0.cell0 <> a1.cell AS INT)) AS BIGINT) AS moved_in,
+       CAST(SUM(a1.vec_id) AS BIGINT) AS member_chk,
+       ANY_VALUE(c.cent_chk) AS cent_chk
+FROM a1 JOIN a0 USING (vec_id) JOIN cent1 c ON c.cell = a1.cell
+GROUP BY a1.cell
+ORDER BY a1.cell
+"""
+
+
+@register(
+    "l26_kmeans_refine_checked",
+    oracle=_l26_oracle(),
+    tags=("llm", "similarity", "training"),
+)
+def l26_kmeans_refine_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L26: one exact-integer Lloyd (k-means) refinement step over the
+    embedding corpus — the hash-checked twin of IVF codebook TRAINING
+    (operators/ann.py::train_centroids is the production pyspark.ml
+    KMeans fit; model-specific, rows-only by §2.C rule 6 — this entry
+    proves the distributed update machinery itself: assignment →
+    per-cell integer-mean update → re-assignment, bit-identical across
+    engines).
+
+    Same registry-honest shape as l23b: k = max(8, ceil(N/250)), md5
+    codebook (tag c26) both engines derive from scratch; integer means
+    use truncating division (Spark `div` == DuckDB `//`, negatives
+    included); the refined codebook the driver collects IS the model
+    (k·dim ints — the bounded-by-the-codebook collect contract).
+    Outputs per-refined-cell member counts, movement, and checksums —
+    all exact int64.
+    """
+    import math  # noqa: PLC0415
+
+    from jobhouse_spark.functions.hashing import md5_int_matrix  # noqa: PLC0415
+    from jobhouse_spark.operators.ann import kmeans_refine  # noqa: PLC0415
+
+    emb = Tables(spark, sf_dir).embeddings
+    k = max(8, math.ceil(emb.count() / 250))
+    cents = md5_int_matrix("c26", k, 64, 400_000)
+    return kmeans_refine(emb, cents)
+
+
 def _l25_oracle() -> str:
     from jobhouse_spark.functions.text import STOPWORDS  # noqa: PLC0415
 

@@ -50,6 +50,9 @@ FUZZ_ENTRIES = (
     "l24_domain_mixture",
     "l24b_token_budget_mixture",
     "l23b_semantic_dedup_scaled",
+    # Lloyd-step assignment/update tie-breaks under duplicate-vector
+    # stress (integer means over cells containing exact-dup members)
+    "l26_kmeans_refine_checked",
     # percentile_disc thresholds + NULL-difficulty branch under
     # null/empty-text stress
     "l25_curriculum_bins",

@@ -262,6 +262,18 @@ def main() -> None:
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
     check(n_scans <= 2, f"l24: {n_scans} corpus scans (stats barrier gone)")
 
+    p = plan_of(spark, "l26_kmeans_refine_checked")
+    # both assignment passes must be JVM expressions at small k (the
+    # large-k numpy path is ArrowEvalPython by design; row-at-a-time
+    # Python is wrong at every scale), and the assignment barrier must
+    # hold (one quantization+assignment pass feeding update + reassign)
+    check("BatchEvalPython" not in p,
+          "l26: assignment fell back to row-at-a-time Python")
+    check("ExistingRDD" in p,
+          "l26: assignment barrier gone (argmin recomputed per branch)")
+    check("SortMergeJoin" not in p and "CartesianProduct" not in p,
+          "l26: stats join planned as SMJ/cartesian")
+
     p = plan_of(spark, "l24b_token_budget_mixture")
     # the cumsum must stay (group, hash-prefix bucket)-partitioned —
     # same scale contract as l24, generalized from ranks to budgets
