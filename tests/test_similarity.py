@@ -477,3 +477,40 @@ def test_ngram_jaccard_capped_empty_doc_set_size(spark):
     got = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=100).collect()
     assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
     assert all(r.jaccard == 1.0 for r in got)
+
+
+def test_kmeans_refine_converges_on_planted_clusters(spark):
+    """One Lloyd step on two well-separated planted clusters, started
+    from deliberately offset centroids, must (a) move every centroid to
+    its cluster's exact integer mean, (b) re-assign with zero movement
+    (the step is already optimal for separated data), and (c) checksum
+    memberships exactly."""
+    from jobhouse_spark.operators.ann import kmeans_refine
+
+    a = [(i, [1.0 + 0.001 * i] + [0.0] * 63) for i in range(1, 5)]
+    b = [(i, [0.0] * 32 + [1.0 + 0.001 * i] + [0.0] * 31) for i in range(11, 15)]
+    emb = spark.createDataFrame(a + b, "vec_id long, embedding array<float>")
+    # offset starting centroids that still separate the clusters
+    c0 = [[500_000] + [0] * 63, [0] * 32 + [500_000] + [0] * 31]
+    rows = {r.cell: r for r in kmeans_refine(emb, c0).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].n_members == 4 and rows[1].n_members == 4
+    assert rows[0].moved_in == 0 and rows[1].moved_in == 0
+    assert rows[0].member_chk == 1 + 2 + 3 + 4
+    assert rows[1].member_chk == 11 + 12 + 13 + 14
+    # refined centroid 0 = integer mean of cluster A micro-vectors:
+    # component 0 = (1001000+1002000+1003000+1004000) div 4 = 1002500
+    assert rows[0].cent_chk == 1_002_500
+    assert rows[1].cent_chk == (1_011_000 + 1_012_000 + 1_013_000 + 1_014_000) // 4
+
+
+def test_kmeans_refine_drops_empty_cells_and_null_vectors(spark):
+    """Cells that attract no members in step 1 have no refined centroid;
+    NULL embeddings are excluded end-to-end."""
+    from jobhouse_spark.operators.ann import kmeans_refine
+
+    rows = [(1, [1.0] + [0.0] * 63), (2, [1.0] + [0.0] * 63), (3, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c0 = [[500_000] + [0] * 63, [-500_000] * 64]  # cell 1 attracts nothing
+    got = kmeans_refine(emb, c0).collect()
+    assert [(r.cell, r.n_members, r.member_chk) for r in got] == [(0, 2, 3)]
