@@ -589,3 +589,213 @@ def kmeans_refine(
         .select("cell", "n_members", "moved_in", "member_chk", "cent_chk")
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ): the ANN memory path
+# ---------------------------------------------------------------------------
+#
+# Reference parity: the reference engine has no vector search at all;
+# this family is part of the training-data-pipeline mandate (SURVEY
+# §2.D). Method is public: Jégou, Douze, Schmid, "Product Quantization
+# for Nearest Neighbor Search" (TPAMI 2011) — split the vector into M
+# subspaces, quantize each against its own small codebook, search with
+# asymmetric distance computation (ADC): the query stays full
+# precision, every corpus vector is represented by M small code ids.
+# At 100 TB the point is MEMORY: a 64-dim float32 vector is 256 bytes;
+# its 8x16 PQ code is 8 bytes — a 10^9-vector index that would need
+# 256 GB of vector payload in the scoring join carries 8 GB of codes.
+
+
+def pq_fixed_codebooks(
+    seed: int, n_sub: int, n_codes: int, sub_dim: int, component_range: int = 400_000
+) -> list[list[list[int]]]:
+    """Deterministic integer micro-unit sub-codebooks (n_sub codebooks
+    of n_codes x sub_dim each) for the oracle-checkable PQ path — the
+    ivf_fixed_centroids discipline: data-independent seeded constants a
+    differential oracle interpolates verbatim. Production codebooks
+    come from per-subspace k-means (the l26 kmeans_refine Lloyd step is
+    the hash-checked training machinery; codebooks are plain
+    parameters, so trained ones drop into the same operators — see
+    tests/test_pq.py, which trains with numpy Lloyd and re-runs the
+    identical encode/search path)."""
+    from jobhouse_spark.functions.hashing import seeded_int_matrix  # noqa: PLC0415
+
+    flat = seeded_int_matrix(seed, n_sub * n_codes, sub_dim, component_range)
+    return [flat[m * n_codes : (m + 1) * n_codes] for m in range(n_sub)]
+
+
+def _pq_components(codebooks: list[list[list[int]]]) -> int:
+    return sum(len(cb) * (len(cb[0]) if cb else 0) for cb in codebooks)
+
+
+def _pq_codes_expr(mv_col, codebooks: list[list[list[int]]]):
+    """array<int> Column: per-subspace nearest-code index by exact
+    integer squared L2 over the micro-unit sub-vector (ties break on
+    code index — same argmin contract as _nearest_centroid_expr).
+    Map-only JVM expressions; plan size O(n_sub x n_codes x sub_dim),
+    which for PQ is small BY CONSTRUCTION (that's the method: many tiny
+    codebooks instead of one combinatorially large one — 8x16x8 = 1024
+    literal components covers 16^8 = 4.3e9 distinct reconstructions)."""
+    codes = []
+    for m, cb in enumerate(codebooks):
+        sub_dim = len(cb[0])
+        sub = F.slice(mv_col, m * sub_dim + 1, sub_dim)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(int(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                for c in cb
+            ]
+        )
+        idx = F.sequence(F.lit(0), F.lit(len(cb) - 1))
+        pairs = F.zip_with(
+            dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i"))
+        )
+        codes.append(F.slice(F.array_sort(pairs), 1, 1).getField("i")[0])
+    return F.array(*codes)
+
+
+def pq_reconstruct(codes_col, codebooks: list[list[list[int]]]):
+    """array<long> Column: micro-unit reconstruction — concatenation of
+    each subspace's selected codeword. Pure literal-array lookup
+    (element_at by code), map-side, no join against a codebook table."""
+    lit_all = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in cb])
+            for cb in codebooks
+        ]
+    )
+    return F.flatten(
+        F.transform(
+            codes_col,
+            lambda c, m: F.element_at(F.element_at(lit_all, m + 1), c + 1),
+        )
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>): exact-integer PQ encoding. One
+    map-only pass; the output is the persistent ANN index payload
+    (n_sub small ints per vector — at 100 TB this is what you STORE)."""
+    dim_total = sum(len(cb[0]) for cb in codebooks)
+    if _pq_components(codebooks) > _EXPR_COMPONENT_LIMIT:
+        raise ValueError(
+            f"{_pq_components(codebooks)} codebook components exceed the "
+            f"{_EXPR_COMPONENT_LIMIT}-component plan-size limit — PQ codebooks "
+            "are small by construction; split dims across more subspaces"
+        )
+    from jobhouse_spark.functions.vectors import micro_vec  # noqa: PLC0415
+
+    mv = micro_vec(F.col(vec_col))
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.when(
+            F.size(F.col(vec_col)) == dim_total, _pq_codes_expr(mv, codebooks)
+        ).alias("codes"),
+    )
+
+
+def ivf_pq_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_k: int | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k: coarse cells prune the corpus (ivf_top_k's probe
+    machinery), scoring is ADC — the corpus side of the scoring join
+    carries ONLY (id, cell, codes); the dim-D vector never enters the
+    shuffle. Score = exact integer dot(query_micro, reconstruct(codes)),
+    so every step (cell argmin, per-subspace code argmin, literal-array
+    reconstruction, dot, rank) is bit-reproducible by any SQL engine —
+    the l27b differential contract.
+
+    ``rerank_k`` is the production retrieval shape (the FAISS
+    IVF-PQ+refine pattern): take the top rerank_k candidates per query
+    by ADC, fetch TRUE vectors for that shortlist only (a second
+    map-only corpus scan joined against the broadcast shortlist —
+    at 100 TB, a point-fetch from the vector store for queries·rerank_k
+    ids, NOT a corpus scan carrying vectors into a shuffle), then
+    re-rank by exact integer dot. ADC-only recall@10 on the test corpus
+    is ~0.3-0.4 (quantization error, tests/test_pq.py); shortlist=100 +
+    re-rank lifts it to ~0.9+ while the exchange still carries only
+    codes.
+
+    Scale shape: one map-only corpus pass emitting n_sub ints + a cell
+    id per vector, broadcast probes, cell-pruned join whose build input
+    is ~n_sub bytes/vector, one top-k window per query. No all-pairs,
+    no vector payload in the exchange."""
+    n_components = _pq_components(codebooks) + len(centroids) * (
+        len(centroids[0]) if centroids else 0
+    )
+    if n_components > _EXPR_COMPONENT_LIMIT:
+        raise ValueError(
+            f"{n_components} centroid+codebook components exceed the "
+            f"{_EXPR_COMPONENT_LIMIT}-component plan-size limit"
+        )
+    from jobhouse_spark.functions.vectors import dot_micro, micro_vec  # noqa: PLC0415
+
+    mv = micro_vec(F.col(vec_col))
+    index = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _nearest_centroid_expr(mv, centroids, k=1, integer_micro=True)[0].alias(
+            "cell"
+        ),
+        _pq_codes_expr(mv, codebooks).alias("codes"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        mv.alias("q_vec"),
+        F.explode(
+            _nearest_centroid_expr(mv, centroids, k=n_probe, integer_micro=True)
+        ).alias("cell"),
+    )
+    pairs = index.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.withColumn(
+        "score", dot_micro(F.col("q_vec"), pq_reconstruct(F.col("codes"), codebooks))
+    )
+    if rerank_k is not None:
+        w_adc = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
+        )
+        shortlist = (
+            scored.withColumn("sn", F.row_number().over(w_adc))
+            .filter(F.col("sn") <= rerank_k)
+            .select("query_id", "q_vec", "neighbor_id")
+        )
+        # true vectors for the shortlist only: broadcast the shortlist
+        # so the vector fetch stays a map-side scan (a point-lookup
+        # against the vector store in a real deployment)
+        vecs = corpus.select(
+            F.col(id_col).alias("neighbor_id"), mv.alias("c_vec")
+        )
+        scored = vecs.join(F.broadcast(shortlist), "neighbor_id").withColumn(
+            "score", dot_micro(F.col("q_vec"), F.col("c_vec"))
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "score", "rn")
+    )

@@ -841,3 +841,217 @@ def l23c_semantic_dedup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame
     k = max(8, math.ceil(emb.count() / 250))
     cents = md5_int_matrix("c23", k, 64, 400_000)
     return semantic_dedup_collapsed(emb, cents).orderBy("vec_id")
+
+
+# --- l27: product quantization (IVF-PQ) ------------------------------------
+
+_MICRO_EMB_SQL = (
+    "list_transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) "
+    "AS DECIMAL(12,6)) * 1000000 AS BIGINT))"
+)
+
+
+def _pq_cb_values(cbs: list[list[list[int]]]) -> str:
+    return ", ".join(
+        f"({m}, {k}, {c}::BIGINT[])"
+        for m, cb in enumerate(cbs)
+        for k, c in enumerate(cb)
+    )
+
+
+def _l27_oracle() -> str:
+    """DuckDB replica of pq_encode: micro-unit quantization, per-subspace
+    exact-integer squared-L2 argmin against the SAME seeded sub-codebooks
+    (pq_fixed_codebooks(7, 8, 16, 8) interpolated verbatim). Tie on the
+    smaller code index is baked into the BIGINT key d*16+code (injective:
+    code < 16; d <= 8*(2.4e6)^2 so d*16 ~ 7.4e14, inside int64)."""
+    from jobhouse_spark.operators.ann import pq_fixed_codebooks  # noqa: PLC0415
+
+    vals = _pq_cb_values(pq_fixed_codebooks(7, 8, 16, 8))
+    return f"""
+WITH m AS (SELECT vec_id, {_MICRO_EMB_SQL} AS mv FROM embeddings),
+cb(sub, code, cbv) AS (VALUES {vals}),
+subd AS (
+  SELECT vec_id, sub, code,
+         CAST(list_sum(list_transform(
+                list_zip(list_slice(mv, sub*8+1, sub*8+8), cbv),
+                z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS d
+  FROM m CROSS JOIN cb),
+codes AS (
+  SELECT vec_id, sub, arg_min(code, d * 16 + code) AS code
+  FROM subd GROUP BY vec_id, sub)
+SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub
+"""
+
+
+def _l27b_oracle(
+    probe_bound: int = 5, k: int = 10, n_probe: int = 4, rerank_k: int | None = None
+) -> str:
+    """DuckDB replica of the ENTIRE ivf_pq_top_k pipeline: micro-unit
+    quantization, exact-integer IVF cell argmin (seeded centroids,
+    arg_min key d*8+cell — the l23 memory-safe aggregate form, not a
+    window over the vector-carrying cross join), per-subspace PQ code
+    argmin, n_probe cell expansion for the probe set, cell-pruned
+    candidate join, ADC scoring as SUM over subspaces of
+    dot(query_slice, codeword), and the top-k rank. ``rerank_k`` adds
+    the shortlist + exact-dot re-rank stage (the l27c contract).
+    Parameterized so tools/ scale checks can interpolate a different
+    probe bound."""
+    from jobhouse_spark.operators.ann import (  # noqa: PLC0415
+        ivf_fixed_centroids,
+        pq_fixed_codebooks,
+    )
+
+    cents = ivf_fixed_centroids(42, 8, 64)
+    cvals = ", ".join(f"({i}, {c}::BIGINT[])" for i, c in enumerate(cents))
+    cbvals = _pq_cb_values(pq_fixed_codebooks(7, 8, 16, 8))
+    if rerank_k is None:
+        rerank_ctes, final_rel = "", "scored"
+    else:
+        rerank_ctes = f"""
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS sn
+    FROM scored) WHERE sn <= {rerank_k}),
+rescored AS (
+  SELECT s.query_id, s.neighbor_id,
+         CAST(list_sum(list_transform(list_zip(qm.mv, nm.mv),
+                                      z -> z[1]*z[2])) AS BIGINT) AS score
+  FROM shortlist s
+  JOIN m qm ON qm.vec_id = s.query_id
+  JOIN m nm ON nm.vec_id = s.neighbor_id),"""
+        final_rel = "rescored"
+    return f"""
+WITH m AS (SELECT vec_id, {_MICRO_EMB_SQL} AS mv FROM embeddings),
+cent(cell, cv) AS (VALUES {cvals}),
+cb(sub, code, cbv) AS (VALUES {cbvals}),
+cd AS (
+  SELECT vec_id, cell,
+         CAST(list_sum(list_transform(list_zip(mv, cv),
+                                      z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS d
+  FROM m CROSS JOIN cent),
+assigned AS (
+  SELECT vec_id, arg_min(cell, d * 8 + cell) AS cell FROM cd GROUP BY vec_id),
+subd AS (
+  SELECT vec_id, sub, code,
+         CAST(list_sum(list_transform(
+                list_zip(list_slice(mv, sub*8+1, sub*8+8), cbv),
+                z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS d
+  FROM m CROSS JOIN cb),
+codes AS (
+  SELECT vec_id, sub, arg_min(code, d * 16 + code) AS code
+  FROM subd GROUP BY vec_id, sub),
+probes AS (
+  SELECT query_id, q_vec, cell FROM (
+    SELECT cd.vec_id AS query_id, m.mv AS q_vec, cd.cell,
+           row_number() OVER (PARTITION BY cd.vec_id ORDER BY cd.d, cd.cell) AS r
+    FROM cd JOIN m USING (vec_id) WHERE cd.vec_id < {probe_bound})
+  WHERE r <= {n_probe}),
+cand AS (
+  SELECT p.query_id, p.q_vec, a.vec_id AS neighbor_id
+  FROM assigned a JOIN probes p USING (cell)
+  WHERE p.query_id <> a.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(list_sum(list_transform(
+                list_zip(list_slice(q_vec, sub*8+1, sub*8+8), cbv),
+                z -> z[1]*z[2]))) AS BIGINT) AS score
+  FROM cand
+  JOIN codes c ON c.vec_id = cand.neighbor_id
+  JOIN cb USING (sub, code)
+  GROUP BY query_id, neighbor_id),{rerank_ctes}
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+  FROM {final_rel})
+SELECT query_id, neighbor_id, score, rn FROM ranked WHERE rn <= {k}
+ORDER BY query_id, rn
+"""
+
+
+@register("l27_pq_codes", oracle=_l27_oracle(), tags=("llm", "similarity"))
+def l27_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27: product-quantization encoding (Jégou et al. 2011), the ANN
+    index payload — each 64-dim embedding becomes 8 code ids (one per
+    8-dim subspace, 16-entry sub-codebooks), i.e. 8 bytes instead of
+    256 in a real engine's index. Encoding is exact integer micro-unit
+    squared-L2 argmin against seeded sub-codebooks both engines
+    interpolate identically, hash-checked end-to-end. Production
+    codebooks come from per-subspace k-means (l26's Lloyd step is the
+    hash-checked training machinery; tests/test_pq.py runs the SAME
+    operator with numpy-trained codebooks and measures recall).
+    Output exploded to (vec_id, sub, code) rows for the canonical
+    value hash."""
+    from jobhouse_spark.operators.ann import pq_encode, pq_fixed_codebooks  # noqa: PLC0415
+
+    emb = Tables(spark, sf_dir).embeddings
+    enc = pq_encode(emb, pq_fixed_codebooks(7, 8, 16, 8))
+    return enc.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    ).orderBy("vec_id", "sub")
+
+
+@register("l27b_ivfpq_topk", oracle=_l27b_oracle(), tags=("llm", "similarity"))
+def l27b_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27b: IVF-PQ top-k, differentially verified END-TO-END — the
+    full asymmetric-distance pipeline: coarse IVF cells prune the
+    corpus (same probe machinery as l3c2), but the scoring join's
+    corpus side carries ONLY (id, cell, codes) — the 64-dim vector
+    never enters the exchange; scores are exact integer
+    dot(query, reconstruct(codes)) via literal-codebook lookup. The
+    memory story at 100 TB: the per-vector index payload in the
+    scoring join is 8 small ints, so a 10^9-vector index ships GBs,
+    not TBs. Quality with trained codebooks is measured in
+    tests/test_pq.py; this entry pins the MECHANISM to a from-scratch
+    DuckDB replica."""
+    from jobhouse_spark.operators.ann import (  # noqa: PLC0415
+        ivf_fixed_centroids,
+        ivf_pq_top_k,
+        pq_fixed_codebooks,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivf_pq_top_k(
+        probes,
+        emb,
+        ivf_fixed_centroids(42, 8, 64),
+        pq_fixed_codebooks(7, 8, 16, 8),
+        k=10,
+        n_probe=4,
+    ).orderBy("query_id", "rn")
+
+
+@register(
+    "l27c_ivfpq_rerank", oracle=_l27b_oracle(rerank_k=30), tags=("llm", "similarity")
+)
+def l27c_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27c: IVF-PQ with shortlist re-ranking — the production retrieval
+    shape (FAISS IVF-PQ+refine): ADC over codes produces a top-30
+    shortlist per query, TRUE vectors are fetched for the shortlist
+    only (broadcast shortlist joined against a second map-only corpus
+    scan — a point-fetch at deployment scale), and the final top-10 is
+    exact integer dot. ADC alone recalls ~0.3 of the exact top-10 on
+    this corpus; the re-rank stage is what makes PQ a retrieval system
+    rather than a sketch (quality curve measured in tests/test_pq.py).
+    Every stage, including the shortlist cut and the re-scored rank,
+    hash-matches the from-scratch DuckDB replica."""
+    from jobhouse_spark.operators.ann import (  # noqa: PLC0415
+        ivf_fixed_centroids,
+        ivf_pq_top_k,
+        pq_fixed_codebooks,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivf_pq_top_k(
+        probes,
+        emb,
+        ivf_fixed_centroids(42, 8, 64),
+        pq_fixed_codebooks(7, 8, 16, 8),
+        k=10,
+        n_probe=4,
+        rerank_k=30,
+    ).orderBy("query_id", "rn")

@@ -1,0 +1,157 @@
+"""Behavioral tests for the IVF-PQ family (operators/ann.py l27/l27b).
+
+The registry entries pin the MECHANISM to a DuckDB replica with seeded
+codebooks; these tests exercise the QUALITY contract — the same
+operators with codebooks actually trained on the corpus (numpy Lloyd,
+test-side stand-in for the l26 kmeans_refine production path) must
+quantize better than seeded ones and retrieve most of the exact top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jobhouse_spark.operators.ann import (
+    ivf_fixed_centroids,
+    ivf_pq_top_k,
+    pq_encode,
+    pq_fixed_codebooks,
+    pq_reconstruct,
+)
+
+N_SUB, N_CODES, SUB_DIM, DIM = 8, 16, 8, 64
+
+
+def _micro(mat: np.ndarray) -> np.ndarray:
+    """numpy twin of functions.vectors.micro_vec — close enough for the
+    tolerance-based tests here (exact boundary rounding is the oracle
+    hash-check's job, not this twin's): round to 6 decimals, scale."""
+    return np.asarray(
+        [[int(round(round(float(x), 6) * 1_000_000)) for x in row] for row in mat],
+        dtype=np.int64,
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _train_codebooks(mat: np.ndarray, seed: int = 0, iters: int = 12) -> list[list[list[int]]]:
+    """Per-subspace Lloyd k-means over micro-unit integers; centroids
+    rounded back to ints so the operator's exact-integer path applies."""
+    rng = np.random.default_rng(seed)
+    micro = _micro(mat).astype(np.float64)
+    cbs = []
+    for m in range(N_SUB):
+        sub = micro[:, m * SUB_DIM : (m + 1) * SUB_DIM]
+        cents = sub[rng.choice(len(sub), N_CODES, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(N_CODES):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        cbs.append([[int(round(x)) for x in c] for c in cents])
+    return cbs
+
+
+def _quant_error(mat: np.ndarray, cbs: list[list[list[int]]]) -> float:
+    micro = _micro(mat)
+    err = 0.0
+    for m in range(N_SUB):
+        sub = micro[:, m * SUB_DIM : (m + 1) * SUB_DIM].astype(np.float64)
+        cents = np.asarray(cbs[m], dtype=np.float64)
+        d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        err += d2.min(axis=1).sum()
+    return err
+
+
+def test_codes_deterministic_and_in_range(spark, sf_dir):
+    emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = pq_fixed_codebooks(7, N_SUB, N_CODES, SUB_DIM)
+    a = pq_encode(emb_df, cbs).orderBy("vec_id").collect()
+    b = pq_encode(emb_df, cbs).orderBy("vec_id").collect()
+    assert a == b
+    for r in a:
+        assert len(r["codes"]) == N_SUB
+        assert all(0 <= c < N_CODES for c in r["codes"])
+
+
+def test_reconstruct_matches_numpy(spark, sf_dir, emb):
+    """Spark's literal-array reconstruction == numpy lookup of the same
+    codes — pins pq_reconstruct's indexing (1-based element_at over the
+    (sub, code) nesting) against an independent implementation."""
+    ids, mat = emb
+    cbs = pq_fixed_codebooks(7, N_SUB, N_CODES, SUB_DIM)
+    emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = (
+        pq_encode(emb_df, cbs)
+        .select("vec_id", "codes", pq_reconstruct(F.col("codes"), cbs).alias("recon"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    cb_arr = [np.asarray(cb, dtype=np.int64) for cb in cbs]
+    for r in got[:50]:
+        expect = np.concatenate([cb_arr[m][r["codes"][m]] for m in range(N_SUB)])
+        assert list(expect) == list(r["recon"])
+
+
+def test_trained_codebooks_quantize_better(emb):
+    _, mat = emb
+    seeded = pq_fixed_codebooks(7, N_SUB, N_CODES, SUB_DIM)
+    trained = _train_codebooks(mat)
+    assert _quant_error(mat, trained) < 0.5 * _quant_error(mat, seeded)
+
+
+def _mean_recall(spark, sf_dir, emb, trained, **kw) -> float:
+    ids, mat = emb
+    cents = ivf_fixed_centroids(42, 8, DIM)
+    emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb_df.filter(F.col("vec_id") < 20)
+    got = (
+        ivf_pq_top_k(probes, emb_df, cents, trained, k=10, n_probe=8, **kw)
+        .groupBy("query_id")
+        .agg(F.collect_set("neighbor_id").alias("got"))
+        .collect()
+    )
+    micro = _micro(mat).astype(np.float64)
+    by_id = {int(i): micro[n] for n, i in enumerate(ids)}
+    recalls = []
+    for r in got:
+        q = by_id[int(r["query_id"])]
+        dots = micro @ q
+        order = [
+            int(ids[j])
+            for j in np.argsort(-dots, kind="stable")
+            if int(ids[j]) != int(r["query_id"])
+        ]
+        recalls.append(len(set(order[:10]) & set(r["got"])) / 10.0)
+    return float(np.mean(recalls))
+
+
+def test_trained_rerank_recall_vs_exact(spark, sf_dir, emb):
+    """The production shape — trained codebooks, ADC shortlist of 100,
+    exact re-rank — must put most of the exact integer-dot top-10 in
+    its top-10, and must beat ADC alone (which is a shortlist
+    generator, not a ranker: measured ~0.28 on this corpus vs ~0.85
+    with the re-rank). Probing ALL cells isolates PQ quantization from
+    IVF pruning. Thresholds sit well under measured — they guard
+    regressions, not luck."""
+    _, mat = emb
+    trained = _train_codebooks(mat)
+    adc_only = _mean_recall(spark, sf_dir, emb, trained)
+    reranked = _mean_recall(spark, sf_dir, emb, trained, rerank_k=100)
+    assert reranked >= 0.6, f"rerank recall@10 {reranked:.2f}"
+    assert reranked > adc_only, f"rerank {reranked:.2f} <= adc {adc_only:.2f}"

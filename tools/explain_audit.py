@@ -309,6 +309,23 @@ def main() -> None:
     check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
           "l3c2: integer cell assignment left the JVM")
 
+    p = plan_of(spark, "l27b_ivfpq_topk")
+    check("BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+          "l27b: probes not broadcast into the cell-pruned join")
+    check("CartesianProduct" not in p, "l27b: a join degenerated to a cross product")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "l27b: PQ encode/reconstruct left the JVM")
+
+    p = plan_of(spark, "l27c_ivfpq_rerank")
+    # two broadcasts: probes into the cell join, shortlist into the
+    # vector re-fetch — the corpus-side scans must stay map-only
+    check(p.count("BroadcastHashJoin") >= 2,
+          "l27c: probe/shortlist joins not both broadcast")
+    check("SortMergeJoin" not in p and "CartesianProduct" not in p,
+          "l27c: re-rank fetch shuffled the corpus")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "l27c: PQ scoring left the JVM")
+
     # --- runtime check: AQE skew-join actually fires -------------------
     # SCALE.md claims skew-split handling; prove it on a 90%-hot-key join
     # with thresholds shrunk so local data volumes qualify as skewed.
