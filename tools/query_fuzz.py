@@ -50,7 +50,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # bump when the grammar changes: campaign results are only comparable
 # within one grammar version (same seed → same query)
-GRAMMAR_VERSION = 3
+# v4 adds: ROLLUP/CUBE subtotal grids, deterministic global top-k
+# (ORDER BY expr + pk tiebreak LIMIT — TakeOrderedAndProject territory),
+# LAG/LEAD over verified-unique PK orders, LEFT JOIN + right-key IS NULL
+# scans (anti-join rewrites, join-condition-vs-filter semantics), and
+# integer-exact UNION ALL re-aggregation.
+GRAMMAR_VERSION = 4
 
 TABLES: dict[str, dict[str, str]] = {
     "lineitem": {
@@ -308,9 +313,11 @@ class Gen:
     # -- query templates ----------------------------------------------
     def query(self) -> str:
         r = self.r
-        shape = r.choice(["agg", "agg", "agg", "distinct", "window",
+        shape = r.choice(["agg", "agg", "distinct", "window",
                           "setop", "scalar_sub", "having",
-                          "exists_sub", "in_sub"])
+                          "exists_sub", "in_sub",
+                          "rollup", "topk", "lag", "antijoin",
+                          "union_reagg"])
         if shape in ("agg", "having"):
             frm, _, cols = self.scope()
             keys = [self.group_key(cols) for _ in range(r.randrange(3))]
@@ -388,6 +395,100 @@ class Gen:
             if r.random() < 0.5:
                 q += f" AND {self.pred(ocols, depth=1)}"
             return q
+        if shape == "rollup":
+            # subtotal grids: both engines expand grouping sets to the
+            # same row set (subtotal slots are NULL); hash-compare is
+            # order-insensitive so the grid needs no presentation sort.
+            # Two DISTINCT key expressions required — duplicate keys in
+            # a ROLLUP would test expression dedup, not grouping.
+            # NO WHERE clause — grammar-contract lesson #2 (seed 9036,
+            # v4 bring-up): over EMPTY input the () grouping set
+            # legitimately diverges — DuckDB/Postgres/the standard emit
+            # one grand-total row, Spark's Expand-based grouping-sets
+            # implementation emits zero rows — so a random predicate
+            # that happens to filter everything is an engine-semantics
+            # trap, not a bug in either engine. Full-table grids keep
+            # the input provably non-empty; predicates are exercised by
+            # every other shape.
+            # SINGLE table — lesson #3 (seed 44): when the two rollup
+            # keys are linked by a join equality (n_regionkey =
+            # r_regionkey), DuckDB's optimizer propagates the
+            # equivalence into the subtotal rows — the {(k1)} set
+            # renders k2 with k1's VALUE — where Spark's Expand puts
+            # the standard NULL slot. No join, no provable equivalence,
+            # no divergence.
+            t = r.choice(list(TABLES))
+            frm, cols = t, [(t, c, ty) for c, ty in TABLES[t].items()]
+            k1, k2 = self.group_key(cols), self.group_key(cols)
+            if k1 == k2:
+                k2 = f"COALESCE({k1}, {k1})"  # distinct text, same value
+            op = r.choice(["ROLLUP", "CUBE"])
+            aggs = [self.agg(cols) for _ in range(r.randint(1, 2))]
+            sel = [f"{k1} AS c0", f"{k2} AS c1"]
+            sel += [f"{a} AS c{2 + i}" for i, a in enumerate(aggs)]
+            return (f"SELECT {', '.join(sel)} FROM {frm} "
+                    f"GROUP BY {op}({k1}, {k2})")
+        if shape == "topk":
+            # deterministic global top-k: sort key extended with the PK
+            # so the selected SET is a total-order prefix — the shape
+            # that must compile to TakeOrderedAndProject in Spark
+            t = r.choice(list(TABLES))
+            cols = [(t, c, ty) for c, ty in TABLES[t].items()]
+            e, _, _ = self.col(cols, ("int", "float"))
+            d = r.choice(["ASC", "DESC"])
+            pks = ", ".join(f"{t}.{k} AS pk{i}" for i, k in enumerate(PK[t]))
+            pk_ord = ", ".join(f"{t}.{k} ASC" for k in PK[t])
+            q = (f"SELECT {e} AS c0, {pks} FROM {t} "
+                 f"WHERE {self.pred(cols)} "
+                 f"ORDER BY {e} {d} NULLS LAST, {pk_ord} LIMIT {r.randint(3, 40)}")
+            return q
+        if shape == "lag":
+            # LAG/LEAD need a verified total order (same contract as the
+            # order-sensitive window functions): PK order within an
+            # always-true partition key, typed default for the edges
+            t = r.choice(sorted(self.pools["_unique_pk"]))
+            cols = [(t, c, ty) for c, ty in TABLES[t].items()]
+            key = self.group_key(cols)
+            e, ty, keycol = self.col(cols, ("int", "str"))
+            fn = r.choice(["LAG", "LEAD"])
+            off = r.randint(1, 3)
+            default = self.constant(keycol, ty)
+            order = ", ".join(f"{t}.{k} ASC NULLS FIRST" for k in PK[t])
+            pks = ", ".join(f"{t}.{k} AS pk{i}" for i, k in enumerate(PK[t]))
+            wexpr = (f"{fn}({e}, {off}, {default}) OVER "
+                     f"(PARTITION BY {key} ORDER BY {order})")
+            return (f"SELECT {key} AS c0, {pks}, {wexpr} AS w "
+                    f"FROM {t} WHERE {self.pred(cols)}")
+        if shape == "antijoin":
+            # LEFT JOIN with an extra join-side predicate, then a
+            # right-key IS NULL scan: the optimizer must keep the
+            # ON-clause predicate on the join (not push it as a filter,
+            # which would change which rows are "unmatched") and may
+            # rewrite the whole thing to an anti join
+            lt, lc, rt, rc = r.choice(FKS)
+            lcols = [(lt, c, ty) for c, ty in TABLES[lt].items()]
+            rcols = [(rt, c, ty) for c, ty in TABLES[rt].items()]
+            on_extra = self.simple_pred(rcols)
+            agg = self.agg(lcols)
+            q = (f"SELECT COUNT(*) AS c0, {agg} AS c1 FROM {lt} "
+                 f"LEFT JOIN {rt} ON {lt}.{lc} = {rt}.{rc} AND {on_extra} "
+                 f"WHERE {rt}.{rc} IS NULL")
+            if r.random() < 0.5:
+                q += f" AND {self.pred(lcols, depth=1)}"
+            return q
+        if shape == "union_reagg":
+            # re-aggregation over UNION ALL branches: INTEGER-only inner
+            # aggregates (COUNT) so the outer SUM is exact regardless of
+            # combine order — the fp-free form of partial/final agg
+            t = r.choice(list(TABLES))
+            cols = [(t, c, ty) for c, ty in TABLES[t].items()]
+            key = self.group_key(cols)
+            b1 = (f"SELECT {key} AS c0, COUNT(*) AS n FROM {t} "
+                  f"WHERE {self.pred(cols, depth=1)} GROUP BY 1")
+            b2 = (f"SELECT {key} AS c0, COUNT(*) AS n FROM {t} "
+                  f"WHERE {self.pred(cols, depth=1)} GROUP BY 1")
+            return (f"SELECT c0, CAST(SUM(n) AS BIGINT) AS c1, "
+                    f"COUNT(*) AS c2 FROM ({b1} UNION ALL {b2}) u GROUP BY c0")
         # scalar_sub: uncorrelated scalar subquery in the predicate
         frm, _, cols = self.scope(max_joins=1)
         e, ty, _ = self.col(cols, ("int", "float"))
@@ -407,12 +508,35 @@ class Gen:
 # ---------------------------------------------------------------------------
 
 
-def run_campaign(spark, duck, pools, seeds, verbose=True):
+def run_campaign(spark, duck, pools, seeds, verbose=True, row_cap=None,
+                 skipped_large=None):
+    """row_cap: at scale-ladder dirs, a random group key can be a
+    primary key, making the result CORPUS-SIZED (seed 1023 at 30x:
+    GROUP BY o_orderkey = 45M groups, which is a collect-compare
+    harness limit, not an engine bug — the engines still agree, you
+    just can't toPandas 45M rows into the fuzz driver). With a cap,
+    the harness pre-counts via DuckDB (a cheap aggregate) and SKIPS
+    over-cap seeds, recording them in skipped_large (a list) so the
+    campaign JSON reports them instead of silently dropping them."""
     from tests.oracle import compare_frames  # noqa: PLC0415
 
     failures = []
     for seed in seeds:
         sql = Gen(seed, pools).query()
+        if row_cap is not None:
+            try:
+                n = duck.execute(
+                    f"SELECT COUNT(*) FROM ({sql}) _q"
+                ).fetchone()[0]
+            except Exception as ex:  # noqa: BLE001
+                failures.append((seed, sql, f"duckdb precount error: {ex}"))
+                continue
+            if n > row_cap:
+                if skipped_large is not None:
+                    skipped_large.append(seed)
+                if verbose:
+                    print(f"skip seed={seed} ({n} rows > cap {row_cap})")
+                continue
         try:
             spark_pdf = spark.sql(sql).toPandas()
         except Exception as ex:  # noqa: BLE001
@@ -446,15 +570,21 @@ def main() -> None:
                       if a.startswith("--seed0=")), "1"))
     out = next((a.split("=", 1)[1] for a in sys.argv
                 if a.startswith("--json=")), None)
+    cap = next((int(a.split("=")[1]) for a in sys.argv
+                if a.startswith("--cap=")), None)
 
     from pyspark.sql import SparkSession
 
     from tests.oracle import duckdb_connect
 
+    # scale-ladder campaigns need a real heap: full-table grids over a
+    # replicated corpus collect into the fuzz driver for the compare
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("query_fuzz")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory",
+                os.environ.get("JH_FUZZ_DRIVER_MEM", "4g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -465,12 +595,16 @@ def main() -> None:
     pools = build_pools(duck)
 
     seeds = range(seed0, seed0 + n)
-    failures = run_campaign(spark, duck, pools, seeds)
+    skipped_large: list[int] = []
+    failures = run_campaign(spark, duck, pools, seeds, row_cap=cap,
+                            skipped_large=skipped_large)
     summary = {
         "metric": "query_fuzz", "grammar": GRAMMAR_VERSION,
         "sf_dir": sf_dir, "n": n, "seed0": seed0,
-        "pass": n - len(failures), "fail": len(failures),
+        "pass": n - len(failures) - len(skipped_large),
+        "fail": len(failures),
         "failed_seeds": [s for s, _, _ in failures][:20],
+        "skipped_over_cap": skipped_large, "row_cap": cap,
     }
     print(json.dumps(summary))
     if out:
