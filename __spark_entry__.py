@@ -41,11 +41,11 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # twin l23c. The other 8 slots are per-family anchors. Every
 # rotated-OUT entry remains verified by the identical oracle in
 # tools/driver_sim.py (full registry) and tests/.
-# ROUND-9 BACKLOG (never-driver-checked entries, computed as registry
-# minus the union of CORRECTNESS_r01–r07 keys minus this head; several
-# are rows-only by contract): f4c g14 g18 g19 l2 l3b l3c l4b l4c l5
-# l5b l6c l9 l10 l10b l12 l17 l19 l20 s16 t7, plus the round-8
-# additions that didn't fit the 50 (family-coverage guard in
+# ROUND-9 BACKLOG (exactly 27 never-driver-checked entries, computed
+# as registry minus the union of CORRECTNESS_r01–r07 keys minus this
+# head; several are rows-only by contract): f4c g14 g18 g19 l2 l3b
+# l3c l4b l4c l5 l5b l6c l9 l10 l10b l12 l17 l19 l20 s16 t7, plus the
+# round-8 additions that didn't fit the 50 (family-coverage guard in
 # tests/test_entry_contract.py): l24b_token_budget_mixture,
 # l25_curriculum_bins, l26_kmeans_refine_checked,
 # t7b_stateful_count_checked, l27_pq_codes, l27c_ivfpq_rerank.

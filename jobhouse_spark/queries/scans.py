@@ -38,15 +38,26 @@ def _nation_agg(df: DataFrame) -> DataFrame:
 @register(
     "s1_parquet_scan",
     oracle=(
-        "SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey "
+        "SELECT COUNT(*) AS n, "
+        "CAST(SUM(l_orderkey % 1000003) AS BIGINT) AS sum_okey "
         "FROM lineitem"
     ),
     tags=("scan", "headline"),
 )
 def s1_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1: columnar scan; COUNT/SUM push into a 2-column parquet read."""
+    """S1: columnar scan; COUNT/SUM push into a 2-column parquet read.
+
+    The key checksum is MODULAR (key % 1000003, a prime): the naive
+    SUM(l_orderkey) overflowed int64 at the 1000x rung — 600M rows of
+    key-offset-replicated orderkeys (~1e11 each) sum past 9.2e18, and
+    ANSI mode correctly refused to wrap (SCALE.md §1000x). The residue
+    sum is bounded by 1e6 * COUNT, exact in both engines, and keeps
+    the same scan-forcing, pushdown-visible shape."""
     l = Tables(spark, sf_dir).lineitem
-    return l.agg(F.count("*").alias("n"), F.sum("l_orderkey").alias("sum_okey"))
+    return l.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_orderkey") % 1000003).alias("sum_okey"),
+    )
 
 
 @register("s2_jsonl_gz_roundtrip", oracle=_NATION_AGG_ORACLE, tags=("scan", "sink"))
