@@ -81,6 +81,14 @@ def main() -> None:
     for extra in ("l2d_dedup_then_minhash", "l15_dedup_clusters"):
         if extra not in names:
             names.append(extra)
+    # same honest exclusion knob as bench.py --skip: raw l2's OUTPUT
+    # grows C(replicas,2) per copy-group, so extreme rungs (300x/1000x)
+    # skip it and record the skip; l2d in the set is the production
+    # composition over unique content
+    skipped = [s for s in os.environ.get("JH_MP_SKIP", "").split(",") if s]
+    unknown = [s for s in skipped if s not in names]
+    assert not unknown, f"JH_MP_SKIP names not in the set: {unknown}"
+    names = [n for n in names if n not in skipped]
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
 
@@ -122,6 +130,7 @@ def main() -> None:
                 "total_disk_spill_mb": round(sum(r["disk_spill"] for r in rows) / mb, 1),
                 "oom": False,  # reaching this line means every query completed
                 "queries": {r["query"]: r["wall_s"] for r in rows},
+                **({"skipped": skipped} if skipped else {}),
             }
         )
     )
