@@ -30,90 +30,77 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # One hash-checkable representative per SURVEY §2 family, 50 exactly.
 #
-# ROUND-8 ROTATION: 42 slots go to FIRST-TIME entries (never had a
-# driver-green row in CORRECTNESS_r01–r07) — the 16 remaining TPC-H
-# queries (q3/q4/q7/q8/q10-q17/q19-q22), G-family extras
-# (g4b/g4c/g12/g13/g15/g17), the extended scalar surface
-# (f1b/f4b/f5b/f10/f11), subqueries sq1/sq3/sq6, event analytics
-# e2/e3/e5, w8, t13, x3, the checked twins g14b/l4b2, l6b, the
-# previously slice-bound l23_semantic_dedup, and the NEW
-# registry-honest l23b (k derived from N) + its replica-collapsing
-# twin l23c. The other 8 slots are per-family anchors. Every
-# rotated-OUT entry remains verified by the identical oracle in
-# tools/driver_sim.py (full registry) and tests/.
-# ROUND-9 BACKLOG (exactly 27 never-driver-checked entries, computed
-# as registry minus the union of CORRECTNESS_r01–r07 keys minus this
-# head; several are rows-only by contract): f4c g14 g18 g19 l2 l3b
-# l3c l4b l4c l5 l5b l6c l9 l10 l10b l12 l17 l19 l20 s16 t7, plus the
-# round-8 additions that didn't fit the 50 (family-coverage guard in
-# tests/test_entry_contract.py): l24b_token_budget_mixture,
-# l25_curriculum_bins, l26_kmeans_refine_checked,
-# t7b_stateful_count_checked, l27_pq_codes, l27c_ivfpq_rerank.
-# l27b and l24 took the g1/t2 anchor slots (their families stay
-# covered by g4b/g4c/g12… and t13).
+# ROUND-9 ROTATION (the FINAL backlog retirement): the 27 slots marked
+# "first-time" below are exactly the registry entries that never had a
+# driver CORRECTNESS row in r01–r08 (computed as registry minus the
+# union of CORRECTNESS_r01–r08 keys). After this round every one of
+# the 198 registry entries has been driver-checked at least once.
+# Seven of the 27 are rows-only by SURVEY §2.C rule 6
+# (approximate/model-specific/emission-timing): g14 (HLL percentile),
+# l2/l3b/l3c (LSH/IVF recall-graded), l4b (simhash banding), l10
+# (sampleBy), t7 (applyInPandasWithState emission timing). Each has a
+# hash-checked twin of the same mechanism already driver-green
+# (g14b, l2c/l2d, l3b2, l3c2, l4b2, l10b, t7b) — the driver records
+# rows-green for these seven, per contract. The other 23 slots are
+# previously-green family anchors so every §2 family still owns a
+# hash-checked row this round (guard: tests/test_entry_contract.py).
 _HEAD = (
-    # anchors — one per family not otherwise covered below (g and t are
-    # covered by g4b/g4c/g12… and t13, so their anchor slots went to
-    # two round-8 additions: the IVF-PQ pipeline and the domain-mixture
-    # resampler — both first-time entries)
+    # family anchors — all driver-green in r01–r08
     "s1_parquet_scan",
     "p1_projection",
     "j1_inner_equi",
-    "l27b_ivfpq_topk",
-    "u1b_union_all_count",
-    "l24_domain_mixture",
+    "g1_groupby_agg",
+    "w1_row_number",
     "o1_global_sort",
-    "a8_bronze_roundtrip",
-    # TPC-H — all 16 never-driver-checked queries
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_split",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    # G — grouping extensions and profiling extras
-    "g4b_cube",
-    "g4c_grouping_sets",
-    "g12_unpivot",
-    "g13_boolean_aggs",
-    "g15_listagg",
-    "g17_group_by_all",
-    # F — extended scalar-function surface
-    "f1b_string_extended",
-    "f4b_array_extended",
-    "f5b_map_extended",
-    "f10_try_arithmetic",
-    "f11_url_functions",
-    # SQ — subquery shapes
-    "sq1_scalar_subquery",
-    "sq3_correlated_scalar",
-    "sq6_pipe_syntax",
-    # E — event analytics
-    "e2_retention_cohorts",
-    "e3_transition_matrix",
-    "e5_dau_wau_stickiness",
-    # W / T / X — sequence pattern, dynamic session window, grouped UDAF
-    "w8_sequence_pattern",
+    "u1b_union_all_count",
+    "f1_string",
     "t13_dynamic_session_window",
     "x3_grouped_agg_udaf",
-    # L — checked simhash twin, quality scores, SemDeDup (sliced l23 +
-    # the new registry-honest k-from-N l23b)
-    "g14b_exact_percentile",
-    "l4b2_simhash_checked",
+    "a8_bronze_roundtrip",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
+    "sq1_scalar_subquery",
+    "e2_retention_cohorts",
+    "jh1_gold_daily_mart",
+    "g4c_grouping_sets",
+    "w5_latest_per_key",
+    "l1_exact_dedup",
     "l6b_quality_scores",
-    "l23_semantic_dedup",
     "l23b_semantic_dedup_scaled",
-    "l23c_semantic_dedup_collapsed",
+    "l24_domain_mixture",
+    "l27b_ivfpq_topk",
+    # ---- first-time entries (the 27-entry backlog) ----
+    # S / F / G — formats, explode, profiling
+    "s16_orc_roundtrip",
+    "f4c_explode",
+    "g14_approx_percentile",  # rows-only (HLL); twin g14b green r08
+    "g18_table_profile",
+    "g19_histogram",
+    # L — near-dup / ANN production paths (recall-graded; checked twins green)
+    "l2_minhash_neardup",  # rows-only; twins l2c/l2d green
+    "l3b_lsh_topk",  # rows-only; twin l3b2 green
+    "l3c_ivf_topk",  # rows-only; twin l3c2 green
+    "l4b_simhash_fingerprint",  # rows-only; twin l4b2 green r08
+    "l4c_bpe_tokens",
+    "l5_binary_columns",
+    "l5b_frame_sampling",
+    "l6c_unigram_logprob",
+    "l9_rolling_fingerprint",
+    "l10_stratified_sample",  # rows-only (sampleBy); twin l10b below
+    "l10b_deterministic_sample",
+    "l12_repetition_ratio",
+    "l17_token_budget_packing",
+    "l19_unicode_sanitize",
+    "l20_corpus_ngram_counts",
+    # T — stateful streaming (t7 rows-only by emission timing; t7b twin)
+    "t7_stateful_count",
+    "t7b_stateful_count_checked",
+    # round-8 additions that didn't fit the round-8 head
+    "l24b_token_budget_mixture",
+    "l25_curriculum_bins",
+    "l26_kmeans_refine_checked",
+    "l27_pq_codes",
+    "l27c_ivfpq_rerank",
 )
 
 

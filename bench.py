@@ -2,6 +2,18 @@
 (default /root/testdata/sf0.1) and print ONE JSON line.
 
 Usage: python bench.py [--tag headline|all] [--repeat N]
+
+Why --gc-between-repeats exists (the 1000x median-of-3 OOM, round 8→9):
+each repeat registers fresh ShuffleDependencies and broadcast blocks;
+Spark's ContextCleaner only releases them when the driver JVM's GC
+collects the weak references, and a large heap (24-48 GB) under
+repeat-to-repeat allocation pressure may not run a full GC before the
+NEXT repeat re-materializes 10+ GB of shuffle state — so q18/q5/q3's
+states stack up across repeats until the third one lands on a heap
+already holding two generations of dead-but-uncollected shuffle
+buffers. The knob forces a driver System.gc() (which drains the
+ContextCleaner queue) between repeats, making each repeat start from a
+clean block manager — at the cost of not measuring warm-cache carryover.
 """
 
 from __future__ import annotations
@@ -35,6 +47,10 @@ def main() -> None:
     # not the plan — SCALE.md), so 300x runs skip it and say so in the
     # JSON rather than silently dropping it from the set
     ap.add_argument("--skip", default="", help="comma-separated query names to skip")
+    # see module docstring: forces ContextCleaner to drain between
+    # repeats so repeat N+1 doesn't inherit repeat N's uncollected
+    # shuffle/broadcast state (the 1000x median-of-3 OOM cause)
+    ap.add_argument("--gc-between-repeats", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark(app_name="jobhouse_bench")
@@ -56,7 +72,14 @@ def main() -> None:
         q = qs[name]
         walls: list[float] = []
         cpus: list[float] = []
-        for _ in range(max(1, args.repeat)):
+        for rep in range(max(1, args.repeat)):
+            if args.gc_between_repeats and rep > 0:
+                # driver System.gc() collects the weak refs that gate
+                # ContextCleaner, releasing the previous repeat's
+                # shuffle files + broadcast blocks before this one
+                # allocates its own (GC time is NOT billed to the query)
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(0.5)  # let the cleaner queue drain
             t0 = time.perf_counter()
             c0 = time.process_time()
             df = q.fn(spark, args.sf_dir)
@@ -87,6 +110,7 @@ def main() -> None:
                 "repeat": max(1, args.repeat),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **({"skipped": skipped} if skipped else {}),
+                **({"gc_between_repeats": True} if args.gc_between_repeats else {}),
             }
         )
     )

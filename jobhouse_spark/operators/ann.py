@@ -629,6 +629,21 @@ def _pq_components(codebooks: list[list[list[int]]]) -> int:
     return sum(len(cb) * (len(cb[0]) if cb else 0) for cb in codebooks)
 
 
+def _guard_dim(vec_col, dim_total: int, expr, op: str):
+    """Fail LOUDLY on a wrong-dimension vector instead of yielding NULL
+    codes that downstream posexplode would silently drop (an opaque
+    hash mismatch vs the oracle). Shared by pq_encode and ivf_pq_top_k
+    so both entry points treat malformed vectors identically."""
+    return F.when(F.size(vec_col) == dim_total, expr).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op}: expected {dim_total}-dim vector, got size="),
+                F.size(vec_col).cast("string"),
+            )
+        )
+    )
+
+
 def _pq_codes_expr(mv_col, codebooks: list[list[list[int]]]):
     """array<int> Column: per-subspace nearest-code index by exact
     integer squared L2 over the micro-unit sub-vector (ties break on
@@ -702,9 +717,7 @@ def pq_encode(
     mv = micro_vec(F.col(vec_col))
     return corpus.select(
         F.col(id_col).alias("vec_id"),
-        F.when(
-            F.size(F.col(vec_col)) == dim_total, _pq_codes_expr(mv, codebooks)
-        ).alias("codes"),
+        _guard_dim(F.col(vec_col), dim_total, _pq_codes_expr(mv, codebooks), "pq_encode").alias("codes"),
     )
 
 
@@ -753,12 +766,15 @@ def ivf_pq_top_k(
     from jobhouse_spark.functions.vectors import dot_micro, micro_vec  # noqa: PLC0415
 
     mv = micro_vec(F.col(vec_col))
+    dim_total = sum(len(cb[0]) for cb in codebooks)
     index = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _nearest_centroid_expr(mv, centroids, k=1, integer_micro=True)[0].alias(
             "cell"
         ),
-        _pq_codes_expr(mv, codebooks).alias("codes"),
+        _guard_dim(
+            F.col(vec_col), dim_total, _pq_codes_expr(mv, codebooks), "ivf_pq_top_k"
+        ).alias("codes"),
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),

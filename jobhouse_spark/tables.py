@@ -41,11 +41,21 @@ class Tables:
         if name not in TABLE_NAMES:
             raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
         if name not in self._cache:
-            path = os.path.join(self.sf_dir, f"{name}.parquet")
-            if name == "events":
-                df = self._load_events(path)
+            if self.sf_dir.startswith("table:"):
+                # catalog-backed resolution: sf_dir "table:<prefix>"
+                # resolves each table as spark.table(f"{prefix}{name}")
+                # — temp views or managed/external catalog tables. This
+                # is how a cluster deployment serves a BUCKETED layout
+                # (bucket metadata lives in the catalog, not the files),
+                # so every registry query can run unchanged against
+                # bucketed tables (tools/bucket_bench.py).
+                df = self.spark.table(f"{self.sf_dir[6:]}{name}")
             else:
-                df = self.spark.read.parquet(path)
+                path = os.path.join(self.sf_dir, f"{name}.parquet")
+                if name == "events":
+                    df = self._load_events(path)
+                else:
+                    df = self.spark.read.parquet(path)
             self._cache[name] = df
         return self._cache[name]
 

@@ -58,7 +58,13 @@ def rf_tables(spark, tmp_path):
         .write.mode("overwrite")
         .parquet(dim_path)
     )
-    saved = {k: spark.conf.get(k, None) for k in _CONFS}
+    # spark.conf.get(k, None) returns the built-in SQLConf DEFAULT for
+    # known keys (never None), so that idiom would leave the keys
+    # explicitly pinned to default values after teardown. SQLConf's
+    # settings map holds only EXPLICITLY-set entries; use it to decide
+    # restore-value vs unset.
+    jconf = spark._jsparkSession.sessionState().conf()
+    saved = {k: spark.conf.get(k) if jconf.contains(k) else None for k in _CONFS}
     for k, v in _CONFS.items():
         spark.conf.set(k, v)
     yield fact_path, dim_path

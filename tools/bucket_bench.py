@@ -1,0 +1,147 @@
+"""Bucketed-layout demonstration on the shuffle-wall queries (q18/q5/q3).
+
+The 1000x ladder showed the single-box knee is the lineitem-side
+shuffle in the orderkey join/agg family (SCALE.md: q18/q5/q3 own ALL
+the spill). The fix a real deployment applies is AT-REST LAYOUT, not
+query tuning: store lineitem and orders bucketed (and sorted) by
+orderkey with equal bucket counts, so the orderkey join and the
+per-orderkey aggregation are satisfied by the scan's output
+partitioning — zero big-side exchange, the s10 mechanism applied to
+the actual hot path.
+
+This tool writes that layout once from a scale rung (default 300x,
+180M-row lineitem), registers the REMAINING tables as temp views, and
+runs the unchanged registry q18/q5/q3 both ways via the Tables
+"table:<prefix>" catalog scheme — same query code, different layout —
+reporting median-of-3 walls and final-plan Exchange counts.
+
+At 100 TB the bucketed write is amortized across every downstream run
+(TPC-H-style marts re-read lineitem constantly); the one-time cost is
+reported, not hidden.
+
+Usage: python tools/bucket_bench.py [sf_dir] [--buckets=64] [--reuse]
+                                    [--json=PATH]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BUCKETED = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+VIEWS = ("customer", "supplier", "part", "nation", "region")
+QUERIES = ("q3_shipping_priority", "q5_local_supplier_volume",
+           "q18_large_volume_customer")
+PREFIX = "jhbkt_"
+
+
+def _exchanges(df) -> dict[str, int]:
+    """Exchange / ReusedExchange counts in the FINAL (post-AQE) plan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    fresh = sum(1 for ln in plan.splitlines()
+                if "Exchange" in ln and "ReusedExchange" not in ln)
+    reused = sum(1 for ln in plan.splitlines() if "ReusedExchange" in ln)
+    return {"exchange": fresh, "reused": reused}
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/tmp/jh_scale_300x"
+    buckets = int(next((a.split("=")[1] for a in sys.argv
+                        if a.startswith("--buckets=")), "64"))
+    reuse = "--reuse" in sys.argv
+    out = next((a.split("=", 1)[1] for a in sys.argv
+                if a.startswith("--json=")), None)
+
+    mem = os.environ.get("JH_SIM_DRIVER_MEM", "12g")
+    if "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
+
+    from pyspark.sql import SparkSession
+
+    from jobhouse_spark.queries import all_queries
+
+    base = f"/tmp/jh_bkt_{os.path.basename(sf_dir.rstrip('/'))}_{buckets}"
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("bucket_bench")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.warehouse.dir", base + "_wh")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    write_walls = {}
+    for tbl, key in BUCKETED.items():
+        ident = f"{PREFIX}{tbl}"
+        if reuse and spark.catalog.tableExists(ident):
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(os.path.join(sf_dir, f"{tbl}.parquet"))
+            # pre-shuffle into bucket-aligned partitions so each bucket
+            # is ONE file, not one-per-input-task (the small-files trap)
+            .repartition(buckets, key)
+            .write.mode("overwrite")
+            .option("path", f"{base}/{tbl}")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .saveAsTable(ident)
+        )
+        write_walls[tbl] = round(time.perf_counter() - t0, 1)
+    for tbl in VIEWS:
+        spark.read.parquet(os.path.join(sf_dir, f"{tbl}.parquet")) \
+            .createOrReplaceTempView(f"{PREFIX}{tbl}")
+
+    qs = all_queries()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+
+    results = {}
+    for name in QUERIES:
+        row = {}
+        for label, loc in (("unbucketed", sf_dir), ("bucketed", f"table:{PREFIX}")):
+            walls = []
+            df = None
+            for _ in range(3):
+                spark.sparkContext._jvm.System.gc()  # see bench.py docstring
+                t0 = time.perf_counter()
+                df = qs[name].fn(spark, loc)
+                df.write.format("noop").mode("overwrite").save()
+                walls.append(time.perf_counter() - t0)
+            row[label] = {
+                "wall_median": round(statistics.median(walls), 2),
+                "walls": [round(w, 2) for w in walls],
+                **_exchanges(df),
+            }
+        row["speedup"] = round(
+            row["unbucketed"]["wall_median"] / row["bucketed"]["wall_median"], 2
+        )
+        # layout must be invisible to semantics: identical sorted rows
+        # (q3/q18 are LIMIT-ed with total-order sorts; q5 is tiny)
+        a = sorted(map(str, qs[name].fn(spark, sf_dir).collect()))
+        b = sorted(map(str, qs[name].fn(spark, f"table:{PREFIX}").collect()))
+        row["results_identical"] = a == b
+        if a != b:
+            print(f"MISMATCH {name}: bucketed result differs from unbucketed")
+        results[name] = row
+        print(f"{name}: unbucketed {row['unbucketed']['wall_median']}s "
+              f"({row['unbucketed']['exchange']} exch) vs bucketed "
+              f"{row['bucketed']['wall_median']}s "
+              f"({row['bucketed']['exchange']} exch) = {row['speedup']}x")
+
+    summary = {"metric": "bucket_bench", "sf_dir": sf_dir, "buckets": buckets,
+               "bucketed_write_walls": write_walls, "queries": results}
+    print(json.dumps(summary))
+    if out:
+        with open(out, "w") as f:
+            json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

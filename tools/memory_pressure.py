@@ -87,7 +87,8 @@ def main() -> None:
     # composition over unique content
     skipped = [s for s in os.environ.get("JH_MP_SKIP", "").split(",") if s]
     unknown = [s for s in skipped if s not in names]
-    assert not unknown, f"JH_MP_SKIP names not in the set: {unknown}"
+    if unknown:  # not assert: CLI/env validation must survive python -O
+        raise SystemExit(f"JH_MP_SKIP names not in the set: {unknown}")
     names = [n for n in names if n not in skipped]
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up

@@ -55,7 +55,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # LAG/LEAD over verified-unique PK orders, LEFT JOIN + right-key IS NULL
 # scans (anti-join rewrites, join-condition-vs-filter semantics), and
 # integer-exact UNION ALL re-aggregation.
-GRAMMAR_VERSION = 4
+# v5 adds the frame/grouping-set/set-op surface (where frame-boundary
+# ties and NULL grouping slots hide engine disagreement): explicit ROWS
+# BETWEEN frames over verified total orders, RANGE BETWEEN value frames
+# (deterministic under ties — peers share a frame — which is exactly
+# the tie surface worth fuzzing), fuzzer-generated GROUPING SETS with
+# CAST(GROUPING(k) AS INTEGER) slot markers, multi-column set-ops
+# including INTERSECT ALL / EXCEPT ALL, and the events table.
+GRAMMAR_VERSION = 5
 
 TABLES: dict[str, dict[str, str]] = {
     "lineitem": {
@@ -88,6 +95,12 @@ TABLES: dict[str, dict[str, str]] = {
         "doc_id": "int", "text": "str", "lang": "str",
         "source": "str", "n_chars": "int",
     },
+    # v5: the event-stream table — high-cardinality user_id partitions
+    # and a dense numeric value column, the natural frame-fuzz substrate
+    "events": {
+        "event_id": "int", "ts": "ts", "user_id": "int",
+        "event_type": "str", "value": "float",
+    },
 }
 
 # pk: unique total-order key(s) per table (window ORDER BY safety)
@@ -100,6 +113,7 @@ PK: dict[str, tuple[str, ...]] = {
     "nation": ("n_nationkey",),
     "region": ("r_regionkey",),
     "documents": ("doc_id",),
+    "events": ("event_id",),
 }
 
 # FK graph: (left_table, left_col, right_table, right_col)
@@ -317,7 +331,10 @@ class Gen:
                           "setop", "scalar_sub", "having",
                           "exists_sub", "in_sub",
                           "rollup", "topk", "lag", "antijoin",
-                          "union_reagg"])
+                          "union_reagg",
+                          # v5 surface
+                          "frame_rows", "frame_range",
+                          "grouping_sets", "setop_multi"])
         if shape in ("agg", "having"):
             frm, _, cols = self.scope()
             keys = [self.group_key(cols) for _ in range(r.randrange(3))]
@@ -420,8 +437,16 @@ class Gen:
             t = r.choice(list(TABLES))
             frm, cols = t, [(t, c, ty) for c, ty in TABLES[t].items()]
             k1, k2 = self.group_key(cols), self.group_key(cols)
-            if k1 == k2:
-                k2 = f"COALESCE({k1}, {k1})"  # distinct text, same value
+            # keys must be STRUCTURALLY distinct, not just textually:
+            # an identity wrapper (COALESCE(k, k)) is optimizer-
+            # transparent and risks the same equivalence-propagation
+            # divergence as lesson #3 — re-roll until the keys differ
+            for _ in range(32):
+                if k2 != k1:
+                    break
+                k2 = self.group_key(cols)
+            if k1 == k2:  # theoretical only: every table has >=2 key forms
+                k2 = "'_all_'"  # constant key — distinct, not derived from k1
             op = r.choice(["ROLLUP", "CUBE"])
             aggs = [self.agg(cols) for _ in range(r.randint(1, 2))]
             sel = [f"{k1} AS c0", f"{k2} AS c1"]
@@ -489,6 +514,110 @@ class Gen:
                   f"WHERE {self.pred(cols, depth=1)} GROUP BY 1")
             return (f"SELECT c0, CAST(SUM(n) AS BIGINT) AS c1, "
                     f"COUNT(*) AS c2 FROM ({b1} UNION ALL {b2}) u GROUP BY c0")
+        if shape == "frame_rows":
+            # explicit ROWS BETWEEN frames: row-positional, so
+            # order-SENSITIVE — only over a verified total order (the
+            # data-checked PK, same contract as ROW_NUMBER). Exact
+            # aggregates (decimal SUM / COUNT / MIN/MAX) keep the frame
+            # value engine-identical at every boundary offset.
+            t = r.choice(sorted(self.pools["_unique_pk"]))
+            cols = [(t, c, ty) for c, ty in TABLES[t].items()]
+            key = self.group_key(cols)
+            order = ", ".join(f"{t}.{k} ASC NULLS FIRST" for k in PK[t])
+            pks = ", ".join(f"{t}.{k} AS pk{i}" for i, k in enumerate(PK[t]))
+            lo = r.choice(["UNBOUNDED PRECEDING",
+                           f"{r.randint(1, 5)} PRECEDING", "CURRENT ROW"])
+            hi = (r.choice(["CURRENT ROW", f"{r.randint(1, 5)} FOLLOWING",
+                            "UNBOUNDED FOLLOWING"])
+                  if lo != "CURRENT ROW" else f"{r.randint(1, 5)} FOLLOWING")
+            kind = r.choice(["sum", "count", "minmax"])
+            if kind == "sum":
+                fn = f"SUM(CAST({self.num_expr(cols)} AS DECIMAL(18,4)))"
+            elif kind == "count":
+                fn = f"COUNT({self.num_expr(cols)})"
+            else:
+                e, _, _ = self.col(cols, ("int", "float"))
+                fn = f"{r.choice(['MIN', 'MAX'])}({e})"
+            w = (f"{fn} OVER (PARTITION BY {key} ORDER BY {order} "
+                 f"ROWS BETWEEN {lo} AND {hi})")
+            if kind == "sum":
+                w = f"CAST({w} AS DOUBLE)"  # fin() rule, see agg()
+            return (f"SELECT {key} AS c0, {pks}, {w} AS w "
+                    f"FROM {t} WHERE {self.pred(cols)}")
+        if shape == "frame_range":
+            # RANGE value frames: peers (tied order values) share one
+            # frame, so the result is deterministic WITHOUT a unique
+            # order — which makes tie handling itself the fuzzed
+            # surface (a positional implementation would diverge on
+            # every tie). Single numeric sort key (offset frames
+            # require one); NULL order rows filtered — the standard
+            # leaves NULL-peer frame placement effectively
+            # implementation-defined, so it's a trap, not a bug signal.
+            t = r.choice(list(TABLES))
+            cols = [(t, c, ty) for c, ty in TABLES[t].items()]
+            ocol, _, _ = self.col(cols, ("int",))
+            key = self.group_key(cols)
+            pks = ", ".join(f"{t}.{k} AS pk{i}" for i, k in enumerate(PK[t]))
+            lo = r.choice(["UNBOUNDED PRECEDING",
+                           f"{r.choice(['1', '5', '10', '100'])} PRECEDING"])
+            hi = r.choice(["CURRENT ROW",
+                           f"{r.choice(['1', '5', '10', '100'])} FOLLOWING"])
+            d = r.choice(["ASC", "DESC"])
+            kind = r.choice(["sum", "count", "minmax"])
+            if kind == "sum":
+                fn = f"SUM(CAST({self.num_expr(cols)} AS DECIMAL(18,4)))"
+            elif kind == "count":
+                fn = "COUNT(*)"
+            else:
+                e, _, _ = self.col(cols, ("int", "float"))
+                fn = f"{r.choice(['MIN', 'MAX'])}({e})"
+            w = (f"{fn} OVER (PARTITION BY {key} ORDER BY {ocol} {d} "
+                 f"RANGE BETWEEN {lo} AND {hi})")
+            if kind == "sum":
+                w = f"CAST({w} AS DOUBLE)"
+            return (f"SELECT {key} AS c0, {pks}, {ocol} AS oc, {w} AS w "
+                    f"FROM {t} WHERE {ocol} IS NOT NULL")
+        if shape == "grouping_sets":
+            # fuzzer-generated GROUPING SETS with GROUPING() slot
+            # markers — the NULL-slot disambiguation surface. Plain
+            # COLUMN keys only: GROUPING(expr) argument matching is the
+            # cross-engine-fragile part (derived keys are rollup's
+            # job). The full key tuple is ALWAYS a member so every
+            # selected key is grouped-somewhere (both engines reject a
+            # never-grouped select column). Full-table, no WHERE —
+            # grammar-contract lesson #2: over EMPTY input Spark's
+            # Expand emits zero rows where the standard emits the ()
+            # grand-total row.
+            t = r.choice(list(TABLES))
+            cands = [c for c, ty in TABLES[t].items() if ty in ("int", "str")]
+            ks = r.sample(cands, min(len(cands), r.randint(2, 3)))
+            extra = [*[(k,) for k in ks], ()]
+            sets = [tuple(ks)] + r.sample(extra, r.randint(1, len(extra)))
+            cols = [(t, c, ty) for c, ty in TABLES[t].items()]
+            aggs = [self.agg(cols) for _ in range(r.randint(1, 2))]
+            sel = [f"{t}.{k} AS c{i}" for i, k in enumerate(ks)]
+            sel += [f"CAST(GROUPING({t}.{k}) AS INTEGER) AS g{i}"
+                    for i, k in enumerate(ks)]
+            sel += [f"{a} AS a{i}" for i, a in enumerate(aggs)]
+            sets_sql = ", ".join(
+                "(" + ", ".join(f"{t}.{k}" for k in s) + ")" for s in sets)
+            return (f"SELECT {', '.join(sel)} FROM {t} "
+                    f"GROUP BY GROUPING SETS ({sets_sql})")
+        if shape == "setop_multi":
+            # multi-column set-ops incl. the ALL variants (bag
+            # semantics): EXCEPT ALL / INTERSECT ALL are where
+            # hash-dedup vs multiset-counting implementations diverge;
+            # multi-column rows make the row-equality definition
+            # (NULL-safe, per-column) part of the surface
+            t = r.choice(list(TABLES))
+            cols = [(t, c, ty) for c, ty in TABLES[t].items()]
+            outs = list(dict.fromkeys(
+                self.group_key(cols) for _ in range(r.randint(2, 3))))
+            sel = ", ".join(f"{e} AS c{i}" for i, e in enumerate(outs))
+            op = r.choice(["INTERSECT", "EXCEPT", "UNION",
+                           "UNION ALL", "INTERSECT ALL", "EXCEPT ALL"])
+            return (f"SELECT {sel} FROM {t} WHERE {self.pred(cols)} "
+                    f"{op} SELECT {sel} FROM {t} WHERE {self.pred(cols)}")
         # scalar_sub: uncorrelated scalar subquery in the predicate
         frm, _, cols = self.scope(max_joins=1)
         e, ty, _ = self.col(cols, ("int", "float"))
