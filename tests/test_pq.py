@@ -155,3 +155,59 @@ def test_trained_rerank_recall_vs_exact(spark, sf_dir, emb):
     reranked = _mean_recall(spark, sf_dir, emb, trained, rerank_k=100)
     assert reranked >= 0.6, f"rerank recall@10 {reranked:.2f}"
     assert reranked > adc_only, f"rerank {reranked:.2f} <= adc {adc_only:.2f}"
+
+
+def _train_coarse(mat: np.ndarray, k: int = 8, iters: int = 10,
+                  seed: int = 3) -> list[list[int]]:
+    """Trained coarse quantizer (numpy Lloyd over full micro vectors) —
+    the test-side twin of operators.ann.train_centroids, in the
+    integer-micro form ivf_pq_top_k consumes."""
+    rng = np.random.default_rng(seed)
+    X = _micro(mat).astype(np.float64)
+    cents = X[rng.choice(len(X), k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X * X).sum(1)[:, None] - 2.0 * (X @ cents.T)
+              + (cents * cents).sum(1)[None, :])
+        assign = d2.argmin(1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(0)
+    return [[int(round(x)) for x in c] for c in cents]
+
+
+def test_trained_coarse_partial_probe_recall(spark, sf_dir, emb):
+    """The FULL trained operating point — trained coarse quantizer AND
+    trained PQ codebooks, partial probing (4 of 8 cells), shortlist
+    100 + exact re-rank — must still hold most of the exact top-10.
+    This is the fixed config the 30x operating-curve table
+    (tools/ivfpq_curve.py, SCALE.md round 9) anchors to; unlike
+    test_trained_rerank_recall_vs_exact it does NOT probe all cells,
+    so IVF routing error is inside the measurement. Threshold guards
+    regressions, not luck (measured well above it)."""
+    ids, mat = emb
+    trained_pq = _train_codebooks(mat)
+    coarse = _train_coarse(mat, k=8)
+    emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb_df.filter(F.col("vec_id") < 20)
+    got = (
+        ivf_pq_top_k(probes, emb_df, coarse, trained_pq, k=10,
+                     n_probe=4, rerank_k=100)
+        .groupBy("query_id")
+        .agg(F.collect_set("neighbor_id").alias("got"))
+        .collect()
+    )
+    micro = _micro(mat).astype(np.float64)
+    by_id = {int(i): micro[n] for n, i in enumerate(ids)}
+    recalls = []
+    for r in got:
+        q = by_id[int(r["query_id"])]
+        dots = micro @ q
+        order = [
+            int(ids[j])
+            for j in np.argsort(-dots, kind="stable")
+            if int(ids[j]) != int(r["query_id"])
+        ]
+        recalls.append(len(set(order[:10]) & set(r["got"])) / 10.0)
+    rec = float(np.mean(recalls))
+    assert rec >= 0.5, f"trained partial-probe recall@10 {rec:.2f}"

@@ -8,6 +8,7 @@ import tempfile
 import time
 
 import pandas as pd
+import pytest
 from datetime import datetime
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -360,26 +361,65 @@ def test_t12_stream_source_equals_batch(spark):
     assert sunk.select("page").distinct().count() == batch.select("page").distinct().count()
 
 
-def test_t14_rocksdb_state_store_equivalence(spark, sf_dir):
-    """The RocksDB state store provider (the bounded-memory backend a
-    100 TB streaming job runs — state lives off-heap/on-disk instead of
-    in the executor heap like the default HDFS-backed store) must
-    produce byte-identical aggregation results. Provider is a
-    runtime-settable per-query conf, so the same session runs both."""
+def _tumbling_shape(spark, sf_dir):
     from jobhouse_spark.streaming.jobs import pinned_shuffle, tumbling_counts
 
+    with pinned_shuffle(spark, 8):
+        return run_to_memory(
+            tumbling_counts(stream_events(spark, sf_dir)), mode="complete"
+        )
+
+
+def _stateful_count_shape(spark, sf_dir):
+    from jobhouse_spark.queries import all_queries
+
+    return all_queries()["t7b_stateful_count_checked"].fn(spark, sf_dir)
+
+
+def _stream_join_shape(spark, sf_dir):
+    from jobhouse_spark.queries import all_queries
+
+    return all_queries()["t11_stream_stream_join"].fn(spark, sf_dir)
+
+
+def _dynamic_session_shape(spark, sf_dir):
+    from tools.state_store_suite import t13s_streaming
+
+    return t13s_streaming(spark, sf_dir)
+
+
+_STATEFUL_SHAPES = {
+    "tumbling_window": _tumbling_shape,
+    "stateful_count": _stateful_count_shape,
+    "stream_stream_join": _stream_join_shape,
+    "dynamic_session": _dynamic_session_shape,
+}
+
+
+@pytest.mark.parametrize("shape", sorted(_STATEFUL_SHAPES))
+def test_t14_rocksdb_state_store_equivalence(spark, sf_dir, shape):
+    """The RocksDB state store provider (the bounded-memory backend a
+    100 TB streaming job runs — state lives off-heap/on-disk instead of
+    in the executor heap like the default HDFS-backed store) must be
+    INVISIBLE to semantics across every stateful shape the engine
+    ships: windowed agg, applyInPandasWithState custom state,
+    stream-stream join state, dynamic-gap session-merge state. Provider
+    is a runtime-settable per-query conf, so the same session runs
+    both. The 30x-scale throughput twin of this test is
+    tools/state_store_suite.py (SCALE.md)."""
     key = "spark.sql.streaming.stateStore.providerClass"
     rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    fn = _STATEFUL_SHAPES[shape]
 
     def run():
-        with pinned_shuffle(spark, 8):
-            out = run_to_memory(
-                tumbling_counts(stream_events(spark, sf_dir)), mode="complete"
-            )
-            return sorted(map(tuple, out.collect()))
+        return sorted(map(tuple, fn(spark, sf_dir).collect()))
 
     default = run()
-    prev = spark.conf.get(key, None)
+    # SQLConf.contains distinguishes explicitly-set from default-valued
+    # (conf.get(key, None) returns the DEFAULT for known keys — see
+    # tests/test_runtime_filter.py)
+    jconf = spark._jsparkSession.sessionState().conf()
+    prev = spark.conf.get(key) if jconf.contains(key) else None
     try:
         spark.conf.set(key, rocks)
         via_rocks = run()
