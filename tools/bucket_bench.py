@@ -20,7 +20,7 @@ At 100 TB the bucketed write is amortized across every downstream run
 reported, not hidden.
 
 Usage: python tools/bucket_bench.py [sf_dir] [--buckets=64] [--reuse]
-                                    [--json=PATH]
+                                    [--queries=q18,q5] [--json=PATH]
 """
 
 from __future__ import annotations
@@ -57,6 +57,12 @@ def main() -> None:
     reuse = "--reuse" in sys.argv
     out = next((a.split("=", 1)[1] for a in sys.argv
                 if a.startswith("--json=")), None)
+    only = next((a.split("=", 1)[1].split(",") for a in sys.argv
+                 if a.startswith("--queries=")), None)
+    queries = (QUERIES if only is None
+               else [q for q in QUERIES if any(q.startswith(p) for p in only)])
+    if only is not None and not queries:
+        raise SystemExit(f"--queries matched nothing in {QUERIES}")
 
     mem = os.environ.get("JH_SIM_DRIVER_MEM", "12g")
     if "PYSPARK_SUBMIT_ARGS" not in os.environ:
@@ -103,7 +109,7 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
 
     results = {}
-    for name in QUERIES:
+    for name in queries:
         row = {}
         for label, loc in (("unbucketed", sf_dir), ("bucketed", f"table:{PREFIX}")):
             walls = []
