@@ -721,40 +721,21 @@ def pq_encode(
     )
 
 
-def ivf_pq_top_k(
-    queries: DataFrame,
+def pq_build_index(
     corpus: DataFrame,
     centroids: list[list[int]],
     codebooks: list[list[list[int]]],
-    k: int = 10,
-    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    rerank_k: int | None = None,
 ) -> DataFrame:
-    """IVF-PQ top-k: coarse cells prune the corpus (ivf_top_k's probe
-    machinery), scoring is ADC — the corpus side of the scoring join
-    carries ONLY (id, cell, codes); the dim-D vector never enters the
-    shuffle. Score = exact integer dot(query_micro, reconstruct(codes)),
-    so every step (cell argmin, per-subspace code argmin, literal-array
-    reconstruction, dot, rank) is bit-reproducible by any SQL engine —
-    the l27b differential contract.
-
-    ``rerank_k`` is the production retrieval shape (the FAISS
-    IVF-PQ+refine pattern): take the top rerank_k candidates per query
-    by ADC, fetch TRUE vectors for that shortlist only (a second
-    map-only corpus scan joined against the broadcast shortlist —
-    at 100 TB, a point-fetch from the vector store for queries·rerank_k
-    ids, NOT a corpus scan carrying vectors into a shuffle), then
-    re-rank by exact integer dot. ADC-only recall@10 on the test corpus
-    is ~0.3-0.4 (quantization error, tests/test_pq.py); shortlist=100 +
-    re-rank lifts it to ~0.9+ while the exchange still carries only
-    codes.
-
-    Scale shape: one map-only corpus pass emitting n_sub ints + a cell
-    id per vector, broadcast probes, cell-pruned join whose build input
-    is ~n_sub bytes/vector, one top-k window per query. No all-pairs,
-    no vector payload in the exchange."""
+    """(vec_id, cell, codes): the PERSISTED IVF-PQ index payload — one
+    map-only corpus pass emitting a coarse-cell id + n_sub code bytes
+    per vector. At 100 TB this DataFrame is what you WRITE (partitioned
+    by cell); every query batch then reads codes, never raw vectors —
+    the round-9 30x curve measured the inline featurization dominating
+    every end-to-end wall (30-110 s per batch), which is exactly why
+    the index is built once and stored (stored-path marginal walls:
+    SCALE.md round 9)."""
     n_components = _pq_components(codebooks) + len(centroids) * (
         len(centroids[0]) if centroids else 0
     )
@@ -763,18 +744,52 @@ def ivf_pq_top_k(
             f"{n_components} centroid+codebook components exceed the "
             f"{_EXPR_COMPONENT_LIMIT}-component plan-size limit"
         )
-    from jobhouse_spark.functions.vectors import dot_micro, micro_vec  # noqa: PLC0415
+    from jobhouse_spark.functions.vectors import micro_vec  # noqa: PLC0415
 
     mv = micro_vec(F.col(vec_col))
     dim_total = sum(len(cb[0]) for cb in codebooks)
-    index = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
         _nearest_centroid_expr(mv, centroids, k=1, integer_micro=True)[0].alias(
             "cell"
         ),
         _guard_dim(
-            F.col(vec_col), dim_total, _pq_codes_expr(mv, codebooks), "ivf_pq_top_k"
+            F.col(vec_col), dim_total, _pq_codes_expr(mv, codebooks), "pq_build_index"
         ).alias("codes"),
+    )
+
+
+def ivf_pq_search(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus: DataFrame | None = None,
+    rerank_k: int | None = None,
+) -> DataFrame:
+    """Search a PRE-BUILT IVF-PQ index (pq_build_index's (vec_id, cell,
+    codes) schema — typically read back from storage). This is the
+    per-query-batch marginal cost: broadcast probes, cell-pruned join
+    whose build input is ~n_sub bytes/vector, ADC scoring via
+    literal-codebook reconstruction, one top-k window per query.
+
+    ``rerank_k`` (requires ``corpus``) is the FAISS IVF-PQ+refine
+    pattern: top rerank_k by ADC, TRUE vectors point-fetched for the
+    shortlist only (broadcast shortlist joined against a map-only
+    corpus scan — at 100 TB, a point-fetch from the vector store, NOT
+    a corpus scan carrying vectors into a shuffle), exact integer-dot
+    re-rank."""
+    from jobhouse_spark.functions.vectors import dot_micro, micro_vec  # noqa: PLC0415
+
+    if rerank_k is not None and corpus is None:
+        raise ValueError("rerank_k requires corpus for the true-vector fetch")
+    mv = micro_vec(F.col(vec_col))
+    index = index.select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "codes"
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
@@ -814,4 +829,39 @@ def ivf_pq_top_k(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "score", "rn")
+    )
+
+
+def ivf_pq_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_k: int | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k over a raw vector corpus: pq_build_index +
+    ivf_pq_search composed in one plan (the self-contained form the
+    l27b/l27c differential oracles pin — every step exact integer
+    arithmetic, bit-reproducible by any SQL engine). Production splits
+    the two: build once, WRITE the (vec_id, cell, codes) index, and
+    serve query batches with ivf_pq_search over the stored codes — the
+    inline corpus featurization dominated every wall in the round-9 30x
+    curve (SCALE.md), and it's the part storage amortizes away
+    (equivalence of the split path is pinned by
+    tests/test_pq.py::test_stored_index_search_matches_inline)."""
+    return ivf_pq_search(
+        queries,
+        pq_build_index(corpus, centroids, codebooks, id_col, vec_col),
+        centroids,
+        codebooks,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        corpus=corpus,
+        rerank_k=rerank_k,
     )

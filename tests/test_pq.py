@@ -211,3 +211,31 @@ def test_trained_coarse_partial_probe_recall(spark, sf_dir, emb):
         recalls.append(len(set(order[:10]) & set(r["got"])) / 10.0)
     rec = float(np.mean(recalls))
     assert rec >= 0.5, f"trained partial-probe recall@10 {rec:.2f}"
+
+
+def test_stored_index_search_matches_inline(spark, sf_dir, tmp_path):
+    """The production split — pq_build_index written to parquet, read
+    back, served by ivf_pq_search — must return exactly what the
+    self-contained ivf_pq_top_k plan returns (with and without the
+    rerank point-fetch). This pins the stored-index path the 30x curve
+    argues for (featurize once, amortize across query batches)."""
+    from jobhouse_spark.operators.ann import ivf_pq_search, pq_build_index
+
+    emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_fixed_centroids(42, 8, DIM)
+    cbs = pq_fixed_codebooks(7, N_SUB, N_CODES, SUB_DIM)
+    probes = emb_df.filter(F.col("vec_id") < 10)
+
+    idx_path = str(tmp_path / "pq_index")
+    pq_build_index(emb_df, cents, cbs).write.parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+
+    for rerank in (None, 50):
+        inline = sorted(map(tuple, ivf_pq_top_k(
+            probes, emb_df, cents, cbs, k=10, n_probe=4, rerank_k=rerank
+        ).collect()))
+        split = sorted(map(tuple, ivf_pq_search(
+            probes, stored, cents, cbs, k=10, n_probe=4,
+            corpus=emb_df if rerank else None, rerank_k=rerank
+        ).collect()))
+        assert split == inline and len(split) > 0
