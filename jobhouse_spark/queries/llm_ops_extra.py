@@ -1055,3 +1055,39 @@ def l27c_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=4,
         rerank_k=30,
     ).orderBy("query_id", "rn")
+
+
+@register(
+    "l27d_ivfpq_stored_index",
+    oracle=_l27b_oracle(),
+    tags=("llm", "similarity"),
+)
+def l27d_ivfpq_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27d: the PRODUCTION IVF-PQ serving split, hash-checked through a
+    real storage roundtrip — pq_build_index writes the (vec_id, cell,
+    codes) payload to parquet, ivf_pq_search reads it back and serves
+    the query batch over STORED codes. Same oracle as l27b: the split
+    path plus parquet serialization must be invisible to the result
+    (small-int codes and cell ids round-trip exactly). Round-9 30x
+    measurement: build once 43.6 s, then 4.0 s per stored-index batch
+    vs 55-75 s featurize-inline (SCALE.md) — this entry pins the
+    correctness half of that amortization claim."""
+    import tempfile  # noqa: PLC0415
+
+    from jobhouse_spark.operators.ann import (  # noqa: PLC0415
+        ivf_fixed_centroids,
+        ivf_pq_search,
+        pq_build_index,
+        pq_fixed_codebooks,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 5)
+    cents = ivf_fixed_centroids(42, 8, 64)
+    cbs = pq_fixed_codebooks(7, 8, 16, 8)
+    path = tempfile.mkdtemp(prefix="jh_l27d_idx_")
+    pq_build_index(emb, cents, cbs).write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    return ivf_pq_search(
+        probes, stored, cents, cbs, k=10, n_probe=4
+    ).orderBy("query_id", "rn")

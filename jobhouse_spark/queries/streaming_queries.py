@@ -228,9 +228,10 @@ def t11_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "t13_dynamic_session_window",
-    oracle="""
+# shared by t13 (batch session_window) and t13b (the STREAMING form):
+# the gaps-and-islands generalization of dynamic-gap sessionization —
+# a session breaks when ts >= max(prev ts+gap)
+_T13_ORACLE = """
 WITH g AS (
   SELECT user_id, ts, event_id,
          CASE WHEN event_type = 'click' THEN INTERVAL '15 minutes'
@@ -247,7 +248,12 @@ SELECT user_id,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM w GROUP BY user_id ORDER BY user_id
-""",
+"""
+
+
+@register(
+    "t13_dynamic_session_window",
+    oracle=_T13_ORACLE,
     tags=("streaming", "session"),
 )
 def t13_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,6 +278,48 @@ def t13_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "t13b_dynamic_session_streaming",
+    oracle=_T13_ORACLE,
+    tags=("streaming", "session", "checked"),
+)
+def t13b_dynamic_session_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13b: the STREAMING form of t13 — dynamic-gap session windows
+    merged by Structured Streaming's session-window STATE MACHINE
+    (micro-batch session merge in the state store) instead of the batch
+    Expand/agg plan, replayed with AvailableNow and rolled up per user.
+    Full replay is deterministic, so the same gaps-and-islands batch
+    oracle hash-checks the streaming state machine end-to-end (the
+    t7b checked-twin pattern). Provider-equivalence (HDFS vs RocksDB)
+    for this exact pipeline: tests/test_streaming.py::test_t14 and
+    tools/state_store_suite.py at 30x."""
+    from jobhouse_spark.streaming.jobs import (  # noqa: PLC0415
+        pinned_shuffle,
+        run_to_memory,
+        stream_events,
+    )
+
+    gap = F.expr(
+        "CASE WHEN event_type = 'click' THEN make_interval(0,0,0,0,0,15,0) "
+        "ELSE make_interval(0,0,0,0,0,45,0) END"
+    )
+    sess = (
+        stream_events(spark, sf_dir)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    with pinned_shuffle(spark, 8):
+        sunk = run_to_memory(sess, mode="complete")
+    return (
+        sunk.groupBy("user_id")
         .agg(
             F.count("*").alias("n_sessions"),
             F.sum("n_events").alias("n_events"),

@@ -42,35 +42,15 @@ PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 
 
 def t13s_streaming(spark, sf_dir):
-    """Streaming dynamic-gap session windows, rolled up per user —
-    the streaming twin of registry t13_dynamic_session_window."""
-    from pyspark.sql import functions as F
-
-    from jobhouse_spark.streaming.jobs import (
-        pinned_shuffle,
-        run_to_memory,
-        stream_events,
+    """Streaming dynamic-gap session windows, rolled up per user — now
+    the REGISTRY entry t13b_dynamic_session_streaming (promoted there
+    in round 9 with the t13 batch oracle); kept as an alias so this
+    tool's JSON keys stay stable across rounds."""
+    from jobhouse_spark.queries.streaming_queries import (
+        t13b_dynamic_session_streaming,
     )
 
-    gap = F.expr(
-        "CASE WHEN event_type = 'click' THEN make_interval(0,0,0,0,0,15,0) "
-        "ELSE make_interval(0,0,0,0,0,45,0) END"
-    )
-    sess = (
-        stream_events(spark, sf_dir)
-        .groupBy(F.session_window("ts", gap), "user_id")
-        .agg(F.count("*").alias("n_events"))
-    )
-    with pinned_shuffle(spark, 8):
-        sunk = run_to_memory(sess, mode="complete")
-    return (
-        sunk.groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_sessions"),
-            F.sum("n_events").alias("n_events"),
-        )
-        .orderBy("user_id")
-    )
+    return t13b_dynamic_session_streaming(spark, sf_dir)
 
 
 def main() -> None:
