@@ -30,20 +30,16 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # One hash-checkable representative per SURVEY §2 family, 50 exactly.
 #
-# ROUND-9 ROTATION (the FINAL backlog retirement): the 27 slots marked
-# "first-time" below are exactly the registry entries that never had a
-# driver CORRECTNESS row in r01–r08 (computed as registry minus the
-# union of CORRECTNESS_r01–r08 keys). After this round every one of
-# the 198 registry entries has been driver-checked at least once.
-# Seven of the 27 are rows-only by SURVEY §2.C rule 6
-# (approximate/model-specific/emission-timing): g14 (HLL percentile),
-# l2/l3b/l3c (LSH/IVF recall-graded), l4b (simhash banding), l10
-# (sampleBy), t7 (applyInPandasWithState emission timing). Each has a
-# hash-checked twin of the same mechanism already driver-green
-# (g14b, l2c/l2d, l3b2, l3c2, l4b2, l10b, t7b) — the driver records
-# rows-green for these seven, per contract. The other 23 slots are
-# previously-green family anchors so every §2 family still owns a
-# hash-checked row this round (guard: tests/test_entry_contract.py).
+# ROUND-10 ROTATION: after round 9, 198 of the then-200 registry
+# entries had a driver CORRECTNESS row; the two registered post-
+# rotation (t13b, l27d) take head slots now, alongside the four
+# operators NEW this round (jh5/jh6/jh7 domain Gold marts, l27e
+# incremental index append). Six long-green anchors rotate out to make
+# room (e2, g18, g19, l12, l19, w5 — each driver-green in ≥2 prior
+# rounds). The seven rows-only-by-contract entries (SURVEY §2.C rule
+# 6: g14, l2, l3b, l3c, l4b, l10, t7) stay pinned with their
+# hash-checked twins green (g14b, l2c/l2d, l3b2, l3c2, l4b2, l10b,
+# t7b) — guard: tests/test_entry_contract.py.
 _HEAD = (
     # family anchors — all driver-green in r01–r08
     "s1_parquet_scan",
@@ -60,22 +56,18 @@ _HEAD = (
     "q5_local_supplier_volume",
     "q18_large_volume_customer",
     "sq1_scalar_subquery",
-    "e2_retention_cohorts",
     "jh1_gold_daily_mart",
     "g4c_grouping_sets",
-    "w5_latest_per_key",
     "l1_exact_dedup",
     "l6b_quality_scores",
     "l23b_semantic_dedup_scaled",
     "l24_domain_mixture",
     "l27b_ivfpq_topk",
-    # ---- first-time entries (the 27-entry backlog) ----
+    # ---- the round-9 backlog retirees that stay as family anchors ----
     # S / F / G — formats, explode, profiling
     "s16_orc_roundtrip",
     "f4c_explode",
     "g14_approx_percentile",  # rows-only (HLL); twin g14b green r08
-    "g18_table_profile",
-    "g19_histogram",
     # L — near-dup / ANN production paths (recall-graded; checked twins green)
     "l2_minhash_neardup",  # rows-only; twins l2c/l2d green
     "l3b_lsh_topk",  # rows-only; twin l3b2 green
@@ -88,9 +80,7 @@ _HEAD = (
     "l9_rolling_fingerprint",
     "l10_stratified_sample",  # rows-only (sampleBy); twin l10b below
     "l10b_deterministic_sample",
-    "l12_repetition_ratio",
     "l17_token_budget_packing",
-    "l19_unicode_sanitize",
     "l20_corpus_ngram_counts",
     # T — stateful streaming (t7 rows-only by emission timing; t7b twin)
     "t7_stateful_count",
@@ -101,6 +91,13 @@ _HEAD = (
     "l26_kmeans_refine_checked",
     "l27_pq_codes",
     "l27c_ivfpq_rerank",
+    # ---- round-10 additions ----
+    "t13b_dynamic_session_streaming",
+    "l27d_ivfpq_stored_index",
+    "l27e_ivfpq_index_append",
+    "jh5_vacancy_lifecycle",
+    "jh6_salary_currency_mart",
+    "jh7_skill_extraction",
 )
 
 

@@ -865,3 +865,45 @@ def ivf_pq_top_k(
         corpus=corpus,
         rerank_k=rerank_k,
     )
+
+
+def pq_write_index(index: DataFrame, root: str, mode: str = "overwrite") -> None:
+    """Persist a pq_build_index payload partitioned BY CELL — the
+    at-rest layout a 100 TB index wants: every cell is its own
+    directory, so maintenance (append, per-cell rewrite, cell-targeted
+    compaction) touches single partitions, and a future cell-pruned
+    serving path can skip directories outright. One canonical writer so
+    the initial build and every append share the same layout (mixing
+    partitioned and unpartitioned files under one root is unreadable)."""
+    index.write.mode(mode).partitionBy("cell").parquet(root)
+
+
+def pq_index_append(
+    new_batch: DataFrame,
+    root: str,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally maintain a stored IVF-PQ index (the l2e pattern
+    applied to the ANN index): featurize ONLY the new batch against the
+    FROZEN centroids + codebooks and append it partition-wise under the
+    existing root. Nothing already encoded is read or rewritten — the
+    marginal cost is one map-only pass over the batch, so a daily
+    ingest into a 10^9-vector index costs the day's encode, not a
+    rebuild.
+
+    Contract: batch vec_ids are new (dedupe upstream — the engine's A15
+    anti-join or L1 exact-dedup); updates/deletes go through a per-cell
+    rewrite (the partition layout makes that a targeted overwrite).
+    Codebooks must be the ones the index was built with — appending
+    against retrained codebooks corrupts ADC scores. Retraining
+    guidance (when drift warrants a rebuild) is documented in SCALE.md;
+    append-equals-rebuild equivalence is pinned by
+    tests/test_pq.py::test_index_append_equals_rebuild."""
+    pq_write_index(
+        pq_build_index(new_batch, centroids, codebooks, id_col, vec_col),
+        root,
+        mode="append",
+    )

@@ -28,6 +28,7 @@ _MODULES = (
     "sql_features",
     "llm_ops_pipeline",
     "llm_ops_cleaning",
+    "jobhouse_gold",
 )
 
 _loaded = False

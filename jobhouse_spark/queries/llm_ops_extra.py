@@ -1071,22 +1071,73 @@ def l27d_ivfpq_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (small-int codes and cell ids round-trip exactly). Round-9 30x
     measurement: build once 43.6 s, then 4.0 s per stored-index batch
     vs 55-75 s featurize-inline (SCALE.md) — this entry pins the
-    correctness half of that amortization claim."""
-    import tempfile  # noqa: PLC0415
-
+    correctness half of that amortization claim. The index dir is a
+    session-cached root (built once, atexit-cleaned) — repeated
+    bench/driver/fuzz invocations reuse it instead of leaking one
+    encoded copy per call."""
     from jobhouse_spark.operators.ann import (  # noqa: PLC0415
         ivf_fixed_centroids,
         ivf_pq_search,
         pq_build_index,
         pq_fixed_codebooks,
+        pq_write_index,
     )
+    from jobhouse_spark.queries.ingestion_queries import _session_bronze_root  # noqa: PLC0415
 
     emb = Tables(spark, sf_dir).embeddings
     probes = emb.filter(F.col("vec_id") < 5)
     cents = ivf_fixed_centroids(42, 8, 64)
     cbs = pq_fixed_codebooks(7, 8, 16, 8)
-    path = tempfile.mkdtemp(prefix="jh_l27d_idx_")
-    pq_build_index(emb, cents, cbs).write.mode("overwrite").parquet(path)
+    path = _session_bronze_root(
+        "l27d_idx", sf_dir,
+        lambda r: pq_write_index(pq_build_index(emb, cents, cbs), r),
+    )
+    stored = spark.read.parquet(path)
+    return ivf_pq_search(
+        probes, stored, cents, cbs, k=10, n_probe=4
+    ).orderBy("query_id", "rn")
+
+
+@register(
+    "l27e_ivfpq_index_append",
+    oracle=_l27b_oracle(),
+    tags=("llm", "similarity"),
+)
+def l27e_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27e: INCREMENTAL stored-index maintenance (the l2e pattern
+    applied to IVF-PQ, VERDICT r9 task 4) — the index is bootstrapped
+    from half the corpus (even vec_ids), then the other half arrives as
+    a later ingest batch and is appended via pq_index_append: only the
+    new batch is featurized against the FROZEN centroids + codebooks
+    and appended partition-wise (by cell) under the same root; nothing
+    already encoded is read or rewritten. Serving the appended index
+    must be indistinguishable from a full rebuild over the union — the
+    oracle is the same from-scratch DuckDB replica of the whole-corpus
+    search that pins l27b/l27d, so append≡rebuild is hash-checked (and
+    again, structurally, in tests/test_pq.py::
+    test_index_append_equals_rebuild)."""
+    from jobhouse_spark.operators.ann import (  # noqa: PLC0415
+        ivf_fixed_centroids,
+        ivf_pq_search,
+        pq_build_index,
+        pq_fixed_codebooks,
+        pq_index_append,
+        pq_write_index,
+    )
+    from jobhouse_spark.queries.ingestion_queries import _session_bronze_root  # noqa: PLC0415
+
+    emb = Tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 5)
+    cents = ivf_fixed_centroids(42, 8, 64)
+    cbs = pq_fixed_codebooks(7, 8, 16, 8)
+
+    def _build(root: str) -> None:
+        bootstrap = emb.filter(F.col("vec_id") % 2 == 0)
+        batch = emb.filter(F.col("vec_id") % 2 == 1)
+        pq_write_index(pq_build_index(bootstrap, cents, cbs), root)
+        pq_index_append(batch, root, cents, cbs)
+
+    path = _session_bronze_root("l27e_idx", sf_dir, _build)
     stored = spark.read.parquet(path)
     return ivf_pq_search(
         probes, stored, cents, cbs, k=10, n_probe=4

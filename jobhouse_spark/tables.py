@@ -50,6 +50,18 @@ class Tables:
                 # so every registry query can run unchanged against
                 # bucketed tables (tools/bucket_bench.py).
                 df = self.spark.table(f"{self.sf_dir[6:]}{name}")
+                if name == "events":
+                    # a catalog-registered RAW events table may carry ts
+                    # as nanos-read-as-bigint (the same reader quirk
+                    # _load_events handles on the path branch) — apply
+                    # the identical µs coercion so "every registry query
+                    # runs unchanged" holds for events too
+                    from pyspark.sql import functions as F  # noqa: PLC0415
+
+                    if dict(df.dtypes).get("ts") == "bigint":
+                        df = df.withColumn(
+                            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+                        )
             else:
                 path = os.path.join(self.sf_dir, f"{name}.parquet")
                 if name == "events":

@@ -239,3 +239,43 @@ def test_stored_index_search_matches_inline(spark, sf_dir, tmp_path):
             corpus=emb_df if rerank else None, rerank_k=rerank
         ).collect()))
         assert split == inline and len(split) > 0
+
+
+def test_index_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental maintenance (pq_index_append, round-10 l27e): a
+    bootstrap build over half the corpus + an append of the other half
+    must leave an index whose CONTENT and whose search results are
+    identical to a from-scratch rebuild over the union — appends only
+    featurize the new batch, so this is the whole correctness claim."""
+    from jobhouse_spark.operators.ann import (
+        ivf_pq_search,
+        pq_build_index,
+        pq_index_append,
+        pq_write_index,
+    )
+
+    emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_fixed_centroids(42, 8, DIM)
+    cbs = pq_fixed_codebooks(7, N_SUB, N_CODES, SUB_DIM)
+    probes = emb_df.filter(F.col("vec_id") < 10)
+
+    inc_root = str(tmp_path / "idx_incremental")
+    full_root = str(tmp_path / "idx_rebuild")
+    pq_write_index(
+        pq_build_index(emb_df.filter(F.col("vec_id") % 2 == 0), cents, cbs), inc_root
+    )
+    pq_index_append(emb_df.filter(F.col("vec_id") % 2 == 1), inc_root, cents, cbs)
+    pq_write_index(pq_build_index(emb_df, cents, cbs), full_root)
+
+    cols = ["vec_id", "cell", "codes"]
+    inc = spark.read.parquet(inc_root).select(*cols)
+    full = spark.read.parquet(full_root).select(*cols)
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+    res_inc = sorted(map(tuple, ivf_pq_search(
+        probes, inc, cents, cbs, k=10, n_probe=4
+    ).collect()))
+    res_full = sorted(map(tuple, ivf_pq_search(
+        probes, full, cents, cbs, k=10, n_probe=4
+    ).collect()))
+    assert res_inc == res_full and len(res_inc) > 0

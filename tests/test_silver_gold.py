@@ -87,3 +87,39 @@ def test_gold_salary_by_experience(spark):
     # midpoints are (from+to)/2 = 140000 + i*1000 for the 12 salary rows
     mids = [140000 + i * 1000 for i in range(17) if i % 4 != 0]
     assert r.avg_salary == round(sum(mids) / len(mids), 4)
+
+
+def test_round10_gold_marts(spark):
+    """Third derivation path for the jh5/jh6/jh7 marts (the registry
+    oracle is the second): hand-computed totals from the v2 fixture's
+    closed-form rules, so a misconception shared by the Spark code and
+    the SQL oracle would still be caught here."""
+    from jobhouse_spark.queries.jobhouse_gold import (
+        jh5_vacancy_lifecycle,
+        jh6_salary_currency_mart,
+        jh7_skill_extraction,
+    )
+
+    jh5 = jh5_vacancy_lifecycle(spark, "unused").collect()
+    tot = {c: sum(r[c] for r in jh5) for c in
+           ("n_vacancies", "n_closed", "n_reposted", "n_versions", "active_days")}
+    # 60 vids 2000-2059; closed = NOT p3 (18); repost = !p2 & p3 (10);
+    # versions = 1 + (p2&mod) + (!p2&p3) (80); active = 1+p2+p3 (142)
+    assert tot == {"n_vacancies": 60, "n_closed": 18, "n_reposted": 10,
+                   "n_versions": 80, "active_days": 142}, tot
+
+    jh6 = jh6_salary_currency_mart(spark, "unused").collect()
+    assert sum(r.n_postings for r in jh6) == 60
+    assert sum(r.n_with_salary for r in jh6) == 48  # i%5==4 -> no salary
+    for r in jh6:
+        if r.n_with_salary:
+            assert r.min_salary_rub <= r.avg_salary_rub <= r.max_salary_rub
+
+    jh7 = {r.skill: r for r in jh7_skill_extraction(spark, "unused").collect()}
+    # every posting lists python (j=0 pick is SKILLS[i%8] — not always
+    # python) — instead assert the full dictionary appears and each
+    # skill's employer count is bounded by its posting count
+    assert set(jh7) == {"airflow", "dbt", "kafka", "kubernetes",
+                        "python", "scala", "spark", "sql"}
+    for r in jh7.values():
+        assert 0 < r.n_employers <= min(r.n_postings, 12)

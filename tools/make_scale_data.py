@@ -21,8 +21,17 @@ reads identically in Spark (directory scan) and DuckDB (tests.oracle
 globs `dir/*.parquet`).
 
 Usage: python tools/make_scale_data.py [src_sf_dir] [dst_dir] [factor]
+         [--tables=events,...] [--also-offset=events:user_id,...]
 Defaults: /root/testdata/sf0.1 /tmp/jh_scale_10x 10
-"""
+
+--tables restricts generation to a subset (e.g. an events-only corpus
+for the stateful stress rung). --also-offset appends extra columns to
+a table's offset-key list: the default KEYS offsets only true row keys,
+so replicated corpora keep the BASE cardinality on every dimension-ish
+column (events has 1,500 users at every factor — fine for shuffle
+stress, useless for STATE-capacity stress). Offsetting events:user_id
+gives factor x 1,500 distinct users, turning the key space itself into
+the scaled axis (round-10 high-cardinality stateful stress)."""
 
 from __future__ import annotations
 
@@ -47,13 +56,21 @@ OFFSET = 100_000_000  # > any base key at sf0.1, so copies never collide
 
 
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/jh_scale_10x"
-    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    dst = args[1] if len(args) > 1 else "/tmp/jh_scale_10x"
+    factor = int(args[2]) if len(args) > 2 else 10
+    only = next((a.split("=", 1)[1].split(",") for a in sys.argv
+                 if a.startswith("--tables=")), None)
+    for spec in next((a.split("=", 1)[1].split(",") for a in sys.argv
+                      if a.startswith("--also-offset=")), []):
+        tbl, col = spec.split(":")
+        if col not in KEYS[tbl]:
+            KEYS[tbl].append(col)
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
 
-    for name in FIXED_DIMS:
+    for name in FIXED_DIMS if only is None else [d for d in FIXED_DIMS if d in only]:
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{src}/{name}.parquet')) "
             f"TO '{dst}/{name}.parquet' (FORMAT PARQUET)"
@@ -61,6 +78,8 @@ def main() -> None:
         print(f"{name}: copied fixed dim")
 
     for name, keys in KEYS.items():
+        if only is not None and name not in only:
+            continue
         src_path = f"{src}/{name}.parquet"
         if not os.path.exists(src_path):
             print(f"{name}: missing in {src}, skipped")

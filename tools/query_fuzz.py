@@ -62,7 +62,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # the tie surface worth fuzzing), fuzzer-generated GROUPING SETS with
 # CAST(GROUPING(k) AS INTEGER) slot markers, multi-column set-ops
 # including INTERSECT ALL / EXCEPT ALL, and the events table.
-GRAMMAR_VERSION = 5
+# v6 opens the SEMI-STRUCTURED surface (VERDICT r9 task 5): JSON path
+# extraction over events.props, interval arithmetic + date_trunc over
+# timestamps, and nested array HOFs over embeddings.embedding. The
+# JSON and array function NAMES differ between the engines
+# (get_json_object/transform/size vs json_extract_string/
+# list_transform/len), so v6 introduces DIALECT-PAIR generation: a
+# shape may return (spark_sql, duck_sql) built from ONE template with
+# per-engine leaf snippets — the rng decisions (and therefore the
+# query semantics) are identical, only the function spellings differ.
+# Array elements quantize to exact milli-unit BIGINTs (the micro_vec
+# discipline at DECIMAL(12,3)) so every HOF result is integer-exact;
+# date_trunc results are CAST AS TIMESTAMP on both sides (DuckDB
+# returns DATE for day-and-coarser units, Spark always TIMESTAMP).
+GRAMMAR_VERSION = 6
 
 TABLES: dict[str, dict[str, str]] = {
     "lineitem": {
@@ -97,10 +110,15 @@ TABLES: dict[str, dict[str, str]] = {
     },
     # v5: the event-stream table — high-cardinality user_id partitions
     # and a dense numeric value column, the natural frame-fuzz substrate
+    # v6: + props, a JSON document column ("json" type: only the
+    # json_path shape touches it, via dialect-pair extraction leaves)
     "events": {
         "event_id": "int", "ts": "ts", "user_id": "int",
-        "event_type": "str", "value": "float",
+        "event_type": "str", "value": "float", "props": "json",
     },
+    # v6: the vector table — "arr" is only touched by the array_hof
+    # shape (dialect-pair HOF leaves); generic shapes see the scalars
+    "embeddings": {"vec_id": "int", "embedding": "arr", "label": "int"},
 }
 
 # pk: unique total-order key(s) per table (window ORDER BY safety)
@@ -114,6 +132,7 @@ PK: dict[str, tuple[str, ...]] = {
     "region": ("r_regionkey",),
     "documents": ("doc_id",),
     "events": ("event_id",),
+    "embeddings": ("vec_id",),
 }
 
 # FK graph: (left_table, left_col, right_table, right_col)
@@ -298,6 +317,19 @@ class Gen:
             return r.choice(forms).format(e=e)
         return e
 
+    # Exact-decimal SUM operand, magnitude-bounded. v6 generator
+    # contract lesson #4 (seed 7034 at 30x): the replicated corpora
+    # carry 1e8-per-copy key offsets, so SUM(CAST(key AS DECIMAL))
+    # reaches ~2.6e16 at 30x — past 2^53, where the final CAST AS
+    # DOUBLE is no longer value-preserving and Spark/DuckDB round the
+    # same exact decimal to ADJACENT doubles (1-ULP representation
+    # divergence, not an engine bug). A decimal modulus keeps every
+    # operand < 1e6, so group sums stay inside the double-exact range
+    # at every rung (6e8 rows x 1e6 = 6e14 < 2^53) while the
+    # accumulate-exactly-then-convert-once contract stays fuzzed.
+    def dec_sum_operand(self, e: str) -> str:
+        return f"(CAST({e} AS DECIMAL(18,4)) % 1000003)"
+
     def agg(self, cols) -> str:
         r = self.r
         kind = r.choice(["count_star", "count", "count_distinct", "minmax",
@@ -314,7 +346,7 @@ class Gen:
             e, _, _ = self.col(cols)
             return f"{r.choice(['MIN', 'MAX'])}({e})"
         e = self.num_expr(cols)
-        dec = f"CAST({e} AS DECIMAL(18,4))"
+        dec = self.dec_sum_operand(e)
         if kind == "sum":
             # final cast to DOUBLE = the registry's fin() rule: DuckDB's
             # fetchdf renders DECIMAL as float ('915.0' vs Spark's
@@ -334,7 +366,11 @@ class Gen:
                           "union_reagg",
                           # v5 surface
                           "frame_rows", "frame_range",
-                          "grouping_sets", "setop_multi"])
+                          "grouping_sets", "setop_multi",
+                          # v6 surface (dialect-pair shapes)
+                          "json_path", "json_path",
+                          "interval_arith", "interval_arith",
+                          "array_hof", "array_hof"])
         if shape in ("agg", "having"):
             frm, _, cols = self.scope()
             keys = [self.group_key(cols) for _ in range(r.randrange(3))]
@@ -366,7 +402,7 @@ class Gen:
             # verified total order (see build_pools); RANK is tie-stable
             if t in self.pools["_unique_pk"]:
                 fn = r.choice(["ROW_NUMBER()", "RANK()",
-                               f"SUM(CAST({self.num_expr(cols)} AS DECIMAL(18,4)))"])
+                               f"SUM({self.dec_sum_operand(self.num_expr(cols))})"])
             else:
                 fn = "RANK()"
             frame = ("" if fn in ("ROW_NUMBER()", "RANK()") else
@@ -532,7 +568,7 @@ class Gen:
                   if lo != "CURRENT ROW" else f"{r.randint(1, 5)} FOLLOWING")
             kind = r.choice(["sum", "count", "minmax"])
             if kind == "sum":
-                fn = f"SUM(CAST({self.num_expr(cols)} AS DECIMAL(18,4)))"
+                fn = f"SUM({self.dec_sum_operand(self.num_expr(cols))})"
             elif kind == "count":
                 fn = f"COUNT({self.num_expr(cols)})"
             else:
@@ -565,7 +601,7 @@ class Gen:
             d = r.choice(["ASC", "DESC"])
             kind = r.choice(["sum", "count", "minmax"])
             if kind == "sum":
-                fn = f"SUM(CAST({self.num_expr(cols)} AS DECIMAL(18,4)))"
+                fn = f"SUM({self.dec_sum_operand(self.num_expr(cols))})"
             elif kind == "count":
                 fn = "COUNT(*)"
             else:
@@ -618,6 +654,107 @@ class Gen:
                            "UNION ALL", "INTERSECT ALL", "EXCEPT ALL"])
             return (f"SELECT {sel} FROM {t} WHERE {self.pred(cols)} "
                     f"{op} SELECT {sel} FROM {t} WHERE {self.pred(cols)}")
+        if shape == "json_path":
+            # JSON path extraction over events.props — the dialect
+            # corner: same path, same CAST, different function names.
+            # props is {"k": int} on every row (verified non-null in
+            # the corpus), so the extracted value is integer-exact and
+            # every aggregate over it hashes identically.
+            cols = [(t, c, ty) for t, c, ty in
+                    [("events", c, ty) for c, ty in TABLES["events"].items()]]
+            jk = ("CAST(get_json_object(events.props, '$.k') AS INT)",
+                  "CAST(json_extract_string(events.props, '$.k') AS INTEGER)")
+            key = r.choice([
+                "events.event_type",
+                f"(events.user_id % {r.choice([3, 7, 10])})",
+                "EXTRACT(MONTH FROM events.ts)",
+                "{JK}",  # group directly by the extracted value
+            ])
+            lo = r.randint(0, 60)
+            hi = lo + r.randint(5, 40)
+            where = r.choice([
+                f"{{JK}} BETWEEN {lo} AND {hi}",
+                f"{{JK}} {r.choice(['<', '>=', '<>'])} {r.randint(0, 99)}",
+                self.pred(cols, depth=1),
+            ])
+            aggs = ["COUNT(*) AS c1",
+                    "CAST(SUM({JK}) AS BIGINT) AS c2",
+                    f"{r.choice(['MIN', 'MAX'])}({{JK}}) AS c3"]
+            tmpl = (f"SELECT {key} AS c0, {', '.join(aggs)} FROM events "
+                    f"WHERE {where} GROUP BY 1")
+            return (tmpl.replace("{JK}", jk[0]), tmpl.replace("{JK}", jk[1]))
+        if shape == "interval_arith":
+            # interval arithmetic + date_trunc (SHARED text: both
+            # engines parse INTERVAL n UNIT and date_trunc(unit, ts));
+            # date_trunc is CAST AS TIMESTAMP because DuckDB returns
+            # DATE for day-and-coarser units where Spark returns
+            # TIMESTAMP — v6 generator contract lesson #1
+            cols = [("events", c, ty) for c, ty in TABLES["events"].items()]
+            n1, u1 = r.randint(1, 72), r.choice(["MINUTE", "HOUR", "DAY"])
+            sign = r.choice(["+", "-"])
+            shifted = f"(events.ts {sign} INTERVAL {n1} {u1})"
+            key = r.choice([
+                f"CAST(date_trunc('{r.choice(['hour', 'day', 'month'])}', "
+                f"{shifted}) AS TIMESTAMP)",
+                f"EXTRACT({r.choice(['YEAR', 'MONTH', 'DAY', 'HOUR'])} "
+                f"FROM {shifted})",
+            ])
+            c = self.constant(("events", "ts"), "ts")
+            n2, u2 = r.randint(1, 10), r.choice(["HOUR", "DAY"])
+            where = (f"events.ts {r.choice(['>=', '<'])} "
+                     f"{c} {r.choice(['+', '-'])} INTERVAL {n2} {u2}")
+            if r.random() < 0.4:
+                where += f" AND {self.pred(cols, depth=1)}"
+            aggs = ["COUNT(*) AS c1",
+                    "CAST(SUM(CAST(events.user_id AS DECIMAL(18,4)) % 1000003) "
+                    "AS DOUBLE) AS c2"]
+            return (f"SELECT {key} AS c0, {', '.join(aggs)} FROM events "
+                    f"WHERE {where} GROUP BY 1")
+        if shape == "array_hof":
+            # nested array HOFs over embeddings.embedding, quantized to
+            # exact milli-unit BIGINTs (DECIMAL(12,3) cast — the shared
+            # micro_vec rounding rule) so sums/filters/extractions are
+            # integer-exact: per-element |x| <= ~1000 milli-units, so
+            # sum-of-squares <= 64e6 per row and the per-group SUM stays
+            # far inside the 2^53 double-exact range at every rung
+            mv = ("transform(embeddings.embedding, x -> CAST(CAST(CAST(x "
+                  "AS DOUBLE) AS DECIMAL(12,3)) * 1000 AS BIGINT))",
+                  "list_transform(embeddings.embedding, x -> CAST(CAST("
+                  "CAST(x AS DOUBLE) AS DECIMAL(12,3)) * 1000 AS BIGINT))")
+            k = r.randint(-300, 300)
+            i = r.randint(1, 16)
+            scalar = r.choice([
+                ("CAST(aggregate({MV}, CAST(0 AS BIGINT), "
+                 "(acc, x) -> acc + x) AS BIGINT)",
+                 "CAST(list_sum({MV}) AS BIGINT)"),
+                ("CAST(aggregate({MV}, CAST(0 AS BIGINT), "
+                 "(acc, x) -> acc + x * x) AS BIGINT)",
+                 "CAST(list_sum(list_transform({MV}, x -> x * x)) "
+                 "AS BIGINT)"),
+                (f"CAST(size(filter({{MV}}, x -> x > {k})) AS BIGINT)",
+                 f"CAST(len(list_filter({{MV}}, x -> x > {k})) AS BIGINT)"),
+                (f"element_at({{MV}}, {i})", f"list_extract({{MV}}, {i})"),
+                ("array_max({MV})", "list_max({MV})"),
+                ("array_min({MV})", "list_min({MV})"),
+            ])
+            s_scalar = scalar[0].replace("{MV}", mv[0])
+            d_scalar = scalar[1].replace("{MV}", mv[1])
+            cols = [("embeddings", "vec_id", "int"),
+                    ("embeddings", "label", "int")]
+            if r.random() < 0.5:
+                # per-row form over the PK
+                where = self.pred(cols, depth=1)
+                tmpl = ("SELECT embeddings.vec_id AS pk0, {SC} AS c0 "
+                        f"FROM embeddings WHERE {where}")
+            else:
+                key = r.choice(["embeddings.label",
+                                f"(embeddings.vec_id % {r.choice([5, 9])})"])
+                tmpl = (f"SELECT {key} AS c0, COUNT(*) AS c1, "
+                        "CAST(SUM({SC}) AS BIGINT) AS c2, "
+                        "MIN({SC}) AS c3, MAX({SC}) AS c4 "
+                        "FROM embeddings GROUP BY 1")
+            return (tmpl.replace("{SC}", s_scalar),
+                    tmpl.replace("{SC}", d_scalar))
         # scalar_sub: uncorrelated scalar subquery in the predicate
         frm, _, cols = self.scope(max_joins=1)
         e, ty, _ = self.col(cols, ("int", "float"))
@@ -651,7 +788,11 @@ def run_campaign(spark, duck, pools, seeds, verbose=True, row_cap=None,
 
     failures = []
     for seed in seeds:
-        sql = Gen(seed, pools).query()
+        q = Gen(seed, pools).query()
+        # v6 dialect-pair shapes return (spark_sql, duck_sql) — same
+        # rng decisions, per-engine function spellings (see GRAMMAR
+        # docstring); plain shapes return one shared string
+        spark_sql, sql = (q, q) if isinstance(q, str) else q
         if row_cap is not None:
             try:
                 n = duck.execute(
@@ -667,11 +808,11 @@ def run_campaign(spark, duck, pools, seeds, verbose=True, row_cap=None,
                     print(f"skip seed={seed} ({n} rows > cap {row_cap})")
                 continue
         try:
-            spark_pdf = spark.sql(sql).toPandas()
+            spark_pdf = spark.sql(spark_sql).toPandas()
         except Exception as ex:  # noqa: BLE001
-            failures.append((seed, sql, f"spark error: {ex}"))
+            failures.append((seed, spark_sql, f"spark error: {ex}"))
             if verbose:
-                print(f"FAIL seed={seed} spark error\n  {sql}\n  {ex}")
+                print(f"FAIL seed={seed} spark error\n  {spark_sql}\n  {ex}")
             continue
         try:
             duck_pdf = duck.execute(sql).fetchdf()
