@@ -70,10 +70,13 @@ def main() -> None:
                 if a.startswith("--json=")), None)
     only = next((a.split("=", 1)[1].split(",") for a in sys.argv
                  if a.startswith("--queries=")), None)
+    write_only = "--write-only" in sys.argv  # materialize layout, skip bench
     queries = (QUERIES if only is None
                else [q for q in QUERIES if any(q.startswith(p) for p in only)])
-    if only is not None and not queries:
+    if only is not None and not queries and not write_only:
         raise SystemExit(f"--queries matched nothing in {QUERIES}")
+    if write_only:
+        queries = []
 
     mem = os.environ.get("JH_SIM_DRIVER_MEM", "12g")
     if "PYSPARK_SUBMIT_ARGS" not in os.environ:

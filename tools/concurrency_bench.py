@@ -15,6 +15,14 @@ FIFO vs FAIR takes two processes:
   python tools/concurrency_bench.py FIFO
   python tools/concurrency_bench.py FAIR
 
+--bucketed=BASE (round 10) re-registers an existing bucketed at-rest
+layout (written by tools/bucket_bench.py under BASE/{lineitem,orders})
+as external CLUSTERED BY tables plus jhbkt_-prefixed views for the
+rest, and runs the whole mix through the Tables "table:jhbkt_" catalog
+scheme — same query code, bucketed layout — so FIFO/FAIR interference
+can be compared bucketed vs not: the layout deletes the big-side
+shuffles, which is exactly the resource the queries fight over.
+
 Under FIFO, concurrent jobs still interleave (task-level), but a large
 early-submitted stage can starve later ones; FAIR round-robins task
 slots across pools (each thread sets its own spark.scheduler.pool), so
@@ -35,8 +43,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from jobhouse_spark.queries import all_queries  # noqa: E402
 from jobhouse_spark.session import get_spark  # noqa: E402
 
-MODE = (sys.argv[1] if len(sys.argv) > 1 else "FIFO").upper()
-DATA_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/jh_scale_30x"
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+MODE = (_args[0] if _args else "FIFO").upper()
+DATA_DIR = _args[1] if len(_args) > 1 else "/tmp/jh_scale_30x"
+BUCKETED_BASE = next((a.split("=", 1)[1] for a in sys.argv
+                      if a.startswith("--bucketed=")), None)
+BUCKETS = int(next((a.split("=")[1] for a in sys.argv
+                    if a.startswith("--buckets=")), "64"))
 
 QUERY_MIX = (
     "g1_groupby_agg",
@@ -57,9 +70,32 @@ def main() -> None:
     qs = all_queries()
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
 
+    data_loc = DATA_DIR
+    if BUCKETED_BASE:
+        # external bucketed tables over the layout bucket_bench wrote
+        # (bucket ids are encoded in the part-file names, so a CREATE
+        # TABLE ... CLUSTERED BY ... LOCATION re-attaches the existing
+        # files with their bucket spec intact); everything else becomes
+        # a same-prefix temp view over the plain corpus
+        bucketed = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+        for tbl, key in bucketed.items():
+            loc = os.path.join(BUCKETED_BASE, tbl)
+            ddl = spark.read.parquet(loc)._jdf.schema().toDDL()
+            spark.sql(f"DROP TABLE IF EXISTS jhbkt_{tbl}")
+            spark.sql(
+                f"CREATE TABLE jhbkt_{tbl} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {BUCKETS} BUCKETS LOCATION '{loc}'"
+            )
+        for tbl in ("customer", "supplier", "part", "nation", "region",
+                    "documents", "events", "embeddings"):
+            spark.read.parquet(os.path.join(DATA_DIR, f"{tbl}.parquet")) \
+                .createOrReplaceTempView(f"jhbkt_{tbl}")
+        data_loc = "table:jhbkt_"
+
     def run_one(name: str) -> float:
         t0 = time.perf_counter()
-        qs[name].fn(spark, DATA_DIR).write.format("noop").mode("overwrite").save()
+        qs[name].fn(spark, data_loc).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
     # serial baseline (same session, same warm caches)
@@ -98,6 +134,7 @@ def main() -> None:
     print(json.dumps({
         "mode": MODE,
         "data_dir": DATA_DIR,
+        "bucketed": BUCKETED_BASE,
         "serial_total_s": round(serial_total, 2),
         "concurrent_wall_s": round(conc_wall, 2),
         "speedup_vs_serial": round(serial_total / conc_wall, 2),

@@ -7,30 +7,42 @@ regenerates events with the key space itself scaled (make_scale_data
 factor 700) and runs the two user-keyed stateful shapes under both
 providers:
 
-  t7b-shape  applyInPandasWithState running count per user
-             (custom Python state, update mode)
-  t13s-shape streaming dynamic-gap session windows per user
-             (15 min after clicks / 45 min otherwise, complete mode)
+  t7b   applyInPandasWithState running count per user
+        (custom Python state, update mode)
+  t13w  streaming dynamic-gap session windows per user in the
+        WATERMARKED APPEND form (the state-bounded production shape:
+        finalized sessions append once, open-session state only) —
+        append-mode drops of later-than-watermark events depend on the
+        file replay order, which is identical for both providers, so
+        the outputs stay digest-comparable across providers (they are
+        NOT compared to a batch oracle; that is t13/t13b's job)
 
 For each case x provider it records wall, batch count, max/mean batch
-duration, and the state-store's own telemetry (numRowsTotal,
-memory/disk bytes from stateOperators) — the capacity argument made
-with MEASUREMENTS instead of assertions. Results must be identical
-across providers (hash-compared), and the running count is additionally
-checked against the batch groupBy ground truth.
+duration, and the state store's own telemetry (numRowsTotal,
+memoryUsedBytes) — the capacity argument made with MEASUREMENTS.
+Results must be digest-identical across providers; the running count is
+additionally checked against the batch groupBy ground truth.
+
+Each (case, provider) runs in its OWN JVM (subprocess): a state-store
+heap OOM in local mode kills executor threads and poisons the
+SparkContext, so in-process sequencing would turn one provider's
+capacity failure into a harness crash for every later case. A child
+that dies still yields a row — "failed" with the captured reason — and
+the sweep continues (the failure IS the measurement at this rung).
 
 Build the corpus first:
   python tools/make_scale_data.py /root/testdata/sf0.1 /tmp/jh_scale_hc \
       700 --tables=events --also-offset=events:user_id
 
 Usage: python tools/state_cardinality_stress.py [data_dir]
-           [--max-files=100] [--json=PATH] [--cases=t7b,t13s]
+           [--max-files=100] [--json=PATH] [--cases=t7b,t13w]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -42,6 +54,7 @@ ROCKSDB = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
 PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+CASES = {"t7b": "t7b_running_count", "t13w": "t13w_session_append"}
 
 
 def _running_count(events):
@@ -68,8 +81,9 @@ def _running_count(events):
     )
 
 
-def _dynamic_sessions(events):
-    """The t13s shape: dynamic-gap session windows per user."""
+def _session_append(events):
+    """The t13w shape: dynamic-gap session windows per user, watermarked
+    append mode — sessions leave the state store once finalized."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     gap = F.expr(
@@ -77,7 +91,8 @@ def _dynamic_sessions(events):
         "ELSE make_interval(0,0,0,0,0,45,0) END"
     )
     return (
-        events.groupBy(F.session_window("ts", gap), "user_id")
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", gap), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
             F.col("session_window.start").alias("s"),
@@ -106,20 +121,32 @@ def _state_metrics(progress_list) -> dict:
     }
 
 
-def run_case(spark, shape, mode: str, provider: str, max_files: int) -> tuple:
-    import pyspark.sql.types as T  # noqa: PLC0415
-    from pyspark.sql import functions as F  # noqa: PLC0415
+def child(case: str, provider: str, max_files: int) -> None:
+    """One (case, provider) run in this JVM; prints ONE JSON line."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
-    from jobhouse_spark.streaming.jobs import (  # noqa: PLC0415
+    from jobhouse_spark.streaming.jobs import (
         _events_stream_dir,
         _events_stream_schema,
         _events_ts_is_nanos,
     )
+    import pyspark.sql.types as T
 
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName(f"hc_stress_{case}_{provider}")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.streaming.numRecentProgressUpdates", "400")
+        # update-mode memory sink materializes ~n_users rows per batch
+        # to the driver — harness plumbing, not the measured path
+        .config("spark.driver.maxResultSize", "4g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     if provider == "rocksdb":
         spark.conf.set(PROVIDER_KEY, ROCKSDB)
-    else:
-        spark.conf.unset(PROVIDER_KEY)
 
     if _events_ts_is_nanos(DATA_DIR):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -138,7 +165,10 @@ def run_case(spark, shape, mode: str, provider: str, max_files: int) -> tuple:
             .load(_events_stream_dir(DATA_DIR))
         )
 
-    sink = f"jh_hc_{provider}_{time.time_ns()}"
+    shape, mode = (
+        (_running_count, "update") if case == "t7b" else (_session_append, "append")
+    )
+    sink = f"jh_hc_{case}_{provider}"
     t0 = time.perf_counter()
     q = (
         shape(events)
@@ -147,106 +177,110 @@ def run_case(spark, shape, mode: str, provider: str, max_files: int) -> tuple:
         .queryName(sink)
         .start()
     )
+    failure = None
     try:
         q.processAllAvailable()
+    except Exception as exc:  # noqa: BLE001 — provider capacity failure
+        # IS the measurement at this rung, not a harness bug
+        msg = str(exc)
+        failure = ("OutOfMemoryError: Java heap space" if "OutOfMemory" in msg
+                   else msg.splitlines()[0][:300])
     finally:
         progress = [json.loads(p.json) for p in q.recentProgress]
-        q.stop()
-        q.awaitTermination()
+        try:
+            q.stop()
+            q.awaitTermination()
+        except Exception:  # noqa: BLE001,S110 — re-raises the captured error
+            pass
     wall = time.perf_counter() - t0
+    out = {"case": case, "provider": provider,
+           "wall_s": round(wall, 1), **_state_metrics(progress)}
+    if failure:
+        out["failed"] = failure
+    else:
+        tbl = spark.table(sink)
+        if case == "t7b":
+            # update mode re-emits a key per batch: collapse to the
+            # final (max — counts are monotone) value per key
+            tbl = tbl.groupBy("user_id").agg(F.max("n").alias("n"))
+        # digest instead of a 1M-row collect: count + an exact
+        # order-insensitive hash sum (DECIMAL(38,0) accumulation — a
+        # bare SUM of 1M+ random int64 hashes overflows long under ANSI)
+        d = tbl.select(
+            F.count("*").alias("rows"),
+            F.sum(F.xxhash64(*tbl.columns).cast("decimal(38,0)")).alias("h"),
+        ).first()
+        out["result_rows"] = int(d.rows)
+        out["digest"] = [int(d.rows), str(d.h)]
+        if case == "t7b":
+            from jobhouse_spark.tables import Tables  # noqa: PLC0415
 
-    limit = int(spark.conf.get("spark.sql.streaming.numRecentProgressUpdates"))
-    assert len(progress) < limit, (
-        f"{len(progress)} progress entries hit the {limit}-entry ring "
-        "buffer; raise numRecentProgressUpdates"
-    )
-    return sink, wall, _state_metrics(progress)
+            batch = Tables(spark, DATA_DIR).events.groupBy("user_id").agg(
+                F.count("*").alias("n")
+            )
+            bd = batch.select(
+                F.count("*").alias("rows"),
+                F.sum(F.xxhash64("user_id", "n").cast("decimal(38,0)")).alias("h"),
+            ).first()
+            out["matches_batch"] = [int(bd.rows), str(bd.h)] == out["digest"]
+    print("HCSTRESS " + json.dumps(out))
 
 
 def main() -> None:
-    out = next((a.split("=", 1)[1] for a in sys.argv
-                if a.startswith("--json=")), None)
+    out_path = next((a.split("=", 1)[1] for a in sys.argv
+                     if a.startswith("--json=")), None)
     max_files = int(next((a.split("=")[1] for a in sys.argv
                           if a.startswith("--max-files=")), "100"))
+    one = next((a.split("=", 1)[1] for a in sys.argv
+                if a.startswith("--one=")), None)
+    if one:
+        child(*one.split(":"), max_files)
+        return
     only = next((a.split("=", 1)[1].split(",") for a in sys.argv
-                 if a.startswith("--cases=")), ["t7b", "t13s"])
+                 if a.startswith("--cases=")), ["t7b", "t13w"])
 
-    mem = os.environ.get("JH_SIM_DRIVER_MEM", "12g")
-    if "PYSPARK_SUBMIT_ARGS" not in os.environ:
-        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
-
-    from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
-
-    from jobhouse_spark.tables import Tables
-
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .appName("state_cardinality_stress")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.streaming.numRecentProgressUpdates", "400")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
-    ev = Tables(spark, DATA_DIR).events
-    n_users, n_events = ev.agg(
-        F.countDistinct("user_id"), F.count("*")
-    ).first()
-    print(f"{DATA_DIR}: {n_events} events, {n_users} distinct users")
-
-    cases = {}
-    if "t7b" in only:
-        cases["t7b_running_count"] = (_running_count, "update", "max")
-    if "t13s" in only:
-        cases["t13s_dynamic_sessions"] = (_dynamic_sessions, "complete", None)
-
-    results = {"corpus": DATA_DIR, "n_events": int(n_events),
-               "n_users": int(n_users), "max_files_per_trigger": max_files,
-               "cases": {}}
-    for name, (shape, mode, collapse) in cases.items():
-        digests = {}
-        row = {}
+    mem = os.environ.get("JH_SIM_DRIVER_MEM", "14g")
+    results: dict = {"corpus": DATA_DIR, "max_files_per_trigger": max_files,
+                     "driver_mem": mem, "cases": {}}
+    for case in only:
+        name = CASES[case]
+        row: dict = {}
         for provider in ("hdfs", "rocksdb"):
-            sink, wall, metrics = run_case(spark, shape, mode, provider,
-                                           max_files)
-            tbl = spark.table(sink)
-            if collapse == "max":
-                # update mode re-emits a key per batch: collapse to the
-                # final (max — counts are monotone) value per key
-                tbl = tbl.groupBy("user_id").agg(F.max("n").alias("n"))
-            # digest instead of a 1M-row collect: count + two
-            # order-insensitive exact sums over every column
-            digest = tbl.select(
-                F.count("*").alias("rows"),
-                F.sum(F.xxhash64(*tbl.columns)).alias("h"),
-            ).first()
-            digests[provider] = (digest.rows, digest.h)
-            row[provider] = {"wall_s": round(wall, 1), **metrics,
-                             "result_rows": int(digest.rows)}
-            spark.catalog.dropTempView(sink)
-            print(f"{name} [{provider}]: {round(wall, 1)}s, "
-                  f"{metrics['batches']} batches, "
-                  f"state_rows={metrics['state_rows_max']}, "
-                  f"state_mem={metrics['state_mem_bytes_max']}")
-        row["identical"] = digests["hdfs"] == digests["rocksdb"]
-        assert row["identical"], f"{name}: providers disagree: {digests}"
-        if name == "t7b_running_count":
-            # ground truth: the batch groupBy count must digest-match
-            batch = ev.groupBy("user_id").agg(F.count("*").alias("n"))
-            bd = batch.select(
-                F.count("*").alias("rows"),
-                F.sum(F.xxhash64("user_id", "n")).alias("h"),
-            ).first()
-            row["matches_batch"] = (bd.rows, bd.h) == digests["hdfs"]
-            assert row["matches_batch"], "running count != batch ground truth"
+            env = dict(os.environ,
+                       PYSPARK_SUBMIT_ARGS=f"--driver-memory {mem} pyspark-shell")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), DATA_DIR,
+                 f"--one={case}:{provider}", f"--max-files={max_files}"],
+                capture_output=True, text=True, env=env, timeout=3600,
+            )
+            line = next((ln for ln in proc.stdout.splitlines()
+                         if ln.startswith("HCSTRESS ")), None)
+            if line:
+                row[provider] = json.loads(line[len("HCSTRESS "):])
+            else:
+                tail = (proc.stderr or proc.stdout).splitlines()[-15:]
+                oom = any("OutOfMemory" in ln for ln in tail) or any(
+                    "OutOfMemory" in ln for ln in proc.stderr.splitlines())
+                row[provider] = {
+                    "failed": "OutOfMemoryError: Java heap space (JVM died)"
+                    if oom else f"child exited rc={proc.returncode}",
+                }
+            r = row[provider]
+            print(f"{name} [{provider}]: "
+                  + (f"FAILED: {r['failed']}" if "failed" in r else
+                     f"{r['wall_s']}s, {r['batches']} batches, "
+                     f"state_rows={r['state_rows_max']}, "
+                     f"state_mem={r['state_mem_bytes_max']}, "
+                     f"rows={r['result_rows']}"))
+        if all("digest" in row[p] for p in ("hdfs", "rocksdb")):
+            row["identical"] = row["hdfs"]["digest"] == row["rocksdb"]["digest"]
+            assert row["identical"], f"{name}: providers disagree"
         results["cases"][name] = row
 
     summary = {"metric": "state_cardinality_stress", **results}
     print(json.dumps(summary))
-    if out:
-        with open(out, "w") as f:
+    if out_path:
+        with open(out_path, "w") as f:
             json.dump(summary, f, indent=1)
 
 
