@@ -60,12 +60,71 @@ def _exchanges(df) -> dict[str, int]:
     return {"exchange": fresh, "reused": reused}
 
 
+def _child_session(sf_dir: str, base: str, buckets: int, layout: str, mem: str):
+    """Fresh-JVM session with the requested layout registered; returns
+    (spark, loc). Bucketed re-attaches the ALREADY-WRITTEN layout as
+    external CLUSTERED BY tables (bucket ids live in the part-file
+    names, so the spec survives the original session)."""
+    if "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
+    from pyspark.sql import SparkSession  # noqa: PLC0415
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("bucket_bench_child")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.warehouse.dir", base + "_wh")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if layout == "unbucketed":
+        return spark, sf_dir
+    for tbl, key in BUCKETED.items():
+        loc = f"{base}/{tbl}"
+        ddl = spark.read.parquet(loc)._jdf.schema().toDDL()
+        spark.sql(f"DROP TABLE IF EXISTS {PREFIX}{tbl}")
+        spark.sql(
+            f"CREATE TABLE {PREFIX}{tbl} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {buckets} BUCKETS LOCATION '{loc}'"
+        )
+    for tbl in VIEWS:
+        spark.read.parquet(os.path.join(sf_dir, f"{tbl}.parquet")) \
+            .createOrReplaceTempView(f"{PREFIX}{tbl}")
+    return spark, f"table:{PREFIX}"
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/tmp/jh_scale_300x"
     buckets = int(next((a.split("=")[1] for a in sys.argv
                         if a.startswith("--buckets=")), "64"))
     reuse = "--reuse" in sys.argv
+    mem = os.environ.get("JH_SIM_DRIVER_MEM", "12g")
+    isolate = "--isolate" in sys.argv
+    run_one = next((a.split("=", 1)[1] for a in sys.argv
+                    if a.startswith("--run-one=")), None)
+
+    if run_one:
+        # CHILD: one (query, layout) execution in this fresh JVM —
+        # median-of-3 in one long-lived 1000x JVM is contaminated by
+        # cross-repeat state (shuffle files, heap churn: measured
+        # round 10, bucketed q3 16.5 s repeat-1 vs 44 s repeat-3), so
+        # --isolate runs every repeat here instead
+        qname, layout = run_one.split(":")
+        base = f"/tmp/jh_bkt_{os.path.basename(sf_dir.rstrip('/'))}_{buckets}"
+        from jobhouse_spark.queries import all_queries  # noqa: PLC0415
+
+        spark, loc = _child_session(sf_dir, base, buckets, layout, mem)
+        spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+        t0 = time.perf_counter()
+        df = all_queries()[qname].fn(spark, loc)
+        df.write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        print("BKTCHILD " + json.dumps(
+            {"query": qname, "layout": layout,
+             "wall": round(wall, 2), **_exchanges(df)}))
+        return
     out = next((a.split("=", 1)[1] for a in sys.argv
                 if a.startswith("--json=")), None)
     only = next((a.split("=", 1)[1].split(",") for a in sys.argv
@@ -99,6 +158,18 @@ def main() -> None:
     write_walls = {}
     for tbl, key in BUCKETED.items():
         ident = f"{PREFIX}{tbl}"
+        if reuse and os.path.isdir(f"{base}/{tbl}"):
+            # layout already on disk (possibly from another session,
+            # where the saveAsTable catalog entry died): re-attach it
+            # as an external bucketed table for this session's compare
+            if not spark.catalog.tableExists(ident):
+                ddl = spark.read.parquet(f"{base}/{tbl}")._jdf.schema().toDDL()
+                spark.sql(
+                    f"CREATE TABLE {ident} ({ddl}) USING parquet "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                    f"INTO {buckets} BUCKETS LOCATION '{base}/{tbl}'"
+                )
+            continue
         if reuse and spark.catalog.tableExists(ident):
             continue
         spark.sql(f"DROP TABLE IF EXISTS {ident}")
@@ -127,17 +198,44 @@ def main() -> None:
         row = {}
         for label, loc in (("unbucketed", sf_dir), ("bucketed", f"table:{PREFIX}")):
             walls = []
+            exch = {}
             df = None
-            for _ in range(3):
-                spark.sparkContext._jvm.System.gc()  # see bench.py docstring
-                t0 = time.perf_counter()
-                df = qs[name].fn(spark, loc)
-                df.write.format("noop").mode("overwrite").save()
-                walls.append(time.perf_counter() - t0)
+            if isolate:
+                # one fresh JVM per REPEAT: a long-lived 1000x JVM
+                # contaminates later repeats (shuffle-file and heap
+                # churn survive System.gc(); measured round 10 —
+                # bucketed q3 16.5 s repeat 1 vs 44 s repeat 3), and
+                # the page cache (the resource that SHOULD stay warm)
+                # lives in the kernel, not the JVM, so it carries over
+                import subprocess  # noqa: PLC0415
+
+                for _ in range(3):
+                    proc = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__), sf_dir,
+                         f"--buckets={buckets}", f"--run-one={name}:{label}"],
+                        capture_output=True, text=True, timeout=3600,
+                    )
+                    line = next((ln for ln in proc.stdout.splitlines()
+                                 if ln.startswith("BKTCHILD ")), None)
+                    if line is None:
+                        raise SystemExit(
+                            f"child {name}:{label} died rc={proc.returncode}:\n"
+                            + "\n".join(proc.stderr.splitlines()[-10:]))
+                    rec = json.loads(line[len("BKTCHILD "):])
+                    walls.append(rec["wall"])
+                    exch = {"exchange": rec["exchange"], "reused": rec["reused"]}
+            else:
+                for _ in range(3):
+                    spark.sparkContext._jvm.System.gc()  # see bench.py docstring
+                    t0 = time.perf_counter()
+                    df = qs[name].fn(spark, loc)
+                    df.write.format("noop").mode("overwrite").save()
+                    walls.append(time.perf_counter() - t0)
+                exch = _exchanges(df)
             row[label] = {
                 "wall_median": round(statistics.median(walls), 2),
                 "walls": [round(w, 2) for w in walls],
-                **_exchanges(df),
+                **exch,
             }
         row["speedup"] = round(
             row["unbucketed"]["wall_median"] / row["bucketed"]["wall_median"], 2
