@@ -327,6 +327,39 @@ def main() -> None:
           "l27c: PQ scoring left the JVM")
 
     # --- runtime check: AQE skew-join actually fires -------------------
+    # round-10 domain Gold marts + incremental index (fixture-driven, so
+    # plan shapes are layout-independent)
+    p = plan_of(spark, "jh5_vacancy_lifecycle")
+    check("CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "jh5: SCD2 chain degenerated to a nested-loop join")
+    # scd2_apply writes a FULL OUTER join, but each downstream branch
+    # filters on one side's presence marker, so Catalyst narrows it to
+    # Left/RightOuter per consumer — outer-join elimination working as
+    # designed. Assert the narrowing happened (some outer join remains,
+    # none of them still FullOuter).
+    check("Outer" in p, "jh5: scd2_apply lost its outer merge join")
+    check("FullOuter" not in p,
+          "jh5: presence-marker outer-join narrowing regressed "
+          "(full outer survived into every consumer branch)")
+
+    p = plan_of(spark, "jh6_salary_currency_mart")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "jh6: decimal FX normalization left the JVM")
+    check("HashAggregate" in p, "jh6: no hash aggregate")
+
+    p = plan_of(spark, "jh7_skill_extraction")
+    check("Generate" in p, "jh7: skill dimension not an exploded literal")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "jh7: tokenizer left the JVM")
+    check("CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "jh7: skill match degenerated to a join")
+
+    p = plan_of(spark, "l27e_ivfpq_index_append")
+    check("BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+          "l27e: probes not broadcast into the stored-index search")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "l27e: ADC scoring left the JVM")
+
     # SCALE.md claims skew-split handling; prove it on a 90%-hot-key join
     # with thresholds shrunk so local data volumes qualify as skewed.
     from pyspark.sql import functions as F  # noqa: PLC0415
