@@ -132,6 +132,12 @@ def main() -> None:
     write_only = "--write-only" in sys.argv  # materialize layout, skip bench
     queries = (QUERIES if only is None
                else [q for q in QUERIES if any(q.startswith(p) for p in only)])
+    if only is not None:
+        # patterns matching none of the default trio fall through as
+        # literal registry names — any orderkey-family query can be
+        # driven through the layout comparison (validated on lookup)
+        matched = {p for p in only for q in QUERIES if q.startswith(p)}
+        queries += [p for p in only if p not in matched]
     if only is not None and not queries and not write_only:
         raise SystemExit(f"--queries matched nothing in {QUERIES}")
     if write_only:
