@@ -123,3 +123,57 @@ def test_round10_gold_marts(spark):
                         "python", "scala", "spark", "sql"}
     for r in jh7.values():
         assert 0 < r.n_employers <= min(r.n_postings, 12)
+
+
+def test_entity_resolution_planted_variants(spark):
+    """Planted-variant proof for operators/entity.resolve_entities: a
+    hand-built name set where the expected clusters are known by
+    construction — suffix/case/whitespace forms fold via normalization,
+    a distance-1 typo folds via the fuzzy edge, and a distance-4
+    impostor ("aurora analytica" would be 1, "aurira analytocs" is 2 —
+    use a clearly-far name) must NOT merge."""
+    from jobhouse_spark.operators.entity import resolve_entities
+
+    names = spark.createDataFrame(
+        [
+            ("Aurora Analytics",),
+            ("Aurora Analytics LLC",),
+            ("AURORA  ANALYTICS",),   # case + doubled whitespace
+            ("aurora analytics inc",),
+            ("Auror Analytics",),     # deletion typo, dist 1
+            ("Borealis Systems",),
+            ("borealis systems ltd",),
+            ("Bxrealis Systems",),    # substitution typo, dist 1
+            ("Quasar Shipping",),     # singleton, no edges
+        ],
+        "name string",
+    )
+    got = {r["name"]: r["canonical"] for r in resolve_entities(names).collect()}
+    # distinct normalized forms: aurora analytics, auror analytics,
+    # borealis systems, bxrealis systems, quasar shipping
+    assert got == {
+        "aurora analytics": "auror analytics",
+        "auror analytics": "auror analytics",
+        "borealis systems": "borealis systems",
+        "bxrealis systems": "borealis systems",
+        "quasar shipping": "quasar shipping",
+    }, got
+
+
+def test_jh8_employer_resolution(spark):
+    """Third derivation path for jh8 (the recursive-CTE oracle is the
+    second): closed-form expectations from tools/make_fixture_v3.py —
+    10 true entities x 9 postings, 8 distinct surface forms each, and
+    the two salary-null bases (i%5==4 <=> i%10 in {4,9})."""
+    from jobhouse_spark.queries.jobhouse_gold import jh8_employer_resolution
+
+    rows = jh8_employer_resolution(spark, "unused").collect()
+    assert len(rows) == 10
+    assert all(r.n_postings == 9 for r in rows)
+    assert all(r.n_variants == 8 for r in rows)
+    no_salary = [r.canonical_employer for r in rows if r.n_with_salary == 0]
+    # bases 4 (ember logistics) and 9 (jupiter telecom); canonical is
+    # the lexicographic-min normalized form, which is the typo variant
+    assert sorted(no_salary) == ["embe logistics", "jupier telecom"]
+    for r in rows:
+        assert (r.avg_salary_mid is None) == (r.n_with_salary == 0)
