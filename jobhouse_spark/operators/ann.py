@@ -885,6 +885,7 @@ def pq_index_append(
     codebooks: list[list[list[int]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    guard_duplicates: bool = False,
 ) -> None:
     """Incrementally maintain a stored IVF-PQ index (the l2e pattern
     applied to the ANN index): featurize ONLY the new batch against the
@@ -901,9 +902,32 @@ def pq_index_append(
     against retrained codebooks corrupts ADC scores. Retraining
     guidance (when drift warrants a rebuild) is documented in SCALE.md;
     append-equals-rebuild equivalence is pinned by
-    tests/test_pq.py::test_index_append_equals_rebuild."""
-    pq_write_index(
-        pq_build_index(new_batch, centroids, codebooks, id_col, vec_col),
-        root,
-        mode="append",
-    )
+    tests/test_pq.py::test_index_append_equals_rebuild.
+
+    ``guard_duplicates=True`` enforces the new-ids contract at append
+    time instead of trusting it: the featurized batch is anti-joined
+    against the vec_ids already stored in the TOUCHED cells only — a
+    partition-pruned read (cell is the partition column), so the guard
+    costs one narrow scan of the affected directories, not the index.
+    Use it when replaying a batch after a partially-failed append (a
+    crashed append may have committed some cells' files but not
+    others; parquet appends are not atomic across partitions). The
+    alternative recovery is a per-cell rewrite: read the touched
+    cell directories, drop duplicate vec_ids, overwrite just those
+    partitions."""
+    payload = pq_build_index(new_batch, centroids, codebooks, id_col, vec_col)
+    if guard_duplicates:
+        spark = payload.sparkSession
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(root)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            payload = payload.persist()  # featurize once, not per action
+            touched = [r["cell"] for r in payload.select("cell").distinct().collect()]
+            existing = (
+                spark.read.parquet(root)
+                .where(F.col("cell").isin(touched))  # partition-pruned
+                .select("vec_id")
+            )
+            payload = payload.join(existing, "vec_id", "left_anti")
+    pq_write_index(payload, root, mode="append")

@@ -405,3 +405,92 @@ def s15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("extra").alias("n_extra"),
         F.sum("extra").alias("sum_extra"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S17: compaction invariance (round 11) — table maintenance, oracle-checked
+# ---------------------------------------------------------------------------
+
+# Row-content digest both engines compute bit-identically: md5-derived
+# int32 (functions/hashing.MD5_INT32_SQL discipline) over a canonical
+# ':'-joined row string of the integer/string/date columns; doubles are
+# checked separately through the dec(…,2) sum so no float formatting
+# ever enters a hash input.
+_S17_ROW_SQL = (
+    "CAST(o_orderkey AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR) || ':' "
+    "|| o_orderstatus || ':' || o_orderpriority || ':' "
+    "|| CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"
+)
+
+
+def _s17_oracle() -> str:
+    from jobhouse_spark.functions.hashing import MD5_INT32_SQL  # noqa: PLC0415
+
+    digest = MD5_INT32_SQL.format(x=f"({_S17_ROW_SQL})")
+    return f"""
+SELECT o_orderkey % 16 AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       {fin_sql("SUM(CAST(o_totalprice AS DECIMAL(18,2)))", 2)} AS sum_price,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(SUM({digest}) AS BIGINT) AS content_digest
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "s17_compaction_invariance",
+    oracle=_s17_oracle(),
+    tags=("scan", "sink", "maintenance"),
+)
+def s17_compaction_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17: small-file compaction + range-clustering is CONTENT-
+    INVARIANT — the maintenance operator the reference's per-batch
+    bronze objects (src/storage/raw_layer.py:30-53) make necessary at
+    100 TB, promoted from unit-only to oracle-checked.
+
+    Shape: fragment orders into 64 unsorted small files (the drip-feed
+    layout), compact with `compact_parquet(sort_by=o_orderkey)`
+    (operators/maintenance.py — repartitionByRange + sortWithinPartitions
+    so every output file covers a disjoint key range), then aggregate
+    per-hash-bucket counts, key sums, decimal price sums and an
+    md5-int32 row-content digest FROM THE COMPACTED COPY. The DuckDB
+    oracle computes the identical digests from the ORIGINAL table it
+    alone reads — any row lost, duplicated, or mutated anywhere in the
+    fragment->compact->cluster->rewrite chain flips the hash.
+
+    The pruning payoff (files/row-groups skipped by min-max stats for
+    a selective key predicate, before vs after) is measured separately
+    in tools/compaction_bench.py and recorded in SCALE.md."""
+    from jobhouse_spark.functions.hashing import md5_int32  # noqa: PLC0415
+    from jobhouse_spark.operators.maintenance import compact_parquet  # noqa: PLC0415
+
+    base = tempfile.mkdtemp(prefix="jh_s17_")
+    frag, dst = base + "/frag", base + "/compacted"
+    Tables(spark, sf_dir).orders.repartition(64).write.parquet(frag)
+    comp = compact_parquet(
+        spark, frag, dst, target_file_bytes=8 * 1024 * 1024, sort_by="o_orderkey"
+    )
+    row_str = F.concat_ws(
+        ":",
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").cast("string"),
+    )
+    return (
+        comp.groupBy((F.col("o_orderkey") % 16).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+            fin(F.sum(dec(F.col("o_totalprice"), 2)), 2).alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.sum(md5_int32(row_str)).alias("content_digest"),
+        )
+        .orderBy("bucket")
+    )

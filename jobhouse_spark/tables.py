@@ -55,7 +55,13 @@ class Tables:
                     # as nanos-read-as-bigint (the same reader quirk
                     # _load_events handles on the path branch) — apply
                     # the identical µs coercion so "every registry query
-                    # runs unchanged" holds for events too
+                    # runs unchanged" holds for events too.
+                    # ASSUMPTION (shared with _load_events): a bigint ts
+                    # is epoch-NANOS. A table registered with epoch-µs
+                    # or -ms bigints would be silently shifted to ~1970
+                    # — if you register such a table, convert ts to a
+                    # real timestamp at registration time instead of
+                    # relying on this branch.
                     from pyspark.sql import functions as F  # noqa: PLC0415
 
                     if dict(df.dtypes).get("ts") == "bigint":
@@ -75,7 +81,13 @@ class Tables:
         """events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
         parquet reader rejects. Read nanos as long and convert to a
         microsecond timestamp — the same truncation DuckDB applies when
-        it coerces ns → µs, so oracle comparisons agree."""
+        it coerces ns → µs, so oracle comparisons agree.
+
+        The bigint-means-NANOS assumption is safe here because the only
+        bigint-ts producers on the path branch are the driver's
+        nanos-typed events.parquet and make_scale_data.py copies of it;
+        the DIV 1000 would misconvert an epoch-µs/-ms bigint (symptom:
+        every event lands near 1970)."""
         from pyspark.sql import functions as F  # noqa: PLC0415
 
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -279,3 +279,40 @@ def test_index_append_equals_rebuild(spark, sf_dir, tmp_path):
         probes, full, cents, cbs, k=10, n_probe=4
     ).collect()))
     assert res_inc == res_full and len(res_inc) > 0
+
+
+def test_index_append_guard_makes_replay_idempotent(spark, sf_dir, tmp_path):
+    """guard_duplicates: replaying the SAME batch (the failed-append
+    retry scenario) with the guard on is a no-op — the stored index
+    stays identical to a single append; without the guard the same
+    replay would duplicate every vec_id (asserted too, so the guard is
+    demonstrably load-bearing, not dead code)."""
+    from jobhouse_spark.operators.ann import (
+        pq_build_index,
+        pq_index_append,
+        pq_write_index,
+    )
+
+    emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_fixed_centroids(42, 8, DIM)
+    cbs = pq_fixed_codebooks(7, N_SUB, N_CODES, SUB_DIM)
+    batch = emb_df.filter(F.col("vec_id") % 2 == 1)
+
+    root = str(tmp_path / "idx_guard")
+    pq_write_index(
+        pq_build_index(emb_df.filter(F.col("vec_id") % 2 == 0), cents, cbs), root
+    )
+    pq_index_append(batch, root, cents, cbs)
+    once = sorted(map(tuple, spark.read.parquet(root)
+                      .select("vec_id", "cell", "codes").collect()))
+
+    # retry with the guard: nothing changes
+    pq_index_append(batch, root, cents, cbs, guard_duplicates=True)
+    replay = sorted(map(tuple, spark.read.parquet(root)
+                        .select("vec_id", "cell", "codes").collect()))
+    assert replay == once
+
+    # counter-proof: an unguarded replay corrupts (duplicates appear)
+    pq_index_append(batch, root, cents, cbs)
+    dup = spark.read.parquet(root).groupBy("vec_id").count().filter("count > 1")
+    assert dup.count() > 0

@@ -40,16 +40,45 @@ QUERIES = ("q3_shipping_priority", "q5_local_supplier_volume",
 PREFIX = "jhbkt_"
 
 
-def _exchanges(df) -> dict[str, int]:
+def _exchanges(df, spark=None) -> dict[str, int]:
     """Exchange / ReusedExchange counts in the FINAL (post-AQE) plan.
 
     The timed action is a noop WRITE, which runs under its own
     QueryExecution — df's own AdaptiveSparkPlan is never finalized by
     it, so reading df.queryExecution() directly would report the
-    INITIAL plan's exchanges (pre-AQE coalescing/reuse). Force df's own
-    QueryExecution to execute to completion first (untimed; these
-    queries are LIMIT-ed/tiny on the result side), then read the
-    finalized plan."""
+    INITIAL plan's exchanges (pre-AQE coalescing/reuse). Primary path:
+    read the noop write's OWN finalized plan back from the
+    SQLAppStatusStore (the UI listener keeps the formatted plan
+    description current through AQE re-plans) — zero re-execution.
+    Fallback (store empty / plan never finalized): re-execute df's own
+    QueryExecution and read it, the round-9 method — costs a second
+    full run on slow queries, so it is only a fallback."""
+    import re  # noqa: PLC0415
+
+    if spark is not None:
+        for _ in range(50):  # listener queue is async — wait it out
+            store = spark._jsparkSession.sharedState().statusStore()
+            execs = store.executionsList()
+            if execs.isEmpty():
+                break
+            desc = execs.last().physicalPlanDescription()
+            if "isFinalPlan=false" not in desc:
+                # formatted-mode detail headers: "(4) Exchange",
+                # "(6) BroadcastExchange", "(8) ReusedExchange [...]" —
+                # one per node (tree lines like "+- Exchange (4)" would
+                # double-count). Verified identical to the simple-mode
+                # count on the same plans.
+                lines = desc.splitlines()
+                fresh = sum(
+                    1 for ln in lines
+                    if re.match(r"^\(\d+\) (?:Broadcast)?Exchange\s*$", ln)
+                )
+                reused = sum(
+                    1 for ln in lines
+                    if re.match(r"^\(\d+\) ReusedExchange\b", ln)
+                )
+                return {"exchange": fresh, "reused": reused}
+            time.sleep(0.1)
     qe = df._jdf.queryExecution()
     qe.executedPlan().executeCollect()  # finalize AQE on THIS QueryExecution
     plan = qe.executedPlan().toString()
@@ -123,7 +152,7 @@ def main() -> None:
         wall = time.perf_counter() - t0
         print("BKTCHILD " + json.dumps(
             {"query": qname, "layout": layout,
-             "wall": round(wall, 2), **_exchanges(df)}))
+             "wall": round(wall, 2), **_exchanges(df, spark)}))
         return
     out = next((a.split("=", 1)[1] for a in sys.argv
                 if a.startswith("--json=")), None)
@@ -140,6 +169,14 @@ def main() -> None:
         queries += [p for p in only if p not in matched]
     if only is not None and not queries and not write_only:
         raise SystemExit(f"--queries matched nothing in {QUERIES}")
+    if only is not None and not write_only:
+        # fail fast on typos BEFORE the (expensive) layout write: every
+        # fall-through name must be a real registry entry
+        from jobhouse_spark.queries import all_queries as _aq  # noqa: PLC0415
+
+        unknown = [q for q in queries if q not in _aq()]
+        if unknown:
+            raise SystemExit(f"--queries names not in registry: {unknown}")
     if write_only:
         queries = []
 
@@ -237,7 +274,7 @@ def main() -> None:
                     df = qs[name].fn(spark, loc)
                     df.write.format("noop").mode("overwrite").save()
                     walls.append(time.perf_counter() - t0)
-                exch = _exchanges(df)
+                exch = _exchanges(df, spark)
             row[label] = {
                 "wall_median": round(statistics.median(walls), 2),
                 "walls": [round(w, 2) for w in walls],

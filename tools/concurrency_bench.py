@@ -42,6 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from jobhouse_spark.queries import all_queries  # noqa: E402
 from jobhouse_spark.session import get_spark  # noqa: E402
+from jobhouse_spark.tables import Tables  # noqa: E402
 
 _args = [a for a in sys.argv[1:] if not a.startswith("--")]
 MODE = (_args[0] if _args else "FIFO").upper()
@@ -89,7 +90,10 @@ def main() -> None:
             )
         for tbl in ("customer", "supplier", "part", "nation", "region",
                     "documents", "events", "embeddings"):
-            spark.read.parquet(os.path.join(DATA_DIR, f"{tbl}.parquet")) \
+            # events must go through Tables (nanos-ts coercion) — a
+            # plain spark.read.parquet raises PARQUET_TYPE_ILLEGAL on
+            # the sf0.x nanos-timestamp corpora (round-10 ADVICE)
+            Tables(spark, DATA_DIR).load(tbl) \
                 .createOrReplaceTempView(f"jhbkt_{tbl}")
         data_loc = "table:jhbkt_"
 
