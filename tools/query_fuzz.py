@@ -75,7 +75,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # discipline at DECIMAL(12,3)) so every HOF result is integer-exact;
 # date_trunc results are CAST AS TIMESTAMP on both sides (DuckDB
 # returns DATE for day-and-coarser units, Spark always TIMESTAMP).
-GRAMMAR_VERSION = 6
+# v7 COMPOSES the v5 window surface with the v6 semi-structured leaves
+# (VERDICT r10 task 4) — the corner neither opens alone: window
+# functions whose PARTITION BY / ORDER BY / operand is a JSON-extracted
+# value (win_json), ranking and running sums OVER array-HOF results
+# (win_hof — the HOF sits inside the window ORDER BY), and set-ops
+# whose branch outputs are extracted JSON values (setop_json, incl.
+# the ALL bag variants). All three are dialect-pair shapes.
+GRAMMAR_VERSION = 7
 
 TABLES: dict[str, dict[str, str]] = {
     "lineitem": {
@@ -370,7 +377,11 @@ class Gen:
                           # v6 surface (dialect-pair shapes)
                           "json_path", "json_path",
                           "interval_arith", "interval_arith",
-                          "array_hof", "array_hof"])
+                          "array_hof", "array_hof",
+                          # v7 composition surface (dialect-pair)
+                          "win_json", "win_json",
+                          "win_hof", "win_hof",
+                          "setop_json"])
         if shape in ("agg", "having"):
             frm, _, cols = self.scope()
             keys = [self.group_key(cols) for _ in range(r.randrange(3))]
@@ -755,6 +766,111 @@ class Gen:
                         "FROM embeddings GROUP BY 1")
             return (tmpl.replace("{SC}", s_scalar),
                     tmpl.replace("{SC}", d_scalar))
+        if shape == "win_json":
+            # v7: window functions COMPOSED with JSON extraction — the
+            # partition key, the rank filter, even the running-sum
+            # operand come from events.props. Deterministic because
+            # event_id is a data-verified unique total order (else the
+            # tie-stable RANK is the only order-sensitive fn used) and
+            # the extracted value is integer-exact.
+            jk = ("CAST(get_json_object(events.props, '$.k') AS INT)",
+                  "CAST(json_extract_string(events.props, '$.k') AS INTEGER)")
+            part = r.choice([
+                f"({{JK}} % {r.choice([3, 5, 7])})",
+                "events.event_type",
+            ])
+            uniq = "events" in self.pools["_unique_pk"]
+            fns = ["RANK()"]
+            if uniq:
+                fns += ["ROW_NUMBER()",
+                        "SUM(CAST({JK} AS DECIMAL(18,4)))"]
+            fn = r.choice(fns)
+            frame = ("" if not fn.startswith("SUM") else
+                     " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+            order = ("{JK} ASC NULLS FIRST, events.event_id ASC"
+                     if fn == "RANK()" and r.random() < 0.5
+                     else "events.event_id ASC NULLS FIRST")
+            w = f"{fn} OVER (PARTITION BY {part} ORDER BY {order}{frame})"
+            if fn.startswith("SUM"):
+                w = f"CAST({w} AS DOUBLE)"
+            lo = r.randint(0, 60)
+            where = r.choice([
+                f"{{JK}} BETWEEN {lo} AND {lo + r.randint(10, 50)}",
+                f"events.event_type {r.choice(['=', '<>'])} "
+                f"{self.constant(('events', 'event_type'), 'str')}",
+            ])
+            inner = (f"SELECT {part} AS c0, events.event_id AS pk0, "
+                     f"{{JK}} AS jv, {w} AS w FROM events WHERE {where}")
+            if fn in ("ROW_NUMBER()", "RANK()"):
+                tmpl = f"SELECT * FROM ({inner}) sub WHERE w <= {r.randint(2, 6)}"
+            else:
+                tmpl = f"SELECT * FROM ({inner}) sub"
+            return (tmpl.replace("{JK}", jk[0]), tmpl.replace("{JK}", jk[1]))
+        if shape == "win_hof":
+            # v7: the array-HOF scalar INSIDE the window clause — rank
+            # vectors by an aggregate of their own elements within a
+            # label partition (ORDER BY hof, pk: total order), or run
+            # an exact running sum of the HOF value along the PK. Any
+            # engine disagreement in HOF evaluation ORDER or null
+            # handling now perturbs rank/frame placement, not just a
+            # scalar column.
+            mv = ("transform(embeddings.embedding, x -> CAST(CAST(CAST(x "
+                  "AS DOUBLE) AS DECIMAL(12,3)) * 1000 AS BIGINT))",
+                  "list_transform(embeddings.embedding, x -> CAST(CAST("
+                  "CAST(x AS DOUBLE) AS DECIMAL(12,3)) * 1000 AS BIGINT))")
+            k = r.randint(-300, 300)
+            scalar = r.choice([
+                ("CAST(aggregate({MV}, CAST(0 AS BIGINT), "
+                 "(acc, x) -> acc + x) AS BIGINT)",
+                 "CAST(list_sum({MV}) AS BIGINT)"),
+                (f"CAST(size(filter({{MV}}, x -> x > {k})) AS BIGINT)",
+                 f"CAST(len(list_filter({{MV}}, x -> x > {k})) AS BIGINT)"),
+                ("array_max({MV})", "list_max({MV})"),
+            ])
+            s_sc = scalar[0].replace("{MV}", mv[0])
+            d_sc = scalar[1].replace("{MV}", mv[1])
+            part = r.choice(["embeddings.label",
+                             f"(embeddings.vec_id % {r.choice([4, 8])})"])
+            d = r.choice(["ASC", "DESC"])
+            if r.random() < 0.6:
+                w = (f"RANK() OVER (PARTITION BY {part} ORDER BY "
+                     f"{{SC}} {d} NULLS LAST, embeddings.vec_id ASC)")
+                tail = f" WHERE w <= {r.randint(2, 5)}" if r.random() < 0.5 else ""
+            else:
+                w = ("CAST(SUM(CAST({SC} AS DECIMAL(18,4))) OVER "
+                     f"(PARTITION BY {part} ORDER BY embeddings.vec_id "
+                     "ASC NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING "
+                     "AND CURRENT ROW) AS DOUBLE)")
+                tail = ""
+            inner = (f"SELECT {part} AS c0, embeddings.vec_id AS pk0, "
+                     f"{{SC}} AS hv, {w} AS w FROM embeddings")
+            tmpl = f"SELECT * FROM ({inner}) sub{tail}"
+            return (tmpl.replace("{SC}", s_sc), tmpl.replace("{SC}", d_sc))
+        if shape == "setop_json":
+            # v7: set-ops over EXTRACTED values (incl. ALL bag
+            # variants) — row equality is now defined over a computed
+            # JSON leaf, so extraction-normalization differences
+            # (whitespace, int-vs-string) that a plain projection
+            # would hide become row-identity differences here.
+            jk = ("CAST(get_json_object(events.props, '$.k') AS INT)",
+                  "CAST(json_extract_string(events.props, '$.k') AS INTEGER)")
+            sel = r.choice([
+                "{JK} AS c0, events.event_type AS c1",
+                f"{{JK}} AS c0, (events.user_id % {r.choice([5, 11])}) AS c1",
+                "({JK} % 10) AS c0, EXTRACT(MONTH FROM events.ts) AS c1",
+            ])
+            op = r.choice(["INTERSECT", "EXCEPT", "UNION", "UNION ALL",
+                           "INTERSECT ALL", "EXCEPT ALL"])
+            lo1, lo2 = r.randint(0, 50), r.randint(0, 50)
+            w1 = f"{{JK}} BETWEEN {lo1} AND {lo1 + r.randint(10, 60)}"
+            w2 = r.choice([
+                f"{{JK}} BETWEEN {lo2} AND {lo2 + r.randint(10, 60)}",
+                f"events.event_type = "
+                f"{self.constant(('events', 'event_type'), 'str')}",
+            ])
+            tmpl = (f"SELECT {sel} FROM events WHERE {w1} "
+                    f"{op} SELECT {sel} FROM events WHERE {w2}")
+            return (tmpl.replace("{JK}", jk[0]), tmpl.replace("{JK}", jk[1]))
         # scalar_sub: uncorrelated scalar subquery in the predicate
         frm, _, cols = self.scope(max_joins=1)
         e, ty, _ = self.col(cols, ("int", "float"))
