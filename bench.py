@@ -103,10 +103,13 @@ def main() -> None:
         timings[name] = round(statistics.median(walls), 4)
         cpu_timings[name] = round(statistics.median(cpus), 4)
         if len(walls) >= 2 and min(walls) > 0:
-            # contention telltale #2: repeat-to-repeat spread. On an
-            # idle box the three repeats of one query agree within a
-            # few percent; under a co-tenant they diverge wildly.
-            spreads.append(max(walls) / min(walls))
+            # contention telltale #2: repeat-to-repeat spread. Repeat 1
+            # carries plan-compile/codegen warm-up (1.3-1.5x on
+            # sub-second queries even idle), so the spread is computed
+            # over the WARM repeats — idle-box warm spread is a few
+            # percent; under a co-tenant it diverges wildly.
+            warm = walls[1:] if len(walls) >= 3 else walls
+            spreads.append(max(warm) / min(warm))
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 4)
