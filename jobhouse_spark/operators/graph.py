@@ -41,37 +41,46 @@ def connected_components(
     ``edges``: undirected pairs ``src_col``/``dst_col``.
     """
     # Undirected adjacency: each edge probes in both directions.
+    # PERSISTED for the loop — adj joins into EVERY round, and without
+    # a cache each iteration would re-execute the caller's entire
+    # edge-generation lineage (for entity resolution that is the whole
+    # blocking + levenshtein pipeline: measured 5 min PER ROUND at the
+    # 300k-name ladder before this cache, seconds after).
     adj = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
+        .persist()
     )
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("component")
-    )
-    for _ in range(max_iterations):
-        # Smallest label among each node's neighbors this round.
-        neighbor_min = (
-            labels.join(adj, labels["node"] == adj["a"])
-            .groupBy(F.col("b").alias("node"))
-            .agg(F.min("component").alias("nbr_component"))
+    try:
+        labels = nodes.select(
+            F.col(node_col).alias("node"), F.col(node_col).alias("component")
         )
-        updated = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    "component", F.coalesce("nbr_component", "component")
-                ).alias("component"),
-                (
-                    F.coalesce("nbr_component", "component") < F.col("component")
-                ).alias("changed"),
+        for _ in range(max_iterations):
+            # Smallest label among each node's neighbors this round.
+            neighbor_min = (
+                labels.join(adj, labels["node"] == adj["a"])
+                .groupBy(F.col("b").alias("node"))
+                .agg(F.min("component").alias("nbr_component"))
             )
-        ).localCheckpoint(eager=True)
-        n_changed = updated.filter("changed").limit(1).count()
-        labels = updated.drop("changed")
-        if n_changed == 0:
-            return labels
+            updated = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        "component", F.coalesce("nbr_component", "component")
+                    ).alias("component"),
+                    (
+                        F.coalesce("nbr_component", "component") < F.col("component")
+                    ).alias("changed"),
+                )
+            ).localCheckpoint(eager=True)
+            n_changed = updated.filter("changed").limit(1).count()
+            labels = updated.drop("changed")
+            if n_changed == 0:
+                return labels
+    finally:
+        adj.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds "
         "(component diameter exceeds the iteration budget); raising instead "

@@ -177,3 +177,71 @@ def test_jh8_employer_resolution(spark):
     assert sorted(no_salary) == ["embe logistics", "jupier telecom"]
     for r in rows:
         assert (r.avg_salary_mid is None) == (r.n_with_salary == 0)
+
+
+def test_entity_resolution_heavy_gram_grid(spark):
+    """The round-11 recall bug, pinned: on a grid corpus (every
+    adjective reused by every noun) EVERY gram of a name is shared by
+    dozens of entities, so the old df-cap blocking dropped ALL grams
+    of some true typo pairs and silently split entities (56 of 10k at
+    the 30k-name ladder). Prefix filtering keeps the q*t+1 globally
+    rarest grams per name — the AllPairs prefix theorem guarantees the
+    pair survives no matter how heavy the shared grams are. 40x40 grid
+    -> exactly 1600 clusters of exactly 3 normalized forms."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from jobhouse_spark.operators.entity import resolve_entities
+    from tools.entity_scale_bench import make_wordlist
+
+    side = 40
+    adjs, nouns = make_wordlist(11, side), make_wordlist(23, side)
+    adj_arr = F.array(*[F.lit(w) for w in adjs])
+    noun_arr = F.array(*[F.lit(w) for w in nouns])
+    base = spark.range(side * side).withColumn(
+        "base",
+        F.concat(
+            F.element_at(adj_arr, (F.col("id") % side + 1).cast("int")),
+            F.lit(" "),
+            F.element_at(noun_arr, (F.col("id") / side + 1).cast("int")),
+        ),
+    )
+    variants = base.select(
+        F.explode(
+            F.array(
+                F.col("base"),
+                F.concat(F.substring("base", 1, 4), F.expr("substring(base, 6)")),
+                F.concat(F.substring("base", 1, 2), F.lit("x"),
+                         F.expr("substring(base, 4)")),
+            )
+        ).alias("name")
+    )
+    got = resolve_entities(variants)
+    sizes = got.groupBy("canonical").count().groupBy("count").count().collect()
+    assert {(r["count"], r["count(1)"] if "count(1)" in r else r[1])
+            for r in sizes} == {(3, side * side)}, sizes
+
+
+def test_entity_resolution_short_and_straddle_names(spark):
+    """Names below gram_len*(max_dist+1) chars can evade q-gram
+    blocking entirely ('abcd'/'axcd' share no 4-gram at distance 1) —
+    the SymSpell deletion-key stratum must catch them, including a
+    pair that STRADDLES the short/long boundary (11 vs 12 chars)."""
+    from jobhouse_spark.operators.entity import resolve_entities
+
+    names = spark.createDataFrame(
+        [("abcd",), ("axcd",), ("ibm",), ("ibn",),
+         ("sap se",), ("sap s",),
+         ("abcdefghijk",), ("abcdefghijkl",),   # 11 vs 12: straddle
+         ("zzzzzz",)],                          # singleton
+        "name string",
+    )
+    got = {r["name"]: r["canonical"] for r in resolve_entities(names).collect()}
+    assert got == {
+        "abcd": "abcd", "axcd": "abcd",
+        "ibm": "ibm", "ibn": "ibm",
+        "sap se": "sap s", "sap s": "sap s",
+        "abcdefghijk": "abcdefghijk", "abcdefghijkl": "abcdefghijk",
+        "zzzzzz": "zzzzzz",
+    }, got

@@ -360,6 +360,20 @@ def main() -> None:
     check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
           "l27e: ADC scoring left the JVM")
 
+    # round-11 additions: entity-resolution mart + compaction invariance
+    p = plan_of(spark, "jh8_employer_resolution")
+    check("BroadcastHashJoin" in p,
+          "jh8: name->canonical map not broadcast back onto postings")
+    check("CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "jh8: fuzzy blocking degenerated to a cross product")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "jh8: normalization/levenshtein left the JVM")
+
+    p = plan_of(spark, "s17_compaction_invariance")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "s17: content digest left the JVM")
+    check("HashAggregate" in p, "s17: no hash aggregate over the digest")
+
     # SCALE.md claims skew-split handling; prove it on a 90%-hot-key join
     # with thresholds shrunk so local data volumes qualify as skewed.
     from pyspark.sql import functions as F  # noqa: PLC0415
