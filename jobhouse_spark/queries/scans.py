@@ -494,3 +494,81 @@ def s17_compaction_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# S18: Z-order clustering invariance (round 11) — multi-column layout
+# ---------------------------------------------------------------------------
+
+# Same digest discipline as S17, but grouped on the SECOND z-order
+# dimension (o_custkey) so the check exercises rows that the Morton
+# shuffle scattered across every output file.
+_S18_ROW_SQL = (
+    "CAST(o_orderkey AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR) || ':' "
+    "|| o_orderstatus || ':' || o_orderpriority"
+)
+
+
+def _s18_oracle() -> str:
+    from jobhouse_spark.functions.hashing import MD5_INT32_SQL  # noqa: PLC0415
+
+    digest = MD5_INT32_SQL.format(x=f"({_S18_ROW_SQL})")
+    return f"""
+SELECT o_custkey % 13 AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+       {fin_sql("SUM(CAST(o_totalprice AS DECIMAL(18,2)))", 2)} AS sum_price,
+       CAST(SUM({digest}) AS BIGINT) AS content_digest
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "s18_zorder_invariance",
+    oracle=_s18_oracle(),
+    tags=("scan", "sink", "maintenance"),
+)
+def s18_zorder_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18: Z-ORDER clustering is CONTENT-INVARIANT — the multi-column
+    companion to s17's single-key range clustering.
+
+    Shape: fragment orders into 64 unsorted files, rewrite with
+    `zorder_compact(cols=[o_custkey, o_orderkey])` (equi-depth bin ids
+    bit-interleaved into a Morton value; operators/maintenance.py),
+    then aggregate per-custkey-bucket counts, key/cust sums, decimal
+    price sums and the md5-int32 row digest FROM THE Z-ORDERED COPY.
+    The oracle computes the identical digests from the ORIGINAL table —
+    any row lost, duplicated, or mutated by the quantile pass, the bin
+    HOF, the bit interleave, or the range shuffle flips the hash.
+
+    Why this operator exists at 100 TB: a lexicographic (a, b) sort
+    prunes predicates on ``a`` perfectly and on ``b`` not at all;
+    Morton interleaving gives every file a hyper-rectangle of the key
+    space so min/max stats prune BOTH single-column predicates
+    (measured in tools/zorder_bench.py, recorded in SCALE.md)."""
+    from jobhouse_spark.functions.hashing import md5_int32  # noqa: PLC0415
+    from jobhouse_spark.operators.maintenance import zorder_compact  # noqa: PLC0415
+
+    base = tempfile.mkdtemp(prefix="jh_s18_")
+    frag, dst = base + "/frag", base + "/zordered"
+    Tables(spark, sf_dir).orders.repartition(64).write.parquet(frag)
+    z = zorder_compact(
+        spark, frag, dst,
+        cols=["o_custkey", "o_orderkey"],
+        target_file_bytes=4 * 1024 * 1024, bins=64,
+    )
+    row_str = F.concat_ws(
+        ":", "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    return (
+        z.groupBy((F.col("o_custkey") % 13).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum("o_custkey").alias("sum_cust"),
+            fin(F.sum(dec(F.col("o_totalprice"), 2)), 2).alias("sum_price"),
+            F.sum(md5_int32(row_str)).alias("content_digest"),
+        )
+        .orderBy("bucket")
+    )

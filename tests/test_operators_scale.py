@@ -574,3 +574,78 @@ def test_lsh_auto_broadcast_public_gate(spark, sf_dir):
     forced = similarity.lsh_top_k(probes, emb, k=5, broadcast_queries=True).collect()
     shuffled = similarity.lsh_top_k(probes, emb, k=5, broadcast_queries=False).collect()
     assert sorted(map(tuple, forced)) == sorted(map(tuple, shuffled))
+
+
+def test_zorder_value_interleaves_bits(spark):
+    """zorder_value: output bit b*n+i == bit b of column i (Morton)."""
+    from jobhouse_spark.operators.maintenance import zorder_value
+
+    df = spark.createDataFrame([(2, 3)], "a int, b int")
+    z = df.select(zorder_value([F.col("a"), F.col("b")], bits=2).alias("z"))
+    # a=0b10, b=0b11 -> bits: pos0=a0(0) pos1=b0(1) pos2=a1(1) pos3=b1(1)
+    assert z.first().z == 0b1110
+
+
+def test_equi_depth_bin_counts_boundaries(spark):
+    from jobhouse_spark.operators.maintenance import equi_depth_bin
+
+    df = spark.createDataFrame([(v,) for v in (1, 5, 10, 99, None)], "v int")
+    rows = df.select("v", equi_depth_bin("v", [5.0, 50.0]).alias("b")).collect()
+    got = {r.v: r.b for r in rows}
+    assert got == {1: 0, 5: 1, 10: 1, 99: 2, None: 0}
+
+
+def test_zorder_compact_clusters_both_dimensions(spark, sf_dir):
+    """Z-order vs lexicographic: the z-ordered layout bounds EVERY
+    output file's span on BOTH key dimensions, while sort_by=custkey
+    leaves each file spanning ~the full orderkey range. Content must
+    stay identical either way."""
+    import os
+
+    from jobhouse_spark.operators.maintenance import compact_parquet, zorder_compact
+
+    o = Tables(spark, sf_dir).orders
+    base = tempfile.mkdtemp(prefix="jh_zorder_")
+    frag = base + "/frag"
+    o.repartition(32).write.parquet(frag)
+    target = 8 * 1024  # force several output files even at sf0.001
+
+    zdf = zorder_compact(
+        spark, frag, base + "/z", cols=["o_custkey", "o_orderkey"],
+        target_file_bytes=target, bins=64,
+    )
+    ldf = compact_parquet(
+        spark, frag, base + "/lex", target_file_bytes=target, sort_by="o_custkey"
+    )
+    # content identical to the source for both rewrites
+    src_keys = sorted(r.o_orderkey for r in o.collect())
+    assert sorted(r.o_orderkey for r in zdf.collect()) == src_keys
+    assert sorted(r.o_orderkey for r in ldf.collect()) == src_keys
+
+    full = o.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("c"),
+        (F.max("o_orderkey") - F.min("o_orderkey")).alias("k"),
+    ).first()
+
+    def span_fracs(path):
+        fracs = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            r = spark.read.parquet(os.path.join(path, f)).agg(
+                (F.max("o_custkey") - F.min("o_custkey")).alias("c"),
+                (F.max("o_orderkey") - F.min("o_orderkey")).alias("k"),
+            ).first()
+            fracs.append((r.c / full.c, r.k / full.k))
+        return fracs
+
+    zf, lf = span_fracs(base + "/z"), span_fracs(base + "/lex")
+    assert len(zf) >= 4, "need several files for the layout claim"
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    # lexicographic: orderkey dimension unclustered (files span ~all of it)
+    assert med([k for _c, k in lf]) > 0.9
+    # z-order: the TYPICAL file is tight on BOTH dimensions...
+    assert med([c for c, _k in zf]) < 0.6
+    assert med([k for _c, k in zf]) < 0.6
+    # ...and even the worst file never spans both dimensions fully
+    assert all(min(c, k) < 0.75 for c, k in zf)

@@ -245,3 +245,43 @@ def test_entity_resolution_short_and_straddle_names(spark):
         "abcdefghijk": "abcdefghijk", "abcdefghijkl": "abcdefghijk",
         "zzzzzz": "zzzzzz",
     }, got
+
+
+def test_jh9_repost_audit(spark):
+    """Third derivation path for jh9 (the recursive-CTE oracle is the
+    second): closed-form expectations from tools/make_fixture_v4.py —
+    10 true entities x 12 postings with copy counts (3,2,2,2,2,1) per
+    employer — and the composition claim: a RAW-name group-by must
+    undercount reposts, because copies were planted under different
+    dirty surface forms of the same employer."""
+    from pyspark.sql import functions as F
+
+    from jobhouse_spark.queries.jobhouse_gold import _silver_v4, jh9_repost_audit
+
+    rows = jh9_repost_audit(spark, "unused").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.n_postings == 12, r
+        assert r.n_contents == 6, r
+        assert r.n_reposts == 6, r
+        assert r.max_copies == 3, r
+        assert r.n_dup_contents == 5, r
+
+    # naive baseline: group content copies by RAW employer name —
+    # dirt splits the duplicate groups and hides most reposts
+    silver = _silver_v4(spark)
+    naive = (
+        silver.withColumn(
+            "content_key",
+            F.concat_ws("|", F.lower(F.trim("title")), F.lower(F.trim("requirement"))),
+        )
+        .groupBy("employer_name", "content_key")
+        .agg(F.count("*").alias("copies"))
+        .agg(F.sum(F.col("copies") - 1).alias("reposts"))
+        .first()
+    )
+    resolved_reposts = sum(r.n_reposts for r in rows)
+    assert resolved_reposts == 60
+    assert naive.reposts < resolved_reposts / 2, (
+        naive.reposts, resolved_reposts
+    )
