@@ -572,3 +572,87 @@ def s18_zorder_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# S19: manifest-pruned scan (round 11) — file-level data skipping
+# ---------------------------------------------------------------------------
+
+_S19_LO, _S19_HI = 500, 3000  # inside the orderkey range at every sf
+
+
+def _s19_oracle() -> str:
+    from jobhouse_spark.functions.hashing import MD5_INT32_SQL  # noqa: PLC0415
+
+    digest = MD5_INT32_SQL.format(x=f"({_S17_ROW_SQL})")
+    return f"""
+SELECT COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       {fin_sql("SUM(CAST(o_totalprice AS DECIMAL(18,2)))", 2)} AS sum_price,
+       CAST(SUM({digest}) AS BIGINT) AS content_digest
+FROM orders WHERE o_orderkey BETWEEN {_S19_LO} AND {_S19_HI}
+"""
+
+
+@register(
+    "s19_manifest_pruned_scan",
+    oracle=_s19_oracle(),
+    tags=("scan", "maintenance", "metadata"),
+)
+def s19_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19: FILE-LEVEL data skipping through a min/max manifest — the
+    metadata layer a table format keeps, built and used on plain
+    parquet (operators/maintenance.build_manifest /
+    manifest_pruned_read), answering a selective range query while
+    READING ONLY THE FILES whose stats admit it.
+
+    Shape: fragment orders, compact+range-cluster (so files have
+    disjoint key spans), build the per-file manifest with one grouped
+    scan, then plan a `BETWEEN` query from the manifest: collect the
+    candidate file list (bounded by FILE COUNT — what any format's
+    planner holds), read only those paths, re-apply the exact
+    predicate. The oracle runs the same BETWEEN on the ORIGINAL table —
+    a manifest bound that was wrong in either direction (false skip =
+    lost rows, stale bound = duplicated/mutated rows) flips the count,
+    sums, or the md5-int32 digest.
+
+    Why at 100 TB: row-group pruning happens after listing, task
+    scheduling and footer reads of every file; manifest pruning
+    happens before — on a drip-fed bronze prefix with 10^6 files
+    that is the difference between planning from kilobytes of
+    metadata and opening a million footers.
+    tests/test_operators_scale.py asserts the skip actually happens
+    (candidate files << files on disk)."""
+    from jobhouse_spark.functions.hashing import md5_int32  # noqa: PLC0415
+    from jobhouse_spark.operators.maintenance import (  # noqa: PLC0415
+        build_manifest,
+        compact_parquet,
+        manifest_pruned_read,
+    )
+
+    base = tempfile.mkdtemp(prefix="jh_s19_")
+    frag, dst = base + "/frag", base + "/clustered"
+    Tables(spark, sf_dir).orders.repartition(32).write.parquet(frag)
+    compact_parquet(
+        spark, frag, dst, target_file_bytes=512 * 1024, sort_by="o_orderkey"
+    )
+    manifest = build_manifest(spark, dst, ["o_orderkey"])
+    pruned = manifest_pruned_read(
+        spark, manifest, {"o_orderkey": (_S19_LO, _S19_HI)}
+    )
+    row_str = F.concat_ws(
+        ":",
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").cast("string"),
+    )
+    return pruned.agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("sum_key"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+        fin(F.sum(dec(F.col("o_totalprice"), 2)), 2).alias("sum_price"),
+        F.sum(md5_int32(row_str)).alias("content_digest"),
+    )

@@ -649,3 +649,91 @@ def test_zorder_compact_clusters_both_dimensions(spark, sf_dir):
     assert med([k for _c, k in zf]) < 0.6
     # ...and even the worst file never spans both dimensions fully
     assert all(min(c, k) < 0.75 for c, k in zf)
+
+
+def test_manifest_pruning_skips_files_and_matches_full_scan(spark, sf_dir):
+    """File-level data skipping: the manifest plans a selective range
+    query down to a small fraction of the clustered files, and the
+    pruned read returns exactly the full-scan result. Also covers the
+    superset contract (the exact predicate re-applies after pruning)
+    and the nothing-survives edge (empty but correctly-typed)."""
+    from jobhouse_spark.operators.maintenance import (
+        build_manifest,
+        compact_parquet,
+        manifest_pruned_read,
+    )
+
+    o = Tables(spark, sf_dir).orders
+    base = tempfile.mkdtemp(prefix="jh_manifest_")
+    frag, dst = base + "/frag", base + "/clustered"
+    o.repartition(32).write.parquet(frag)
+    compact_parquet(spark, frag, dst, target_file_bytes=8 * 1024,
+                    sort_by="o_orderkey")
+
+    manifest = build_manifest(spark, dst, ["o_orderkey"])
+    n_files = manifest.count()
+    assert n_files >= 6, "need several files for the skip claim"
+
+    # a ~5%-of-keyspace window, sf-relative
+    kmin, kmax = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    lo = kmin + (kmax - kmin) * 2 // 5
+    hi = lo + max(1, (kmax - kmin) // 20)
+    pruned = manifest_pruned_read(spark, manifest, {"o_orderkey": (lo, hi)})
+    # planning: candidate files admitted by min/max
+    cand = manifest.filter(
+        (F.col("o_orderkey_min") <= hi) & (F.col("o_orderkey_max") >= lo)
+    ).count()
+    assert cand < n_files / 2, (cand, n_files)
+
+    want = sorted(
+        r.o_orderkey for r in o.filter(F.col("o_orderkey").between(lo, hi)).collect()
+    )
+    got = sorted(r.o_orderkey for r in pruned.collect())
+    assert got == want and len(got) > 0
+
+    # nothing-survives edge: schema preserved, zero rows
+    empty = manifest_pruned_read(spark, manifest, {"o_orderkey": (-10, -5)})
+    assert empty.count() == 0
+    assert empty.columns == pruned.columns
+
+
+def test_update_manifest_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental manifest maintenance: after a second ingest batch
+    lands, update (stats the NEW files only) must equal a full rebuild;
+    after files vanish (compaction), their rows must drop."""
+    import os
+    import shutil
+
+    from jobhouse_spark.operators.maintenance import (
+        build_manifest,
+        update_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    o = Tables(spark, sf_dir).orders
+    o.filter(F.col("o_orderkey") % 2 == 0).repartition(4).write.parquet(root)
+    m1 = build_manifest(spark, root, ["o_orderkey"])
+
+    # batch 2: odd keys appended as new files
+    o.filter(F.col("o_orderkey") % 2 == 1).repartition(3) \
+        .write.mode("append").parquet(root)
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    updated = update_manifest(spark, root, m1, ["o_orderkey"])
+    rebuilt = build_manifest(spark, root, ["o_orderkey"])
+    assert canon(updated) == canon(rebuilt)
+    assert updated.count() == m1.count() + 3
+
+    # deletion: remove one data file; update drops exactly its row.
+    # Materialize first — in production the manifest is PERSISTED
+    # metadata; a lazy frame would re-scan data files on every use
+    # (and here would re-read the file we are about to delete).
+    updated = spark.createDataFrame(updated.collect(), updated.schema)
+    victim = next(f for f in os.listdir(root) if f.endswith(".parquet"))
+    os.remove(os.path.join(root, victim))
+    shrunk = update_manifest(spark, root, updated, ["o_orderkey"])
+    assert shrunk.count() == updated.count() - 1
+    assert not [r for r in shrunk.collect() if victim in r.file]
+    shutil.rmtree(root, ignore_errors=True)

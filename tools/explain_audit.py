@@ -374,6 +374,25 @@ def main() -> None:
           "s17: content digest left the JVM")
     check("HashAggregate" in p, "s17: no hash aggregate over the digest")
 
+    p = plan_of(spark, "s18_zorder_invariance")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "s18: bin/interleave expressions left the JVM")
+    check("HashAggregate" in p, "s18: no hash aggregate over the digest")
+
+    p = plan_of(spark, "s19_manifest_pruned_scan")
+    check("PushedFilters" in p and "o_orderkey" in p.split("PushedFilters")[1][:200],
+          "s19: residual BETWEEN not pushed into the pruned scan")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "s19: digest left the JVM")
+
+    p = plan_of(spark, "jh9_repost_audit")
+    check("BroadcastHashJoin" in p,
+          "jh9: name->canonical map not broadcast onto postings")
+    check("CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "jh9: resolution degenerated to a cross product")
+    check(p.count("HashAggregate") >= 2,
+          "jh9: per-content + per-employer aggregations not both hash aggs")
+
     # SCALE.md claims skew-split handling; prove it on a 90%-hot-key join
     # with thresholds shrunk so local data volumes qualify as skewed.
     from pyspark.sql import functions as F  # noqa: PLC0415
