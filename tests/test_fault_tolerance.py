@@ -81,3 +81,67 @@ def test_same_failure_is_fatal_without_retries():
     vacuously, and a record of WHY maxFailures=1 is a local-mode-only
     default (any real deployment keeps spark.task.maxFailures >= 4)."""
     assert _run_probe("local[4]") == "JOB_FAILED"
+
+
+def test_merge_crash_window_resurrects_then_converges(spark, tmp_path, monkeypatch):
+    """The documented non-atomicity window of incremental_merge
+    (operators/incremental.py): the dynamic partition overwrite and the
+    explicit clear of fully-deleted days are TWO steps. Inject a crash
+    between them and verify the contract exactly as written — (1) the
+    emptied day's stale rows are visible after the crash (resurrection,
+    the documented failure mode), (2) re-applying the SAME batch
+    converges to the correct end state (idempotency is the recovery
+    mechanism, no compensation logic needed)."""
+    import pytest
+
+    from jobhouse_spark import materialize as mat_mod
+    from jobhouse_spark.operators.incremental import incremental_merge
+
+    root = str(tmp_path / "silver")
+    schema = "event_id int, day string, payload string"
+    base = [
+        (1, "2024-01-01", "a"), (2, "2024-01-01", "b"),
+        (3, "2024-01-02", "c"),
+    ]
+    spark.createDataFrame(base, schema).write.partitionBy("day").parquet(root)
+
+    # batch: empty day 01 entirely, update day 02
+    ups = spark.createDataFrame([(3, "2024-01-02", "C")], schema)
+    dels = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-01")], "event_id int, day string"
+    )
+
+    real_barrier = mat_mod.materialize_barrier
+
+    class CrashAfterOverwrite:
+        """Delegates to the real merged frame; the first attribute the
+        operator touches AFTER the dynamic overwrite is .select (for
+        the emptied-day reconciliation) — raise there."""
+
+        def __init__(self, df):
+            self._df = df
+
+        def __getattr__(self, name):
+            if name == "select":
+                raise RuntimeError("injected crash after dynamic overwrite")
+            return getattr(self._df, name)
+
+    monkeypatch.setattr(
+        mat_mod, "materialize_barrier",
+        lambda df: CrashAfterOverwrite(real_barrier(df)),
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_merge(spark, root, ups, dels, "event_id", "day")
+
+    # (1) the window: day-01 stale rows resurrected, day-02 already new
+    mid = {(r.event_id, str(r.day), r.payload)
+           for r in spark.read.parquet(root).collect()}
+    assert (1, "2024-01-01", "a") in mid and (2, "2024-01-01", "b") in mid
+    assert (3, "2024-01-02", "C") in mid
+
+    # (2) recovery: re-apply the same batch, un-patched
+    monkeypatch.setattr(mat_mod, "materialize_barrier", real_barrier)
+    incremental_merge(spark, root, ups, dels, "event_id", "day")
+    end = {(r.event_id, str(r.day), r.payload)
+           for r in spark.read.parquet(root).collect()}
+    assert end == {(3, "2024-01-02", "C")}
