@@ -737,3 +737,44 @@ def test_update_manifest_equals_rebuild(spark, sf_dir, tmp_path):
     assert shrunk.count() == updated.count() - 1
     assert not [r for r in shrunk.collect() if victim in r.file]
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_zorder_value_three_columns(spark):
+    """Generic n-column Morton: bit b of column i lands at b*n+i."""
+    from jobhouse_spark.operators.maintenance import zorder_value
+
+    df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+    z = df.select(
+        zorder_value([F.col("a"), F.col("b"), F.col("c")], bits=2).alias("z")
+    ).first().z
+    # a=01: bit0->pos0; b=10: bit1->pos4; c=11: bit0->pos2, bit1->pos5
+    assert z == (1 << 0) | (1 << 4) | (1 << 2) | (1 << 5)
+
+
+def test_equi_depth_bins_balance_skewed_column(spark):
+    """The equi-depth claim: on a heavily skewed column (90% of rows in
+    1% of the value range) quantile-derived bins still spread rows
+    ~evenly, where equi-WIDTH bins would pile 90% into one bin."""
+    from jobhouse_spark.operators.maintenance import equi_depth_bin
+
+    n = 20_000
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.col("id") % 100)  # 90% in [0,100)
+        .otherwise(F.col("id"))                           # 10% spread to 20k
+        .alias("v")
+    )
+    bins = 8
+    bounds = skewed.approxQuantile("v", [i / bins for i in range(1, bins)], 0.01)
+    uniq = []
+    for x in bounds:
+        if not uniq or x > uniq[-1]:
+            uniq.append(x)
+    counts = [
+        r["count"] for r in
+        skewed.select(equi_depth_bin("v", uniq).alias("b"))
+        .groupBy("b").count().collect()
+    ]
+    # no bin holds more than ~3x the ideal share (equi-width would put
+    # ~90% of rows into bin 0)
+    assert max(counts) < 3 * n / bins, counts
+    assert len(counts) >= bins - 2
