@@ -285,3 +285,22 @@ def test_jh9_repost_audit(spark):
     assert naive.reposts < resolved_reposts / 2, (
         naive.reposts, resolved_reposts
     )
+
+
+def test_jh10_dq_scorecard(spark):
+    """Closed-form expectations from tools/make_fixture_v4.py: 120
+    items, 24 salary-null (i%5==4), 60 duplicate contents (the planted
+    copy scheme), 4 areas, 4 currencies, and min published day 04-01
+    vs the 04-12 run date."""
+    from jobhouse_spark.queries.jobhouse_gold import jh10_dq_scorecard
+
+    r = jh10_dq_scorecard(spark, "unused").first()
+    assert r.n_rows == 120
+    assert r.n_null_salary == 24
+    assert r.n_dup_contents == 60
+    assert r.n_areas == 4
+    assert r.n_currencies == 4
+    assert r.max_staleness_days == 11
+    # partial ranges exist on both sides and never overlap full-null
+    assert r.n_from_only > 0 and r.n_to_only > 0
+    assert r.n_from_only + r.n_to_only + r.n_null_salary < 120
