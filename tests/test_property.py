@@ -99,3 +99,74 @@ def test_ngram_jaccard_matches_set_oracle(spark, docs, threshold):
     assert set(got) == set(expect), (got, expect)
     for pair, jac in expect.items():
         assert abs(got[pair] - jac) < 1e-12
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-1000, 1000)),
+            st.one_of(st.none(), st.integers(0, 50)),
+            st.text(alphabet="abcxyz", max_size=4),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    bins=st.sampled_from([2, 4, 16]),
+)
+@_SETTINGS
+def test_zorder_compact_preserves_content(spark, tmp_path_factory, rows, bins):
+    """zorder_compact is a pure REWRITE: for arbitrary frames —
+    duplicate rows, NULL keys, NULL second dimension, constant columns
+    (degenerate quantiles) — the output multiset equals the input."""
+    import shutil
+    import tempfile
+
+    from jobhouse_spark.operators.maintenance import zorder_compact
+
+    base = tempfile.mkdtemp(prefix="jh_zprop_")
+    df = spark.createDataFrame(rows, "a int, b int, s string")
+    df.repartition(3).write.parquet(base + "/src")
+    out = zorder_compact(
+        spark, base + "/src", base + "/dst",
+        cols=["a", "b"], target_file_bytes=4 * 1024, bins=bins,
+    )
+    key = lambda t: tuple(map(str, t))  # None-safe total order  # noqa: E731
+    assert sorted(map(tuple, out.collect()), key=key) == sorted(
+        map(tuple, rows), key=key
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-100, 100), st.integers(0, 9)),
+        min_size=1,
+        max_size=40,
+    ),
+    lo=st.integers(-120, 120),
+    span=st.integers(0, 60),
+)
+@_SETTINGS
+def test_manifest_pruned_read_equals_filter(spark, rows, lo, span):
+    """Manifest planning is a SUPERSET filter: for arbitrary data and
+    an arbitrary (even empty / out-of-range) window, the pruned read
+    equals the plain filtered scan exactly."""
+    import shutil
+    import tempfile
+
+    from jobhouse_spark.operators.maintenance import (
+        build_manifest,
+        manifest_pruned_read,
+    )
+
+    base = tempfile.mkdtemp(prefix="jh_mprop_")
+    df = spark.createDataFrame(rows, "k int, v int")
+    df.repartition(4).write.parquet(base + "/t")
+    manifest = build_manifest(spark, base + "/t", ["k"])
+    hi = lo + span
+    got = sorted(
+        map(tuple, manifest_pruned_read(spark, manifest, {"k": (lo, hi)}).collect())
+    )
+    want = sorted((k, v) for k, v in rows if lo <= k <= hi)
+    assert got == want
+    shutil.rmtree(base, ignore_errors=True)
