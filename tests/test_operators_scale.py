@@ -778,3 +778,60 @@ def test_equi_depth_bins_balance_skewed_column(spark):
     # ~90% of rows into bin 0)
     assert max(counts) < 3 * n / bins, counts
     assert len(counts) >= bins - 2
+
+
+def test_manifest_over_zorder_prunes_both_dimensions(spark, oracle_sf_dir):
+    """Composition: a two-column manifest over a Z-ORDERED table gives
+    FILE-level pruning on a conjunction of both dimensions (each z
+    file is a hyper-rectangle, so its min/max box is tight on both),
+    and the planned read equals the plain filtered scan."""
+    from jobhouse_spark.operators.maintenance import (
+        build_manifest,
+        manifest_pruned_read,
+        zorder_compact,
+    )
+
+    # sf0.01: ~90 files at this target — enough curve slices for the
+    # hyper-rectangle geometry to show (sf0.001's 9 files are too few)
+    o = Tables(spark, oracle_sf_dir).orders
+    base = tempfile.mkdtemp(prefix="jh_mz_")
+    o.repartition(16).write.parquet(base + "/src")
+    zorder_compact(
+        spark, base + "/src", base + "/z",
+        cols=["o_custkey", "o_orderkey"], target_file_bytes=8 * 1024,
+        bins=8,  # bins ~ sqrt(files): SCALE.md's own guidance — more
+        # bins than curve slices fragments the hyper-rectangles
+    )
+    manifest = build_manifest(spark, base + "/z", ["o_custkey", "o_orderkey"])
+    n_files = manifest.count()
+    assert n_files >= 4
+
+    r = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_orderkey"), F.max("o_orderkey"),
+    ).first()
+    c_lo = r[0] + (r[1] - r[0]) * 2 // 5
+    c_hi = c_lo + max(1, (r[1] - r[0]) // 8)
+    k_lo = r[2] + (r[3] - r[2]) * 2 // 5
+    k_hi = k_lo + max(1, (r[3] - r[2]) // 8)
+    ranges = {"o_custkey": (c_lo, c_hi), "o_orderkey": (k_lo, k_hi)}
+
+    got = sorted(
+        r2.o_orderkey
+        for r2 in manifest_pruned_read(spark, manifest, ranges).collect()
+    )
+    want = sorted(
+        r2.o_orderkey
+        for r2 in o.filter(
+            F.col("o_custkey").between(c_lo, c_hi)
+            & F.col("o_orderkey").between(k_lo, k_hi)
+        ).collect()
+    )
+    assert got == want
+
+    cond = (
+        (F.col("o_custkey_min") <= c_hi) & (F.col("o_custkey_max") >= c_lo)
+        & (F.col("o_orderkey_min") <= k_hi) & (F.col("o_orderkey_max") >= k_lo)
+    )
+    cand = manifest.filter(cond).count()
+    assert cand < n_files / 2, (cand, n_files)
