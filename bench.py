@@ -59,7 +59,12 @@ def main() -> None:
     # touching per-query CPU (the round-8/round-10 signature,
     # BASELINE.md). Captured now because after get_spark() the load is
     # dominated by our own local[32] threads.
-    load_before = os.getloadavg()[0]
+    # ALL THREE horizons: a fresh-idle 1-min average can mask recently
+    # finished heavy jobs whose page-cache/writeback residue still
+    # inflates walls (measured 2026-08-16: load1 0.18 but load15 7.2
+    # -> 19.2 s vs 15.2 s truly idle) — the 15-min average catches it.
+    load1, load5, load15 = os.getloadavg()
+    load_before = load1
 
     spark = get_spark(app_name="jobhouse_bench")
     qs = all_queries()
@@ -119,7 +124,13 @@ def main() -> None:
     # in the middle of the distribution. Judges/rounds read the verdict
     # from the JSON instead of re-deriving it from cpu_sec flatness.
     contended = bool(
-        load_before > 4.0 or (spread_median is not None and spread_median > 1.5)
+        load_before > 4.0
+        # recent heavy activity still settling; threshold from measured
+        # splits (19.2 s bad run at load15 7.2; 13.3-15.2 s good runs
+        # at 4.2-4.4 — load15 decays slowly after a burst, so 4.0
+        # would flag genuinely idle runs for ~15 minutes)
+        or load15 > 6.0
+        or (spread_median is not None and spread_median > 1.5)
     )
     print(
         json.dumps(
@@ -135,6 +146,8 @@ def main() -> None:
                 "repeat": max(1, args.repeat),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load_avg_before": round(load_before, 2),
+                "load_avg_5m": round(load5, 2),
+                "load_avg_15m": round(load15, 2),
                 "wall_spread_median": spread_median,
                 "contended": contended,
                 **({"skipped": skipped} if skipped else {}),
