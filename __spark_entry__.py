@@ -41,9 +41,9 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # with their hash-checked twins green (g14b, l2c/l2d, l3b2, l3c2,
 # l4b2, l10b, t7b) — guard: tests/test_entry_contract.py.
 # BACKLOG for the round-12 head: s18_zorder_invariance,
-# s19_manifest_pruned_scan, jh9_repost_audit, jh10_dq_scorecard
-# (added after this rotation was pinned; each hash-green in
-# tools/driver_sim and gate).
+# s19_manifest_pruned_scan, s20_retention_vacuum, jh9_repost_audit,
+# jh10_dq_scorecard (added after this rotation was pinned; each
+# hash-green in tools/driver_sim and gate).
 _HEAD = (
     # family anchors — all driver-green in r01–r08
     "s1_parquet_scan",

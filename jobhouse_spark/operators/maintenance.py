@@ -269,3 +269,50 @@ def update_manifest(
         .agg(*aggs)
     )
     return kept.unionByName(fresh)
+
+
+def vacuum_partitions(
+    spark: SparkSession, root: str, day_col: str, cutoff: str
+) -> list[str]:
+    """Retention/TTL: delete the partition DIRECTORIES of a
+    day-partitioned table whose value sorts strictly below ``cutoff``
+    (ISO dates compare lexicographically). Returns the removed values.
+
+    The third leg of the maintenance trio (compact/cluster, manifest,
+    vacuum): at 100 TB a retention policy — regulatory or cost — is a
+    first-class scheduled operator, and partition-level deletion is
+    the only shape that stays O(metadata): no data is read, each day's
+    removal is one recursive directory delete.
+
+    Guards:
+    - only ``{day_col}=<value>`` directories directly under ``root``
+      are considered; anything else (data files at root level, other
+      partition columns) is untouched.
+    - values that are not plain ``[A-Za-z0-9._-]+`` are REFUSED, not
+      skipped: Spark %-escapes such values in directory names, so a
+      raw lexicographic compare could delete the wrong partition
+      (same rule as incremental_merge's emptied-day clear).
+    """
+    import re  # noqa: PLC0415
+
+    jvm = spark._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    prefix = f"{day_col}="
+    removed = []
+    for status in fs.listStatus(jroot):
+        if not status.isDirectory():
+            continue
+        name = status.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        value = name[len(prefix):]
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", value):
+            raise ValueError(
+                f"vacuum refuses escaped partition value {value!r} — "
+                f"rewrite the table with plain date-like {day_col} values"
+            )
+        if value < cutoff:
+            fs.delete(status.getPath(), True)
+            removed.append(value)
+    return sorted(removed)

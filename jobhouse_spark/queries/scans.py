@@ -656,3 +656,73 @@ def s19_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         fin(F.sum(dec(F.col("o_totalprice"), 2)), 2).alias("sum_price"),
         F.sum(md5_int32(row_str)).alias("content_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S20: retention vacuum (round 11) — TTL deletion at partition grain
+# ---------------------------------------------------------------------------
+
+_S20_CUTOFF = "2024-01-15"  # events span 2024-01-01..01-30 at every sf
+_S20_ROW_SQL = (
+    "CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR) || ':' "
+    "|| CAST(CAST(ts AS DATE) AS VARCHAR)"
+)
+
+
+def _s20_oracle() -> str:
+    from jobhouse_spark.functions.hashing import MD5_INT32_SQL  # noqa: PLC0415
+
+    digest = MD5_INT32_SQL.format(x=f"({_S20_ROW_SQL})")
+    return f"""
+SELECT COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_id,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(MIN(CAST(ts AS DATE)) AS VARCHAR) AS min_day,
+       {fin_sql("SUM(" + dec_sql("value") + ")")} AS sum_value,
+       CAST(SUM({digest}) AS BIGINT) AS content_digest
+FROM events WHERE CAST(ts AS DATE) >= DATE '{_S20_CUTOFF}'
+"""
+
+
+@register(
+    "s20_retention_vacuum",
+    oracle=_s20_oracle(),
+    tags=("scan", "sink", "maintenance"),
+)
+def s20_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20: retention/TTL vacuum is EXACT at partition grain — the
+    third maintenance operator (after compaction s17/s18 and the
+    manifest s19): delete every day partition older than the retention
+    cutoff, touching only directory metadata, never reading data.
+
+    Shape: write events day-partitioned (the reference raw-layer date
+    layout, raw_layer.py:28), `vacuum_partitions(cutoff)` (operators/
+    maintenance.py), then aggregate the SURVIVING table — counts, key
+    sums, decimal value sums and an md5-int32 row digest. The oracle
+    computes the identical aggregate from the ORIGINAL table filtered
+    by the same cutoff: a partition wrongly deleted (data loss past
+    the boundary) or wrongly retained (TTL violation) flips the count
+    and the digest; the boundary day itself (>= cutoff survives) is
+    pinned by min_day."""
+    from jobhouse_spark.functions.hashing import md5_int32  # noqa: PLC0415
+    from jobhouse_spark.operators.maintenance import vacuum_partitions  # noqa: PLC0415
+
+    root = tempfile.mkdtemp(prefix="jh_s20_") + "/t"
+    e = Tables(spark, sf_dir).events.withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    e.write.partitionBy("day").parquet(root)
+    removed = vacuum_partitions(spark, root, "day", _S20_CUTOFF)
+    assert removed and all(d < _S20_CUTOFF for d in removed)
+    back = spark.read.parquet(root)
+    row_str = F.concat_ws(
+        ":", "event_id", "user_id", F.to_date("ts").cast("string")
+    )
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sum_id"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min(F.to_date("ts")).cast("string").alias("min_day"),
+        fin(F.sum(dec(F.col("value")))).alias("sum_value"),
+        F.sum(md5_int32(row_str)).alias("content_digest"),
+    )

@@ -835,3 +835,39 @@ def test_manifest_over_zorder_prunes_both_dimensions(spark, oracle_sf_dir):
     )
     cand = manifest.filter(cond).count()
     assert cand < n_files / 2, (cand, n_files)
+
+
+def test_vacuum_partitions_guards_and_boundary(spark, tmp_path):
+    """Retention vacuum: strictly-below-cutoff days deleted, boundary
+    day survives, non-partition entries untouched, escaped partition
+    values refused loudly (they could alias the wrong directory)."""
+    import os
+
+    import pytest
+
+    from jobhouse_spark.operators.maintenance import vacuum_partitions
+
+    root = str(tmp_path / "t")
+    rows = [(i, f"2024-01-{1 + i % 4:02d}", "x") for i in range(40)]
+    spark.createDataFrame(rows, "id int, day string, s string") \
+        .write.partitionBy("day").parquet(root)
+    # a stray non-partition directory must be ignored
+    os.makedirs(os.path.join(root, "not_a_partition"))
+
+    removed = vacuum_partitions(spark, root, "day", "2024-01-03")
+    assert removed == ["2024-01-01", "2024-01-02"]
+    left = spark.read.parquet(root)
+    assert {str(r.day) for r in left.select("day").distinct().collect()} == {
+        "2024-01-03", "2024-01-04"
+    }
+    assert left.count() == 20
+    assert os.path.isdir(os.path.join(root, "not_a_partition"))
+    # idempotent: nothing below the cutoff remains
+    assert vacuum_partitions(spark, root, "day", "2024-01-03") == []
+
+    # escaped values: refuse, don't guess
+    root2 = str(tmp_path / "t2")
+    spark.createDataFrame([(1, "2024 01 05")], "id int, day string") \
+        .write.partitionBy("day").parquet(root2)
+    with pytest.raises(ValueError, match="escaped partition value"):
+        vacuum_partitions(spark, root2, "day", "2024-01-03")
