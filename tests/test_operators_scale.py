@@ -871,3 +871,35 @@ def test_vacuum_partitions_guards_and_boundary(spark, tmp_path):
         .write.partitionBy("day").parquet(root2)
     with pytest.raises(ValueError, match="escaped partition value"):
         vacuum_partitions(spark, root2, "day", "2024-01-03")
+
+
+def test_vacuum_then_update_manifest_drops_expired_days(spark, tmp_path):
+    """Maintenance composition: after a retention vacuum, one
+    update_manifest pass drops exactly the expired days' file rows
+    (vacuum removes whole partition DIRECTORIES — the listing-diff
+    path, not the single-file path) and equals a full rebuild."""
+    from jobhouse_spark.operators.maintenance import (
+        build_manifest,
+        update_manifest,
+        vacuum_partitions,
+    )
+
+    root = str(tmp_path / "t")
+    rows = [(i, f"2024-01-{1 + i % 4:02d}") for i in range(400)]
+    spark.createDataFrame(rows, "id int, day string") \
+        .repartition(2).write.partitionBy("day").parquet(root)
+    m = build_manifest(spark, root, ["id"])
+    m = spark.createDataFrame(m.collect(), m.schema)  # persist: metadata
+    n_before = m.count()
+
+    removed = vacuum_partitions(spark, root, "day", "2024-01-03")
+    assert removed == ["2024-01-01", "2024-01-02"]
+
+    updated = update_manifest(spark, root, m, ["id"])
+    rebuilt = build_manifest(spark, root, ["id"])
+    assert sorted(map(tuple, updated.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    assert updated.count() < n_before
+    assert not [r for r in updated.collect()
+                if "day=2024-01-01" in r.file or "day=2024-01-02" in r.file]
