@@ -16,22 +16,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _dir_bytes(spark: SparkSession, path: str) -> int:
-    """Recursive data-file byte count via the Hadoop FileSystem API —
-    works for any supported scheme (file://, hdfs://, s3a://…), unlike
-    os.walk which silently returns 0 for non-local URIs and would make
-    compaction coalesce a 100 TB lake into one file."""
+def _iter_data_statuses(spark: SparkSession, path: str):
+    """Recursive DATA-file statuses under ``path`` via the Hadoop
+    FileSystem API (any scheme: file://, hdfs://, s3a://…; unlike
+    os.walk, which silently returns nothing for non-local URIs). ONE
+    definition of what counts as a data file — underscore/dot-prefixed
+    names are metadata — shared by every maintenance operator."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     it = fs.listFiles(jpath, True)
-    total = 0
     while it.hasNext():
         status = it.next()
-        name = status.getPath().getName()
-        if not name.startswith(("_", ".")):
-            total += status.getLen()
-    return total
+        if not status.getPath().getName().startswith(("_", ".")):
+            yield status
+
+
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Recursive data-file byte count — a wrong 0 here would make
+    compaction coalesce a 100 TB lake into one file."""
+    return sum(s.getLen() for s in _iter_data_statuses(spark, path))
 
 
 def plan_compaction(src_bytes: int, target_file_bytes: int) -> int:
@@ -139,13 +143,25 @@ def zorder_compact(
     if len(cols) < 2:
         raise ValueError("zorder_compact needs >= 2 columns; use sort_by for 1")
     bits = max(1, bins - 1).bit_length()
+    if bits * len(cols) > 63:
+        # bit 63 is the long's sign bit and shiftleft wraps mod 64 —
+        # an over-wide config would SILENTLY destroy the ordering
+        # (content checks still pass), so refuse it instead
+        raise ValueError(
+            f"z-order width {bits} bits x {len(cols)} cols exceeds 63 "
+            f"usable long bits — lower bins (max {2 ** (63 // len(cols))}) "
+            f"or split the column set"
+        )
     df = spark.read.parquet(src)
     n_files = plan_compaction(_dir_bytes(spark, src), target_file_bytes)
     rel_err = 1.0 / (4 * bins)
     probs = [i / bins for i in range(1, bins)]
+    # ONE quantile pass for every column (the list form computes all
+    # boundary sets in a single scan — per-column calls would scan the
+    # table len(cols) times)
+    all_bounds = df.approxQuantile(cols, probs, rel_err)
     bin_exprs = []
-    for c in cols:
-        bounds = df.approxQuantile(c, probs, rel_err)
+    for c, bounds in zip(cols, all_bounds):
         # dedupe (low-cardinality columns repeat boundaries)
         uniq: list[float] = []
         for x in bounds:
@@ -161,6 +177,18 @@ def zorder_compact(
     )
     out.write.mode("overwrite").option("compression", compression).parquet(dst)
     return spark.read.parquet(dst)
+
+
+def _stat_aggs(cols: list[str]):
+    """The manifest's stat-column list — ONE definition shared by
+    build_manifest and update_manifest, so the update == rebuild
+    contract cannot desynchronize on the aggregate set."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return aggs
 
 
 def build_manifest(spark: SparkSession, root: str, cols: list[str]) -> DataFrame:
@@ -179,16 +207,14 @@ def build_manifest(spark: SparkSession, root: str, cols: list[str]) -> DataFrame
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     df = spark.read.parquet(root)
-    aggs = [F.count("*").alias("n_rows")]
-    for c in cols:
-        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
-    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+    return df.groupBy(F.input_file_name().alias("file")).agg(*_stat_aggs(cols))
 
 
 def manifest_pruned_read(
     spark: SparkSession,
     manifest: DataFrame,
     ranges: dict[str, tuple],
+    base_path: str | None = None,
 ) -> DataFrame:
     """Read ONLY the files whose manifest min/max interval overlaps
     every ``col: (lo, hi)`` range — the planning step of a data-skipping
@@ -202,9 +228,26 @@ def manifest_pruned_read(
     tight, only on them being true bounds (guaranteed by construction
     in build_manifest).
 
-    Returns an empty, correctly-typed DataFrame when nothing survives.
+    ``base_path``: pass the table root when the table is
+    hive-PARTITIONED — reading leaf files directly drops the partition
+    columns; `option("basePath", root)` restores them so the pruned
+    read equals the full scan on every column.
+
+    Returns an empty, correctly-typed DataFrame when nothing survives
+    (the schema is read from one listed file, so a manifest gone STALE
+    against vanished files raises there — persisted manifests are
+    metadata, refresh them with update_manifest after file-level
+    changes). An EMPTY manifest is refused: with zero known files the
+    data schema is unknowable, and returning an untyped frame would
+    push the failure downstream.
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
+
+    def read(paths):
+        reader = spark.read
+        if base_path is not None:
+            reader = reader.option("basePath", base_path)
+        return reader.parquet(*paths)
 
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
@@ -216,24 +259,21 @@ def manifest_pruned_read(
     if not files:
         # preserve schema: read zero rows through the same reader
         any_file = [r.file for r in manifest.select("file").limit(1).collect()]
-        return spark.read.parquet(*any_file).filter(F.lit(False))
-    return spark.read.parquet(*files).filter(pred)
+        if not any_file:
+            raise ValueError(
+                "manifest_pruned_read: empty manifest — no files to "
+                "derive a schema from (rebuild with build_manifest)"
+            )
+        return read(any_file).filter(F.lit(False))
+    return read(files).filter(pred)
 
 
 def _list_data_files(spark: SparkSession, root: str) -> list[str]:
-    """Recursive data-file URIs under ``root`` (Hadoop FS, any scheme);
-    URI format matches `input_file_name()` exactly (verified in
+    """Recursive data-file URIs under ``root``; URI format matches
+    `input_file_name()` exactly (verified in
     tests/test_operators_scale.py), so manifest keys join cleanly."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(root)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    it = fs.listFiles(jpath, True)
-    out = []
-    while it.hasNext():
-        status = it.next()
-        if not status.getPath().getName().startswith(("_", ".")):
-            out.append(status.getPath().toUri().toString())
-    return out
+    return [s.getPath().toUri().toString()
+            for s in _iter_data_statuses(spark, root)]
 
 
 def update_manifest(
@@ -260,19 +300,23 @@ def update_manifest(
         else old_manifest.filter(F.lit(False))
     if not new_files:
         return kept
-    aggs = [F.count("*").alias("n_rows")]
-    for c in cols:
-        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    # basePath=root: on a hive-partitioned table a direct leaf-file
+    # read would DROP the partition columns and fail (or silently
+    # mis-stat) any partition-column entry in ``cols``
     fresh = (
-        spark.read.parquet(*new_files)
+        spark.read.option("basePath", root).parquet(*new_files)
         .groupBy(F.input_file_name().alias("file"))
-        .agg(*aggs)
+        .agg(*_stat_aggs(cols))
     )
     return kept.unionByName(fresh)
 
 
 def vacuum_partitions(
-    spark: SparkSession, root: str, day_col: str, cutoff: str
+    spark: SparkSession,
+    root: str,
+    day_col: str,
+    cutoff: str,
+    value_pattern: str = r"\d{4}-\d{2}-\d{2}",
 ) -> list[str]:
     """Retention/TTL: delete the partition DIRECTORIES of a
     day-partitioned table whose value sorts strictly below ``cutoff``
@@ -288,13 +332,23 @@ def vacuum_partitions(
     - only ``{day_col}=<value>`` directories directly under ``root``
       are considered; anything else (data files at root level, other
       partition columns) is untouched.
-    - values that are not plain ``[A-Za-z0-9._-]+`` are REFUSED, not
-      skipped: Spark %-escapes such values in directory names, so a
-      raw lexicographic compare could delete the wrong partition
-      (same rule as incremental_merge's emptied-day clear).
+    - BOTH the cutoff and every partition value must match
+      ``value_pattern`` (default: strict zero-padded ISO date) —
+      lexicographic order only equals temporal order when the formats
+      agree, so an unpadded value ('2024-9-5'), a differently-shaped
+      cutoff, or Hive's ``__HIVE_DEFAULT_PARTITION__`` (null day) is
+      REFUSED loudly instead of being compared and possibly deleting a
+      partition NEWER than the cutoff. %-escaped values are refused by
+      the same check (the incremental_merge emptied-day-clear rule).
     """
     import re  # noqa: PLC0415
 
+    if not re.fullmatch(value_pattern, cutoff):
+        raise ValueError(
+            f"vacuum cutoff {cutoff!r} does not match value_pattern "
+            f"{value_pattern!r} — mixed formats make lexicographic "
+            f"order diverge from temporal order"
+        )
     jvm = spark._jvm
     jroot = jvm.org.apache.hadoop.fs.Path(root)
     fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -307,10 +361,12 @@ def vacuum_partitions(
         if not name.startswith(prefix):
             continue
         value = name[len(prefix):]
-        if not re.fullmatch(r"[A-Za-z0-9._-]+", value):
+        if not re.fullmatch(value_pattern, value):
             raise ValueError(
-                f"vacuum refuses escaped partition value {value!r} — "
-                f"rewrite the table with plain date-like {day_col} values"
+                f"vacuum refuses partition value {value!r}: it does not "
+                f"match value_pattern {value_pattern!r} (escaped, null "
+                f"__HIVE_DEFAULT_PARTITION__, or differently-formatted "
+                f"values cannot be safely compared to the cutoff)"
             )
         if value < cutoff:
             fs.delete(status.getPath(), True)

@@ -869,8 +869,13 @@ def test_vacuum_partitions_guards_and_boundary(spark, tmp_path):
     root2 = str(tmp_path / "t2")
     spark.createDataFrame([(1, "2024 01 05")], "id int, day string") \
         .write.partitionBy("day").parquet(root2)
-    with pytest.raises(ValueError, match="escaped partition value"):
+    with pytest.raises(ValueError, match="does not match value_pattern"):
         vacuum_partitions(spark, root2, "day", "2024-01-03")
+    # format-compat guard: an unpadded cutoff would lexicographically
+    # sort AFTER '2024-10-xx' and delete newer-than-cutoff partitions —
+    # refuse the cutoff itself
+    with pytest.raises(ValueError, match="cutoff"):
+        vacuum_partitions(spark, root, "day", "2024-9-1")
 
 
 def test_vacuum_then_update_manifest_drops_expired_days(spark, tmp_path):
@@ -903,3 +908,69 @@ def test_vacuum_then_update_manifest_drops_expired_days(spark, tmp_path):
     assert updated.count() < n_before
     assert not [r for r in updated.collect()
                 if "day=2024-01-01" in r.file or "day=2024-01-02" in r.file]
+
+
+def test_zorder_refuses_over_wide_bit_config(spark, tmp_path):
+    """bits*cols > 63 would wrap shiftleft into the sign bit and
+    silently destroy the ordering while content checks stay green —
+    must be a loud ValueError instead."""
+    import pytest
+
+    from jobhouse_spark.operators.maintenance import zorder_compact
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, i, i, i, i, i, i, i) for i in range(10)],
+        "a int, b int, c int, d int, e int, f int, g int, h int",
+    ).write.parquet(src)
+    with pytest.raises(ValueError, match="63 usable long bits"):
+        zorder_compact(
+            spark, src, str(tmp_path / "dst"),
+            cols=list("abcdefgh"), bins=256,
+        )
+
+
+def test_manifest_handles_partitioned_tables(spark, tmp_path):
+    """base_path restores hive partition columns on the leaf-file
+    reads: update == rebuild holds with a PARTITION column in the stat
+    set, and a pruned read over it equals the plain filtered scan."""
+    import pytest
+
+    from jobhouse_spark.operators.maintenance import (
+        build_manifest,
+        manifest_pruned_read,
+        update_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    rows = [(i, i % 5) for i in range(200)]
+    spark.createDataFrame(rows, "id int, bucket int") \
+        .write.partitionBy("bucket").parquet(root)
+    m = build_manifest(spark, root, ["id", "bucket"])
+    m = spark.createDataFrame(m.collect(), m.schema)
+
+    # append a second batch; update must stat partition cols correctly
+    spark.createDataFrame([(i, i % 5) for i in range(200, 300)],
+                          "id int, bucket int") \
+        .write.mode("append").partitionBy("bucket").parquet(root)
+    updated = update_manifest(spark, root, m, ["id", "bucket"])
+    rebuilt = build_manifest(spark, root, ["id", "bucket"])
+    assert sorted(map(tuple, updated.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+    got = sorted(
+        map(tuple, manifest_pruned_read(
+            spark, updated, {"bucket": (2, 3), "id": (50, 250)},
+            base_path=root,
+        ).select("id", "bucket").collect())
+    )
+    want = sorted((i, b) for i, b in
+                  [(i, i % 5) for i in range(300)]
+                  if 2 <= b <= 3 and 50 <= i <= 250)
+    assert got == want
+
+    # empty manifest: refused loudly, not an untyped frame downstream
+    empty = updated.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty manifest"):
+        manifest_pruned_read(spark, empty, {"id": (0, 1)})
