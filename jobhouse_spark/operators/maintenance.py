@@ -153,6 +153,15 @@ def zorder_compact(
             f"or split the column set"
         )
     df = spark.read.parquet(src)
+    if "__z" in df.columns:
+        # withColumn would OVERWRITE a user column named __z and the
+        # final drop would silently delete it from the rewrite — the
+        # "pure rewrite" contract demands a loud refusal instead
+        raise ValueError(
+            "zorder_compact: source table has a column named '__z', "
+            "which collides with the internal z-value column — rename "
+            "it before clustering"
+        )
     n_files = plan_compaction(_dir_bytes(spark, src), target_file_bytes)
     rel_err = 1.0 / (4 * bins)
     probs = [i / bins for i in range(1, bins)]
@@ -177,6 +186,15 @@ def zorder_compact(
     )
     out.write.mode("overwrite").option("compression", compression).parquet(dst)
     return spark.read.parquet(dst)
+
+
+def _glob_escape(path: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters in a literal file
+    path, so `spark.read.parquet(path)` treats it verbatim. Needed
+    wherever `input_file_name()` output is fed back into a reader."""
+    import re  # noqa: PLC0415
+
+    return re.sub(r"([{}\[\]*?\\])", r"\\\1", path)
 
 
 def _stat_aggs(cols: list[str]):
@@ -247,7 +265,12 @@ def manifest_pruned_read(
         reader = spark.read
         if base_path is not None:
             reader = reader.option("basePath", base_path)
-        return reader.parquet(*paths)
+        # input_file_name() URIs are literal paths, but the reader
+        # GLOB-interprets its arguments — a hive partition value
+        # containing { } [ ] * ? would mis-resolve (or fail) the
+        # pruned read even though the full scan works, so backslash-
+        # escape every glob metachar (Hadoop GlobPattern honors \)
+        return reader.parquet(*[_glob_escape(p) for p in paths])
 
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
@@ -288,16 +311,24 @@ def update_manifest(
     of files to a 10^6-file table — the update scans ONLY those files
     (one grouped aggregate over the batch), never the table, the same
     frozen-state append contract as the IVF-PQ index (ann.pq_index_append).
-    File-set reconciliation is a driver-side listing + set difference,
-    bounded by FILE COUNT like every planner structure here."""
+    File-set reconciliation is a driver-side listing + set difference
+    over FILE NAMES only (what every planner holds); the manifest's
+    STAT ROWS never transit the driver — surviving rows are kept via a
+    broadcast left-semi join against the listing (and the join is
+    skipped entirely on the common append-only path where nothing
+    vanished)."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    current = set(_list_data_files(spark, root))
-    old_rows = [r for r in old_manifest.collect() if r.file in current]
-    known = {r.file for r in old_rows}
-    new_files = sorted(current - known)
-    kept = spark.createDataFrame(old_rows, old_manifest.schema) if old_rows \
-        else old_manifest.filter(F.lit(False))
+    current = _list_data_files(spark, root)
+    cur_set = set(current)
+    known = {r.file for r in old_manifest.select("file").collect()}
+    new_files = sorted(cur_set - known)
+    if known <= cur_set:
+        # append-only ingest: every old row survives verbatim
+        kept = old_manifest
+    else:
+        listing = spark.createDataFrame([(f,) for f in sorted(cur_set)], "file string")
+        kept = old_manifest.join(F.broadcast(listing), "file", "left_semi")
     if not new_files:
         return kept
     # basePath=root: on a hive-partitioned table a direct leaf-file

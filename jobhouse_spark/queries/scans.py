@@ -713,7 +713,14 @@ def s20_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e.write.partitionBy("day").parquet(root)
     removed = vacuum_partitions(spark, root, "day", _S20_CUTOFF)
-    assert removed and all(d < _S20_CUTOFF for d in removed)
+    # explicit raise, not assert: under `python -O` an assert is
+    # stripped and a vacuum regression would pass silently to the
+    # digest stage
+    if not removed or any(d >= _S20_CUTOFF for d in removed):
+        raise RuntimeError(
+            f"s20: vacuum removed unexpected partitions {removed!r} "
+            f"for cutoff {_S20_CUTOFF}"
+        )
     back = spark.read.parquet(root)
     row_str = F.concat_ws(
         ":", "event_id", "user_id", F.to_date("ts").cast("string")
