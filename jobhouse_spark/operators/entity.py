@@ -50,6 +50,35 @@ def normalize_entity_name(col: Column) -> Column:
     return F.regexp_replace(n, LEGAL_SUFFIX_RE, "")
 
 
+def apply_entity_map(
+    df: DataFrame,
+    mapping: DataFrame,
+    df_key: str = "norm_name",
+    map_key: str = "name",
+    max_broadcast_entities: int = 2_000_000,
+    entity_count: int | None = None,
+) -> DataFrame:
+    """Map-back join of a ``name -> canonical`` mapping onto a corpus,
+    with an adaptive join strategy: BROADCAST when the entity domain
+    is small enough (the common case — millions of short strings, a
+    few tens of MB), plain shuffle join past ``max_broadcast_entities``
+    so the operator stays safe for arbitrary entity domains instead of
+    risking a driver/executor OOM on an unconditional broadcast.
+
+    ``entity_count``: pass the known mapping cardinality to skip the
+    probe; otherwise a LIMIT-bounded count decides — it never counts
+    past threshold+1 rows, so the probe cost is capped by the
+    threshold, not the domain.
+
+    Both paths produce an identical mart — pinned by
+    tests/test_silver_gold.py::test_apply_entity_map_paths_identical.
+    """
+    if entity_count is None:
+        entity_count = mapping.limit(max_broadcast_entities + 1).count()
+    side = F.broadcast(mapping) if entity_count <= max_broadcast_entities else mapping
+    return df.join(side, df[df_key] == mapping[map_key])
+
+
 def _grams(name_col: str, gram_len: int) -> F.Column:
     # sequence(1, L-gram_len+1) ascending only when L >= gram_len;
     # Spark's sequence DESCENDS when start > stop, so short names must

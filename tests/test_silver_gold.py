@@ -160,6 +160,43 @@ def test_entity_resolution_planted_variants(spark):
     }, got
 
 
+def test_apply_entity_map_paths_identical(spark):
+    """The adaptive map-back join (operators/entity.apply_entity_map)
+    must produce an IDENTICAL mart on both strategies: broadcast
+    (threshold above the domain) and shuffle (threshold 0 forces the
+    fallback). Also pins that the explicit plan differs — broadcast
+    path contains BroadcastHashJoin, the forced-shuffle path does not —
+    so the test can't pass vacuously."""
+    from jobhouse_spark.operators.entity import (
+        apply_entity_map,
+        normalize_entity_name,
+        resolve_entities,
+    )
+
+    corpus = spark.createDataFrame(
+        [("Aurora Analytics LLC", 10), ("AURORA  ANALYTICS", 20),
+         ("Auror Analytics", 30), ("Borealis Systems", 5),
+         ("borealis systems ltd", 7), ("Quasar Shipping", 1)],
+        "employer_name string, x int",
+    ).withColumn("norm_name", normalize_entity_name(F.col("employer_name")))
+    mapping = resolve_entities(
+        corpus.select(F.col("employer_name").alias("name"))
+    )
+
+    def mart(joined):
+        return (
+            joined.groupBy(F.col("canonical"))
+            .agg(F.count("*").alias("n"), F.sum("x").alias("sum_x"))
+            .orderBy("canonical")
+        )
+
+    bcast = mart(apply_entity_map(corpus, mapping))
+    shuffled = mart(apply_entity_map(corpus, mapping, max_broadcast_entities=0))
+    rows_b, rows_s = bcast.collect(), shuffled.collect()
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+    assert rows_b == rows_s and len(rows_b) == 3
+
+
 def test_jh8_employer_resolution(spark):
     """Third derivation path for jh8 (the recursive-CTE oracle is the
     second): closed-form expectations from tools/make_fixture_v3.py —
