@@ -30,20 +30,17 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # One hash-checkable representative per SURVEY §2 family, 50 exactly.
 #
-# ROUND-11 ROTATION (VERDICT r10 task 8: keep the cross-round union
-# fresh): IN — the two operators new this round (jh8 entity-resolution
-# mart, s17 compaction invariance) plus six of the entries whose only
-# driver row dates to r01 (g10, j12, o2, p3, s10, s11). OUT — eight
-# anchors that just went green in the r10 head (s16, f4c, l4c, l5,
-# l5b, l6c, l9, l17); every family keeps at least one row (s1/f1 and
-# the new s17 cover S/F). The seven rows-only-by-contract entries
-# (SURVEY §2.C rule 6: g14, l2, l3b, l3c, l4b, l10, t7) stay pinned
-# with their hash-checked twins green (g14b, l2c/l2d, l3b2, l3c2,
-# l4b2, l10b, t7b) — guard: tests/test_entry_contract.py.
-# BACKLOG for the round-12 head: s18_zorder_invariance,
-# s19_manifest_pruned_scan, s20_retention_vacuum, jh9_repost_audit,
-# jh10_dq_scorecard (added after this rotation was pinned; each
-# hash-green in tools/driver_sim and gate).
+# ROUND-12 ROTATION (VERDICT r11 task 1: close the driver-row
+# backlog): IN — the five round-11 additions that post-dated the r11
+# head pin (s18 z-order invariance, s19 manifest-pruned scan, s20
+# retention vacuum, jh9 repost audit, jh10 DQ scorecard). OUT — five
+# multi-round-green anchors (l24b, l25, l26 green since their r10
+# head debut; jh6, jh7 green r10+r11); their families keep anchors
+# (l24/l27* for L-mixture/ANN, jh1/jh5/jh8/jh9/jh10 for marts). The
+# seven rows-only-by-contract entries (SURVEY §2.C rule 6: g14, l2,
+# l3b, l3c, l4b, l10, t7) stay pinned with their hash-checked twins
+# green (g14b, l2c/l2d, l3b2, l3c2, l4b2, l10b, t7b) — guard:
+# tests/test_entry_contract.py.
 _HEAD = (
     # family anchors — all driver-green in r01–r08
     "s1_parquet_scan",
@@ -88,9 +85,6 @@ _HEAD = (
     "t7_stateful_count",
     "t7b_stateful_count_checked",
     # round-8 additions that didn't fit the round-8 head
-    "l24b_token_budget_mixture",
-    "l25_curriculum_bins",
-    "l26_kmeans_refine_checked",
     "l27_pq_codes",
     "l27c_ivfpq_rerank",
     # ---- round-10 additions ----
@@ -98,11 +92,15 @@ _HEAD = (
     "l27d_ivfpq_stored_index",
     "l27e_ivfpq_index_append",
     "jh5_vacancy_lifecycle",
-    "jh6_salary_currency_mart",
-    "jh7_skill_extraction",
     # ---- round-11 additions ----
     "jh8_employer_resolution",
     "s17_compaction_invariance",
+    # ---- round-12 rotation: the r11 post-pin backlog ----
+    "s18_zorder_invariance",
+    "s19_manifest_pruned_scan",
+    "s20_retention_vacuum",
+    "jh9_repost_audit",
+    "jh10_dq_scorecard",
 )
 
 
