@@ -12,9 +12,17 @@ cost, not data volume), build the manifest once, then run the same
 selective aggregate via (a) full-path read + predicate, (b)
 manifest_pruned_read. Median-of-3 walls + the planned file count.
 
+`--update=1` adds the incremental-maintenance measurement (round 12):
+append a small ingest batch to the fragmented table, then time
+`update_manifest` (stats ONLY the batch; old stat rows never transit
+the driver) against a full `build_manifest` rebuild, plus the
+with-vanish path (delete a few files → broadcast semi-join reconcile).
+update ≡ rebuild is asserted distributed (exceptAll both ways).
+
 Usage:
   python tools/manifest_bench.py [sf_dir] [--table=events]
          [--key=event_id] [--files=2000] [--sel=0.001] [--json=PATH]
+         [--update=1] [--batch_files=10]
 """
 
 from __future__ import annotations
@@ -114,6 +122,62 @@ def main() -> None:
                          / max(1e-9, results["manifest"]["wall_median"]), 1),
         "detail": results,
     }
+    if opt.get("update") == "1":
+        from jobhouse_spark.operators.maintenance import update_manifest
+
+        batch_files = int(opt.get("batch_files", "10"))
+        # ingest batch: a disjoint-keyed slice re-written as new files
+        batch = (src.limit(batch_files * 1000)
+                 .withColumn(key, F.col(key) + F.lit(int(hi_all) + 1_000_000)))
+        batch.repartition(batch_files).write.mode("append").parquet(data)
+
+        t0 = time.perf_counter()
+        upd = update_manifest(spark, data, manifest, [key])
+        n_upd = upd.count()
+        update_sec = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        reb = build_manifest(spark, data, [key])
+        n_reb = reb.count()
+        rebuild_sec = round(time.perf_counter() - t0, 2)
+
+        if n_upd != n_reb or upd.exceptAll(reb).count() or reb.exceptAll(upd).count():
+            raise RuntimeError(
+                f"update != rebuild at {files_on_disk} files "
+                f"({n_upd} vs {n_reb} rows)"
+            )
+
+        # persist the refreshed manifest (what a real deployment keeps
+        # between maintenance runs) so the vanish step reconciles a
+        # stored table, not a lazy plan over soon-deleted files
+        upd.write.mode("overwrite").parquet(f"{base}/manifest")
+        upd = spark.read.parquet(f"{base}/manifest")
+
+        # with-vanish path: drop a few data files, reconcile via the
+        # broadcast semi-join (old stat rows stay distributed)
+        import glob as _glob
+        victims = sorted(_glob.glob(f"{data}/part-*.parquet"))[:3]
+        for v in victims:
+            os.remove(v)
+        t0 = time.perf_counter()
+        upd2 = update_manifest(spark, data, upd, [key])
+        n_upd2 = upd2.count()
+        vanish_update_sec = round(time.perf_counter() - t0, 2)
+        if n_upd2 != n_upd - len(victims):
+            raise RuntimeError(
+                f"vanish reconcile wrong: {n_upd2} rows, expected "
+                f"{n_upd - len(victims)}"
+            )
+        summary["update"] = {
+            "batch_files": batch_files,
+            "append_update_sec": update_sec,
+            "rebuild_sec": rebuild_sec,
+            "rebuild_over_update": round(rebuild_sec / max(1e-9, update_sec), 1),
+            "vanish_files": len(victims),
+            "vanish_update_sec": vanish_update_sec,
+            "manifest_rows_final": n_upd2,
+        }
+
     print(json.dumps(summary))
     out = opt.get("json")
     if out:
