@@ -82,7 +82,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # (win_hof — the HOF sits inside the window ORDER BY), and set-ops
 # whose branch outputs are extracted JSON values (setop_json, incl.
 # the ALL bag variants). All three are dialect-pair shapes.
-GRAMMAR_VERSION = 7
+# v8 adds the SILVER UNIVERSE (VERDICT r11 task 5, tools/silver_fuzz.py):
+# `set_universe()` points the same generator at the engine's OWN silver
+# output — a postings table materialized by the bronze->silver pipeline
+# (jobhouse_gold._silver_v4) plus two derived dims (areas, employers),
+# all read from the SAME parquet by both engines. Nullable salary
+# longs, dirty employer/area strings and pipeline-produced timestamps
+# are the substrate where standardization-dependent divergence would
+# hide; the silver campaign restricts to GENERIC_SHAPES (the v6/v7
+# json/hof/interval shapes hardcode events/embeddings). v8 also
+# respells FLOAT literals in e-notation (see Gen.constant): silver
+# seed 19 proved a plain 17-digit literal types DECIMAL(17,11) in
+# DuckDB, whose decimal->double cast can land 1 ULP off the
+# correctly-rounded double Spark parses directly — a boundary
+# constant sampled FROM a stored double then compares unequal to its
+# own source row in DuckDB only. The shape list matches v7, but the
+# literal respelling means v8 seeds are not text-identical to v7's.
+GRAMMAR_VERSION = 8
 
 TABLES: dict[str, dict[str, str]] = {
     "lineitem": {
@@ -213,10 +229,50 @@ def build_pools(duck) -> dict:
 # ---------------------------------------------------------------------------
 
 
+# the v7 shape list, verbatim — the default universe's seed mapping
+# depends on this exact sequence
+FULL_SHAPES = ["agg", "agg", "distinct", "window",
+               "setop", "scalar_sub", "having",
+               "exists_sub", "in_sub",
+               "rollup", "topk", "lag", "antijoin",
+               "union_reagg",
+               # v5 surface
+               "frame_rows", "frame_range",
+               "grouping_sets", "setop_multi",
+               # v6 surface (dialect-pair shapes)
+               "json_path", "json_path",
+               "interval_arith", "interval_arith",
+               "array_hof", "array_hof",
+               # v7 composition surface (dialect-pair)
+               "win_json", "win_json",
+               "win_hof", "win_hof",
+               "setop_json"]
+
+# universe-agnostic shapes: everything that reads only TABLES/PK/FKS
+# (the v6/v7 shapes hardcode events.props / embeddings.embedding)
+GENERIC_SHAPES = ["agg", "agg", "distinct", "window",
+                  "setop", "scalar_sub", "having",
+                  "exists_sub", "in_sub",
+                  "rollup", "topk", "lag", "antijoin",
+                  "union_reagg",
+                  "frame_rows", "frame_range",
+                  "grouping_sets", "setop_multi"]
+
+
+def set_universe(tables, pk, fks) -> None:
+    """Swap the generator's table universe (v8): the Gen machinery
+    reads the module globals, so a campaign over a different substrate
+    (e.g. the silver domain tables) re-points them before build_pools.
+    Callers must also pass a compatible ``shapes`` list to Gen."""
+    global TABLES, PK, FKS  # noqa: PLW0603
+    TABLES, PK, FKS = tables, pk, fks
+
+
 class Gen:
-    def __init__(self, seed: int, pools):
+    def __init__(self, seed: int, pools, shapes=None):
         self.r = random.Random(seed * 1_000_003 + 17)
         self.pools = pools
+        self.shapes = shapes or FULL_SHAPES
 
     # -- scope: a FROM clause with typed, qualified columns ------------
     def scope(self, max_joins: int = 2):
@@ -253,6 +309,15 @@ class Gen:
             return f"'{v}'"
         if ty == "ts":
             return f"TIMESTAMP '{v}'"
+        if ty == "float" and "e" not in v:
+            # e-notation forces a DOUBLE literal in BOTH engines. A
+            # plain high-precision literal is DECIMAL(17,11) in DuckDB,
+            # whose decimal->double cast can land 1 ULP off the
+            # correctly-rounded value Spark parses directly — so a
+            # boundary constant sampled FROM a stored double (silver
+            # campaign, seed 19) compares unequal to its own source
+            # row in DuckDB only. Grammar-v8 contract lesson.
+            return f"{v}e0"
         return v
 
     # -- predicates ----------------------------------------------------
@@ -366,22 +431,7 @@ class Gen:
     # -- query templates ----------------------------------------------
     def query(self) -> str:
         r = self.r
-        shape = r.choice(["agg", "agg", "distinct", "window",
-                          "setop", "scalar_sub", "having",
-                          "exists_sub", "in_sub",
-                          "rollup", "topk", "lag", "antijoin",
-                          "union_reagg",
-                          # v5 surface
-                          "frame_rows", "frame_range",
-                          "grouping_sets", "setop_multi",
-                          # v6 surface (dialect-pair shapes)
-                          "json_path", "json_path",
-                          "interval_arith", "interval_arith",
-                          "array_hof", "array_hof",
-                          # v7 composition surface (dialect-pair)
-                          "win_json", "win_json",
-                          "win_hof", "win_hof",
-                          "setop_json"])
+        shape = r.choice(self.shapes)
         if shape in ("agg", "having"):
             frm, _, cols = self.scope()
             keys = [self.group_key(cols) for _ in range(r.randrange(3))]
@@ -891,7 +941,7 @@ class Gen:
 
 
 def run_campaign(spark, duck, pools, seeds, verbose=True, row_cap=None,
-                 skipped_large=None):
+                 skipped_large=None, shapes=None):
     """row_cap: at scale-ladder dirs, a random group key can be a
     primary key, making the result CORPUS-SIZED (seed 1023 at 30x:
     GROUP BY o_orderkey = 45M groups, which is a collect-compare
@@ -904,7 +954,7 @@ def run_campaign(spark, duck, pools, seeds, verbose=True, row_cap=None,
 
     failures = []
     for seed in seeds:
-        q = Gen(seed, pools).query()
+        q = Gen(seed, pools, shapes).query()
         # v6 dialect-pair shapes return (spark_sql, duck_sql) — same
         # rng decisions, per-engine function spellings (see GRAMMAR
         # docstring); plain shapes return one shared string
