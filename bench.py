@@ -51,6 +51,11 @@ def main() -> None:
     # repeats so repeat N+1 doesn't inherit repeat N's uncollected
     # shuffle/broadcast state (the 1000x median-of-3 OOM cause)
     ap.add_argument("--gc-between-repeats", action="store_true")
+    # round-12 second section: the 19-query headline set predates the
+    # maintenance/entity operators; --no-ops-section turns the extra
+    # block off for special runs (scale ladders) where only the
+    # baseline-comparable headline matters
+    ap.add_argument("--no-ops-section", action="store_true")
     args = ap.parse_args()
 
     # contention telltale #1: 1-min load average BEFORE this process
@@ -79,42 +84,61 @@ def main() -> None:
     # one warm-up action so JVM/codegen startup isn't billed to the first query
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    cpu_timings: dict[str, float] = {}
+    def run_set(names_to_q, spreads_acc):
+        wall_out: dict[str, float] = {}
+        cpu_out: dict[str, float] = {}
+        for name in sorted(names_to_q):
+            q = names_to_q[name]
+            walls: list[float] = []
+            cpus: list[float] = []
+            for rep in range(max(1, args.repeat)):
+                if args.gc_between_repeats and rep > 0:
+                    # driver System.gc() collects the weak refs that gate
+                    # ContextCleaner, releasing the previous repeat's
+                    # shuffle files + broadcast blocks before this one
+                    # allocates its own (GC time is NOT billed to the query)
+                    spark.sparkContext._jvm.System.gc()
+                    time.sleep(0.5)  # let the cleaner queue drain
+                t0 = time.perf_counter()
+                c0 = time.process_time()
+                df = q.fn(spark, args.sf_dir)
+                # Force execution with a noop-sink write, not count():
+                # Catalyst can prune work under a count (final orderBy,
+                # projection-only columns), so count() under-measures
+                # sort/projection queries. The noop v2 sink consumes every
+                # row and column and discards them — the honest forcer.
+                df.write.format("noop").mode("overwrite").save()
+                walls.append(time.perf_counter() - t0)
+                cpus.append(time.process_time() - c0)
+            wall_out[name] = round(statistics.median(walls), 4)
+            cpu_out[name] = round(statistics.median(cpus), 4)
+            if len(walls) >= 2 and min(walls) > 0:
+                # contention telltale #2: repeat-to-repeat spread. Repeat 1
+                # carries plan-compile/codegen warm-up (1.3-1.5x on
+                # sub-second queries even idle), so the spread is computed
+                # over the WARM repeats — idle-box warm spread is a few
+                # percent; under a co-tenant it diverges wildly.
+                warm = walls[1:] if len(walls) >= 3 else walls
+                spreads_acc.append(max(warm) / min(warm))
+        return wall_out, cpu_out
+
     spreads: list[float] = []
-    for name in sorted(qs):
-        q = qs[name]
-        walls: list[float] = []
-        cpus: list[float] = []
-        for rep in range(max(1, args.repeat)):
-            if args.gc_between_repeats and rep > 0:
-                # driver System.gc() collects the weak refs that gate
-                # ContextCleaner, releasing the previous repeat's
-                # shuffle files + broadcast blocks before this one
-                # allocates its own (GC time is NOT billed to the query)
-                spark.sparkContext._jvm.System.gc()
-                time.sleep(0.5)  # let the cleaner queue drain
-            t0 = time.perf_counter()
-            c0 = time.process_time()
-            df = q.fn(spark, args.sf_dir)
-            # Force execution with a noop-sink write, not count():
-            # Catalyst can prune work under a count (final orderBy,
-            # projection-only columns), so count() under-measures
-            # sort/projection queries. The noop v2 sink consumes every
-            # row and column and discards them — the honest forcer.
-            df.write.format("noop").mode("overwrite").save()
-            walls.append(time.perf_counter() - t0)
-            cpus.append(time.process_time() - c0)
-        timings[name] = round(statistics.median(walls), 4)
-        cpu_timings[name] = round(statistics.median(cpus), 4)
-        if len(walls) >= 2 and min(walls) > 0:
-            # contention telltale #2: repeat-to-repeat spread. Repeat 1
-            # carries plan-compile/codegen warm-up (1.3-1.5x on
-            # sub-second queries even idle), so the spread is computed
-            # over the WARM repeats — idle-box warm spread is a few
-            # percent; under a co-tenant it diverges wildly.
-            warm = walls[1:] if len(walls) >= 3 else walls
-            spreads.append(max(warm) / min(warm))
+    timings, cpu_timings = run_set(qs, spreads)
+
+    # SECOND SECTION (round 12): the round-11 operator surface — entity
+    # resolution, compaction, manifest-pruned read — measured with the
+    # identical protocol but reported under SEPARATE keys, so the
+    # headline total stays comparable to the round-6 BASELINE (which
+    # predates these operators). Spreads feed the same contention flag.
+    _OPS_SECTION = ("jh8_employer_resolution", "s17_compaction_invariance",
+                    "s19_manifest_pruned_scan")
+    ops_timings: dict[str, float] = {}
+    ops_cpu: dict[str, float] = {}
+    if args.tag == "headline" and not args.no_ops_section:
+        all_qs = all_queries()
+        ops_qs = {n: all_qs[n] for n in _OPS_SECTION
+                  if n in all_qs and n not in skipped}
+        ops_timings, ops_cpu = run_set(ops_qs, spreads)
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 4)
@@ -152,6 +176,12 @@ def main() -> None:
                 "contended": contended,
                 **({"skipped": skipped} if skipped else {}),
                 **({"gc_between_repeats": True} if args.gc_between_repeats else {}),
+                # separate keys: NOT part of the baseline-comparable
+                # headline total (BASELINE.md documents the split)
+                **({"ops_queries": ops_timings,
+                    "ops_cpu_sec": ops_cpu,
+                    "ops_total": round(sum(ops_timings.values()), 4)}
+                   if ops_timings else {}),
             }
         )
     )

@@ -118,6 +118,7 @@ def resolve_entities(
     gram_len: int = 4,
     max_dist: int = 2,
     max_iterations: int = 20,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Return ``(name, canonical)`` — one row per DISTINCT input name,
     already normalized; ``canonical`` is the lexicographic minimum
@@ -154,6 +155,11 @@ def resolve_entities(
     join shuffles on the gram key with bucket sizes bounded by prefix
     membership; exactness at cardinality is asserted by
     tools/entity_scale_bench.py (E entities -> exactly E clusters).
+
+    ``stats_out``: pass a dict to receive per-stage volume counters
+    (nodes, strata sizes, candidate pairs per stratum, verified edges,
+    prefix-bucket size max/p99). Counting forces extra jobs — bench
+    instrumentation only, leave None in production pipelines.
     """
     short_bound = gram_len * (max_dist + 1)  # gram guarantee needs len >= this
     prefix_len = gram_len * max_dist + 1
@@ -205,9 +211,34 @@ def resolve_entities(
         .distinct()
     )
 
+    if stats_out is not None:
+        nodes = nodes.persist()
+        cand_long = cand_long.persist()
+        cand_short = cand_short.persist()
+        bucket = (
+            prefix.groupBy("gram").agg(F.count("*").alias("n"))
+            .agg(
+                F.max("n").alias("mx"),
+                F.expr("percentile_approx(n, 0.99)").alias("p99"),
+            )
+            .first()
+        )
+        stats_out.update(
+            nodes=nodes.count(),
+            long_names=long_names.count(),
+            short_names=short_names.count(),
+            cand_long=cand_long.count(),
+            cand_short=cand_short.count(),
+            prefix_bucket_max=int(bucket.mx) if bucket.mx is not None else 0,
+            prefix_bucket_p99=int(bucket.p99) if bucket.p99 is not None else 0,
+        )
+
     edges = cand_long.unionAll(cand_short).filter(
         F.levenshtein("src", "dst") <= max_dist
     )
+    if stats_out is not None:
+        edges = edges.persist()
+        stats_out["edges"] = edges.count()
     comp = connected_components(
         nodes, edges, node_col="name", max_iterations=max_iterations
     )

@@ -25,9 +25,26 @@ region, which deletion/substitution typos leave intact past the edit
 point). The df cap is what keeps the inverted-index join linear-ish —
 this ladder measures exactly that mechanism.
 
+`--corpus=zipf` (round 12) swaps the adversarial GRID corpus for a
+REALISTIC one: real name corpora are cohort-structured — a power-law
+head of brand stems shared by many entities ("Aurora Capital", "Aurora
+Consulting", ...) and a long tail of one-off names — not a grid where
+every word is shared by sqrt(E) entities. Construction: cohort k gets
+``max(1, floor(C * k^-1.1))`` members (capped at 1000); every member
+of a cohort shares a two-word brand (A[k%1000] + B[k//1000], the same
+pairwise-Levenshtein>=5 separated lists) and is distinguished by a
+third word from a separated 1000-list, hash-rotated per cohort so the
+tail doesn't concentrate on one token. Separation argument: any two
+distinct entities differ in at least one component word by >= 5, so a
+distance-2 threshold cannot bridge them even typo-to-typo — exact
+recovery stays assertable at any E. The rung records per-stage
+candidate-pair counts (resolve_entities stats_out) to establish the
+production operating point the adversarial grid's E^1.4 wall
+overstates.
+
 Usage:
   python tools/entity_scale_bench.py [--entities=100000] [--rows-per=5]
-         [--json=PATH]
+         [--corpus=grid|zipf] [--json=PATH]
 """
 
 from __future__ import annotations
@@ -67,6 +84,80 @@ def make_wordlist(seed: int, n: int, min_dist: int = 5) -> list[str]:
     return words
 
 
+def _zipf_base(spark, F, n_entities: int, c_head: int):
+    """Cohort-structured corpus: power-law head of shared brands +
+    singleton tail; see module docstring. Returns (id, base).
+
+    Brand words are per-cohort pseudo-random 5-syllable CVC strings
+    (space 1805^5 ~ 1.9e16): vocabulary cardinality grows WITH the
+    corpus, which is the property that separates a real name corpus
+    from the adversarial grid — brand-interior grams have df ~ cohort
+    size, so prefix buckets stay bounded and candidate volume stays
+    near-linear. Cross-cohort separation is probabilistic but
+    overwhelming (expected d<=4 brand pairs < 1 at 1M cohorts; a
+    collision would break clusters == E and be visible). Within a
+    cohort the distinguisher comes from the pairwise-Levenshtein>=5
+    separated 1000-list, so same-brand entities are provably
+    unbridgeable at distance 2."""
+    sizes: list[int] = []
+    total, k = 0, 1
+    while total < n_entities:
+        s = min(1000, max(1, int(c_head * k ** -1.1)))
+        if s == 1:
+            break  # the rest of the corpus is the singleton tail
+        sizes.append(s)
+        total += s
+        k += 1
+    while total > n_entities and sizes:
+        trim = min(sizes[-1], total - n_entities)
+        sizes[-1] -= trim
+        total -= trim
+        if sizes[-1] == 0:
+            sizes.pop()
+    n_tail = n_entities - total
+    nn = make_wordlist(37, 1000)
+    n_arr = F.array(*[F.lit(w) for w in nn])
+    cons, vow = "bcdfghjklmnpqrstvwz", "aeiou"
+    cons_arr = F.array(*[F.lit(c) for c in cons])
+    vow_arr = F.array(*[F.lit(v) for v in vow])
+
+    def brand(cohort):
+        # 5 pseudo-random CVC syllables from the cohort id — pure
+        # codegen (hash + element_at), no driver-side vocabulary
+        parts = []
+        for s in range(5):
+            for arr, card, salt in ((cons_arr, 19, s * 3),
+                                    (vow_arr, 5, s * 3 + 1),
+                                    (cons_arr, 19, s * 3 + 2)):
+                idx = F.pmod(F.hash(cohort, F.lit(salt)), F.lit(card)) + 1
+                parts.append(F.element_at(arr, idx.cast("int")))
+        return F.concat(*parts)
+
+    head = (
+        spark.createDataFrame(
+            [(i, s) for i, s in enumerate(sizes)], "cohort long, size long"
+        )
+        .select(
+            "cohort",
+            F.explode(F.sequence(F.lit(0), F.col("size") - 1)).alias("j"),
+        )
+    )
+    tail = spark.range(n_tail).select(
+        (F.lit(len(sizes)) + F.col("id")).alias("cohort"),
+        F.lit(0).alias("j"),
+    )
+    ents = head.unionByName(tail).repartition(32)
+    m = (F.col("j") + F.pmod(F.hash("cohort"), F.lit(1000))) % 1000
+    return ents.select(
+        F.monotonically_increasing_id().alias("id"),
+        F.concat(
+            brand(F.col("cohort")),
+            F.lit(" "),
+            F.element_at(n_arr, (m + 1).cast("int")),
+        ).alias("base"),
+    )
+
+
 def main() -> None:
     opt = {a.split("=")[0][2:]: a.split("=", 1)[1]
            for a in sys.argv[1:] if a.startswith("--") and "=" in a}
@@ -93,23 +184,27 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    side = math.isqrt(n_entities - 1) + 1
-    adjs = make_wordlist(11, side)
-    nouns = make_wordlist(23, side)
-    adj_arr = F.array(*[F.lit(w) for w in adjs])
-    noun_arr = F.array(*[F.lit(w) for w in nouns])
+    corpus = opt.get("corpus", "grid")
+    if corpus == "zipf":
+        base = _zipf_base(spark, F, n_entities, int(opt.get("zipf-c", "2000")))
+    else:
+        side = math.isqrt(n_entities - 1) + 1
+        adjs = make_wordlist(11, side)
+        nouns = make_wordlist(23, side)
+        adj_arr = F.array(*[F.lit(w) for w in adjs])
+        noun_arr = F.array(*[F.lit(w) for w in nouns])
 
-    base = (
-        spark.range(n_entities)
-        .withColumn(
-            "base",
-            F.concat(
-                F.element_at(adj_arr, (F.col("id") % side + 1).cast("int")),
-                F.lit(" "),
-                F.element_at(noun_arr, (F.col("id") / side + 1).cast("int")),
-            ),
+        base = (
+            spark.range(n_entities)
+            .withColumn(
+                "base",
+                F.concat(
+                    F.element_at(adj_arr, (F.col("id") % side + 1).cast("int")),
+                    F.lit(" "),
+                    F.element_at(noun_arr, (F.col("id") / side + 1).cast("int")),
+                ),
+            )
         )
-    )
     # the fixture-v3 variant kinds, as JVM-side string surgery
     variants = base.select(
         "id",
@@ -131,8 +226,14 @@ def main() -> None:
     )
     n_raw = variants.count()
 
+    stage_stats: dict = {}
+    gram_len = int(opt.get("gram-len", "4"))
     t0 = time.perf_counter()
-    mapping = resolve_entities(variants.select("name"))
+    mapping = resolve_entities(
+        variants.select("name"),
+        gram_len=gram_len,
+        stats_out=stage_stats if opt.get("stats", "1") == "1" else None,
+    )
     mapping = mapping.persist()
     n_nodes = mapping.count()
     resolve_wall = round(time.perf_counter() - t0, 1)
@@ -170,7 +271,10 @@ def main() -> None:
 
     summary = {
         "metric": "entity_scale_bench",
+        "corpus": corpus,
+        "stage_stats": stage_stats,
         "entities": n_entities,
+        "gram_len": gram_len,
         "raw_names": n_raw,
         "distinct_normalized": n_nodes,
         "clusters": int(stats.clusters),
