@@ -696,6 +696,66 @@ def pq_reconstruct(codes_col, codebooks: list[list[list[int]]]):
     )
 
 
+def _encode_vectorized(mv_col, centroids, codebooks, dim_total: int):
+    """Arrow-batched exact-integer IVF-PQ encoder: numpy matmuls over
+    the ALREADY-QUANTIZED micro vectors (the JVM's micro_vec output, so
+    there is no second quantization that could disagree with the
+    expression path). Bit-exact equivalence argument: micro components
+    are |x| <= ~1.2e6, so every product (<= 1.5e12), squared norm and
+    distance key (<= ~1.8e14) is an integer below 2^53 — float64
+    represents each EXACTLY, argmin ties break on the lowest index in
+    both paths (np.argmin first-minimum == the (dist, idx) array_sort).
+    Pinned by tests/test_pq.py::test_vectorized_encode_equals_expr.
+
+    Why it exists: the HOF expression path evaluates ~2.3 us per
+    zip_with/aggregate (vectors.py dot_micro cost note) x n_cells +
+    n_sub*n_codes per ROW — ~0.2 ms/row at 48 cells, hours at 10M
+    rows. One matmul per Arrow batch amortizes that to microseconds
+    per row, and the centroid matrix rides in the closure, so plan
+    size is constant (no _EXPR_COMPONENT_LIMIT — large cell counts
+    become possible, which the 10M rung needs)."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    cents = np.asarray(centroids, dtype=np.float64)  # (C, D) exact
+    c_sq = (cents * cents).sum(axis=1)  # exact ints in f8
+    subs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    sub_sq = [(s * s).sum(axis=1) for s in subs]
+    sub_dims = [s.shape[1] for s in subs]
+
+    @pandas_udf("cell int, codes array<int>")
+    def enc(mv: pd.Series) -> pd.DataFrame:
+        cell_out = np.empty(len(mv), dtype=object)
+        codes_out = np.empty(len(mv), dtype=object)
+        mask = mv.notna().to_numpy()
+        if mask.any():
+            rows = mv[mask].to_numpy()
+            bad = [len(r) for r in rows if len(r) != dim_total]
+            if bad:
+                raise ValueError(
+                    f"pq encode: expected {dim_total}-dim vector, got "
+                    f"size={bad[0]}"
+                )
+            mat = np.stack(rows).astype(np.float64)  # int64 -> f8 exact
+            # ||v - c||^2 ordering == (||c||^2 - 2 v.c) ordering: the
+            # difference is the per-row constant ||v||^2, and every
+            # quantity is an exact integer in f8
+            cell = np.argmin(c_sq - 2.0 * (mat @ cents.T), axis=1)
+            code_cols = []
+            off = 0
+            for s, ssq, sd in zip(subs, sub_sq, sub_dims):
+                sub = mat[:, off:off + sd]
+                code_cols.append(np.argmin(ssq - 2.0 * (sub @ s.T), axis=1))
+                off += sd
+            codes = np.stack(code_cols, axis=1).astype("int32")
+            for pos, c, row in zip(np.flatnonzero(mask), cell, codes):
+                cell_out[pos] = int(c)
+                codes_out[pos] = row
+        return pd.DataFrame({"cell": pd.Series(cell_out),
+                             "codes": pd.Series(codes_out)})
+
+    return enc(mv_col)
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: list[list[list[int]]],
@@ -727,6 +787,7 @@ def pq_build_index(
     codebooks: list[list[list[int]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "auto",
 ) -> DataFrame:
     """(vec_id, cell, codes): the PERSISTED IVF-PQ index payload — one
     map-only corpus pass emitting a coarse-cell id + n_sub code bytes
@@ -735,7 +796,28 @@ def pq_build_index(
     the round-9 30x curve measured the inline featurization dominating
     every end-to-end wall (30-110 s per batch), which is exactly why
     the index is built once and stored (stored-path marginal walls:
-    SCALE.md round 9)."""
+    SCALE.md round 9).
+
+    ``strategy``: 'expr' = literal-array HOF expressions (plan grows
+    O(components), the original path); 'vectorized' = Arrow-batched
+    exact-integer numpy encode (_encode_vectorized — bit-identical
+    output, constant plan size, ~100x the per-row throughput, no
+    component limit); 'auto' = vectorized. Both paths quantize via the
+    JVM micro_vec, so the stored index is byte-identical either way
+    (pinned by tests/test_pq.py::test_vectorized_encode_equals_expr).
+    """
+    from jobhouse_spark.functions.vectors import micro_vec  # noqa: PLC0415
+
+    mv = micro_vec(F.col(vec_col))
+    dim_total = sum(len(cb[0]) for cb in codebooks)
+    if strategy == "auto":
+        strategy = "vectorized"
+    if strategy == "vectorized":
+        enc = _encode_vectorized(mv, centroids, codebooks, dim_total)
+        return corpus.select(
+            F.col(id_col).alias("vec_id"), enc.alias("_e")
+        ).select("vec_id", F.col("_e.cell").alias("cell"),
+                 F.col("_e.codes").alias("codes"))
     n_components = _pq_components(codebooks) + len(centroids) * (
         len(centroids[0]) if centroids else 0
     )
@@ -744,10 +826,6 @@ def pq_build_index(
             f"{n_components} centroid+codebook components exceed the "
             f"{_EXPR_COMPONENT_LIMIT}-component plan-size limit"
         )
-    from jobhouse_spark.functions.vectors import micro_vec  # noqa: PLC0415
-
-    mv = micro_vec(F.col(vec_col))
-    dim_total = sum(len(cb[0]) for cb in codebooks)
     return corpus.select(
         F.col(id_col).alias("vec_id"),
         _nearest_centroid_expr(mv, centroids, k=1, integer_micro=True)[0].alias(

@@ -213,6 +213,25 @@ def test_trained_coarse_partial_probe_recall(spark, sf_dir, emb):
     assert rec >= 0.5, f"trained partial-probe recall@10 {rec:.2f}"
 
 
+def test_vectorized_encode_equals_expr(spark, sf_dir):
+    """The Arrow-batched encoder (round 12) must be BIT-IDENTICAL to
+    the literal-expression path on every row: both consume the JVM
+    micro_vec output, every distance key is an exact integer below
+    2^53 (exactly representable in float64), and ties break on the
+    lowest index in both. Checked over the full sf embeddings table —
+    any (cell, codes) divergence fails."""
+    from jobhouse_spark.operators.ann import pq_build_index
+
+    emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_fixed_centroids(42, 8, DIM)
+    cbs = pq_fixed_codebooks(7, N_SUB, N_CODES, SUB_DIM)
+    expr = pq_build_index(emb_df, cents, cbs, strategy="expr")
+    vec = pq_build_index(emb_df, cents, cbs, strategy="vectorized")
+    a = {r.vec_id: (r.cell, tuple(r.codes)) for r in expr.collect()}
+    b = {r.vec_id: (r.cell, tuple(r.codes)) for r in vec.collect()}
+    assert len(a) > 0 and a == b
+
+
 def test_stored_index_search_matches_inline(spark, sf_dir, tmp_path):
     """The production split — pq_build_index written to parquet, read
     back, served by ivf_pq_search — must return exactly what the
