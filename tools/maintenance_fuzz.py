@@ -39,12 +39,15 @@ Usage:
 from __future__ import annotations
 
 import collections
+import concurrent.futures
+import glob
 import json
 import os
 import random
 import shutil
 import sys
 import tempfile
+import threading
 import time
 from datetime import date, timedelta
 
@@ -81,6 +84,7 @@ def run_trajectory(spark, seed: int, n_steps: int, stats: dict) -> None:
     )
 
     rng = random.Random(seed)
+    duck_con = duckdb.connect()
     base = tempfile.mkdtemp(prefix=f"jh_mfuzz_{seed}_")
     root = f"{base}/t"
     model: collections.Counter = collections.Counter()  # (id,a,b,day) -> n
@@ -100,7 +104,12 @@ def run_trajectory(spark, seed: int, n_steps: int, stats: dict) -> None:
     def check_content(step: str) -> None:
         got = collections.Counter(
             (r.id, r.a, r.b, r.day)
-            for r in spark_read().select("id", "a", "b", "day").collect()
+            # cast: under partition-type inference day reads as DATE;
+            # the model is ISO strings — a type difference is not a
+            # content divergence (works under any caller's session)
+            for r in spark_read().select(
+                "id", "a", "b", F.col("day").cast("string").alias("day")
+            ).collect()
         )
         if got != model:
             raise AssertionError(
@@ -110,9 +119,11 @@ def run_trajectory(spark, seed: int, n_steps: int, stats: dict) -> None:
                 f"{list((model - got).items())[:3]} missing)"
             )
         # second derivation: a FOREIGN reader over the same bytes
+        # (per-trajectory connection — the module-level default
+        # connection is not safe under the thread pool)
         duck = collections.Counter(
             (r[0], r[1], r[2], r[3])
-            for r in duckdb.sql(
+            for r in duck_con.sql(
                 # DuckDB also type-infers the partition value to DATE;
                 # cast back to the model's ISO string
                 f"SELECT id, a, b, CAST(day AS VARCHAR) FROM read_parquet("
@@ -140,7 +151,9 @@ def run_trajectory(spark, seed: int, n_steps: int, stats: dict) -> None:
             (r.id, r.a, r.b, r.day)
             for r in manifest_pruned_read(
                 spark, manifest, {"a": (lo, hi)}, base_path=root
-            ).select("id", "a", "b", "day").collect()
+            ).select(
+                "id", "a", "b", F.col("day").cast("string").alias("day")
+            ).collect()
         )
         full = collections.Counter(
             (i, a, b, d) for (i, a, b, d), n in model.items()
@@ -243,23 +256,44 @@ def main() -> None:
 
     stats = {"ops": collections.Counter(), "checks": 0,
              "rebuild_checks": 0, "skipped_steps": 0}
+    lock = threading.Lock()
     t0 = time.perf_counter()
-    failures = []
-    for i in range(n_traj):
-        seed = seed0 + i
+    failures: list[str] = []
+    done = [0]
+
+    def one(seed: int) -> None:
+        local = {"ops": collections.Counter(), "checks": 0,
+                 "rebuild_checks": 0, "skipped_steps": 0}
         try:
-            run_trajectory(spark, seed, n_steps, stats)
+            run_trajectory(spark, seed, n_steps, local)
         except AssertionError as exc:  # divergence — record, keep going
-            failures.append(str(exc))
-            if len(failures) >= 5:
-                break
+            with lock:
+                failures.append(str(exc))
         finally:
-            for leftover in __import__("glob").glob(f"{tempfile.gettempdir()}/jh_mfuzz_{seed}_*"):
+            for leftover in glob.glob(
+                    f"{tempfile.gettempdir()}/jh_mfuzz_{seed}_*"):
                 shutil.rmtree(leftover, ignore_errors=True)
-        if (i + 1) % 20 == 0:
-            print(f"... {i + 1}/{n_traj} trajectories, "
-                  f"{stats['checks']} checks, {len(failures)} failures",
-                  file=sys.stderr)
+        with lock:
+            stats["ops"].update(local["ops"])
+            for k in ("checks", "rebuild_checks", "skipped_steps"):
+                stats[k] += local[k]
+            done[0] += 1
+            if done[0] % 20 == 0:
+                print(f"... {done[0]}/{n_traj} trajectories, "
+                      f"{stats['checks']} checks, {len(failures)} failures",
+                      file=sys.stderr)
+
+    # trajectories are independent (own temp dir, own RNG, own model);
+    # a thread pool overlaps their many tiny Spark jobs
+    workers = int(opt.get("workers", "8"))
+    with concurrent.futures.ThreadPoolExecutor(workers) as pool:
+        futs = [pool.submit(one, seed0 + i) for i in range(n_traj)]
+        for f in futs:
+            f.result()
+            if len(failures) >= 5:
+                for g in futs:
+                    g.cancel()
+                break
     summary = {
         "metric": "maintenance_fuzz",
         "trajectories": n_traj,

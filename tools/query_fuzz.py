@@ -259,13 +259,17 @@ GENERIC_SHAPES = ["agg", "agg", "distinct", "window",
                   "grouping_sets", "setop_multi"]
 
 
-def set_universe(tables, pk, fks) -> None:
+def set_universe(tables, pk, fks):
     """Swap the generator's table universe (v8): the Gen machinery
     reads the module globals, so a campaign over a different substrate
     (e.g. the silver domain tables) re-points them before build_pools.
-    Callers must also pass a compatible ``shapes`` list to Gen."""
+    Callers must also pass a compatible ``shapes`` list to Gen.
+    Returns the PREVIOUS (tables, pk, fks) so in-process callers
+    (tests) can restore the default universe in a finally."""
     global TABLES, PK, FKS  # noqa: PLW0603
+    prev = (TABLES, PK, FKS)
     TABLES, PK, FKS = tables, pk, fks
+    return prev
 
 
 class Gen:
