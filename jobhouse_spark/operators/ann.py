@@ -798,20 +798,27 @@ def pq_build_index(
     the index is built once and stored (stored-path marginal walls:
     SCALE.md round 9).
 
-    ``strategy``: 'expr' = literal-array HOF expressions (plan grows
-    O(components), the original path); 'vectorized' = Arrow-batched
+    ``strategy``: 'expr' = literal-array HOF expressions (pure JVM
+    plan — what the registry's hash-checked entries and the plan-shape
+    audit pin; grows O(components)); 'vectorized' = Arrow-batched
     exact-integer numpy encode (_encode_vectorized — bit-identical
-    output, constant plan size, ~100x the per-row throughput, no
-    component limit); 'auto' = vectorized. Both paths quantize via the
-    JVM micro_vec, so the stored index is byte-identical either way
-    (pinned by tests/test_pq.py::test_vectorized_encode_equals_expr).
+    output, constant plan size, ~100x the per-row throughput; the
+    right choice for bulk index builds, opted into explicitly e.g. by
+    tools/ivfpq_10m.py); 'auto' = expr while the components fit the
+    codegen limit, vectorized beyond it (where expr would refuse).
+    Both paths quantize via the JVM micro_vec, so the stored index is
+    byte-identical either way (pinned by
+    tests/test_pq.py::test_vectorized_encode_equals_expr).
     """
     from jobhouse_spark.functions.vectors import micro_vec  # noqa: PLC0415
 
     mv = micro_vec(F.col(vec_col))
     dim_total = sum(len(cb[0]) for cb in codebooks)
     if strategy == "auto":
-        strategy = "vectorized"
+        n_comp = _pq_components(codebooks) + len(centroids) * (
+            len(centroids[0]) if centroids else 0
+        )
+        strategy = "expr" if n_comp <= _EXPR_COMPONENT_LIMIT else "vectorized"
     if strategy == "vectorized":
         enc = _encode_vectorized(mv, centroids, codebooks, dim_total)
         return corpus.select(
@@ -964,6 +971,7 @@ def pq_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     guard_duplicates: bool = False,
+    strategy: str = "auto",
 ) -> None:
     """Incrementally maintain a stored IVF-PQ index (the l2e pattern
     applied to the ANN index): featurize ONLY the new batch against the
@@ -993,7 +1001,8 @@ def pq_index_append(
     alternative recovery is a per-cell rewrite: read the touched
     cell directories, drop duplicate vec_ids, overwrite just those
     partitions."""
-    payload = pq_build_index(new_batch, centroids, codebooks, id_col, vec_col)
+    payload = pq_build_index(new_batch, centroids, codebooks, id_col, vec_col,
+                             strategy=strategy)
     if guard_duplicates:
         spark = payload.sparkSession
         jvm = spark._jvm

@@ -6,12 +6,13 @@ build, append, drift detection, retrain — at the cardinality the
 100 TB mandate implies, on a synthetic clustered corpus generated
 entirely Spark-side (no driver-side vectors):
 
-  vector(i) = mu(cluster(i)) + noise(i), all components exact
-  multiples of 1e-3 (so micro-unit quantization is exact), cluster
-  centers hash-derived. The BASE corpus draws clusters [0, 192); the
-  DRIFT batch draws [192, 224) — a region the trained codebooks never
-  saw, which is precisely the append-stops-being-enough scenario
-  SCALE.md's codebook-drift guidance describes.
+  vector(i) = normalize(mu(cluster(i)) + noise(i)), cluster centers
+  hash-derived, ~30 members per cluster (see gen's docstring for why
+  that cardinality and what drift shape the batch uses). The DRIFT
+  batch shifts region — the append-stops-being-enough scenario
+  SCALE.md's codebook-drift guidance describes. All index encodes opt
+  into strategy="vectorized" (the bulk-build fast path; registry-scale
+  plans keep the JVM-pure expr default).
 
 Measured, in order:
   1. build wall: coarse KMeans on a sample (FAISS practice) + PQ
@@ -173,7 +174,8 @@ def main() -> None:
     root_v1 = f"{base}/index_v1"
     shutil.rmtree(root_v1, ignore_errors=True)
     t0 = time.perf_counter()
-    pq_write_index(pq_build_index(corpus, coarse, codebooks), root_v1)
+    pq_write_index(pq_build_index(corpus, coarse, codebooks,
+                                  strategy="vectorized"), root_v1)
     wall_build = round(time.perf_counter() - t0, 1)
     print(f"build+write {wall_build}s", flush=True)
 
@@ -184,7 +186,7 @@ def main() -> None:
         .write.mode("overwrite").parquet(batch_path)
     batch = spark.read.parquet(batch_path)
     t0 = time.perf_counter()
-    pq_index_append(batch, root_v1, coarse, codebooks)
+    pq_index_append(batch, root_v1, coarse, codebooks, strategy="vectorized")
     wall_append = round(time.perf_counter() - t0, 1)
     print(f"append {wall_append}s", flush=True)
     full = corpus.unionByName(batch)
@@ -192,7 +194,7 @@ def main() -> None:
     # ---- the drift TRIGGER, computed ---------------------------------
     def batch_mse(df, cents, books, n=20_000):
         mv = micro_vec(F.col("embedding"))
-        enc = pq_build_index(df.limit(n), cents, books)
+        enc = pq_build_index(df.limit(n), cents, books, strategy="vectorized")
         rec = pq_reconstruct(F.col("codes"), books)
         joined = enc.join(df.limit(n), "vec_id").select(
             F.aggregate(
@@ -214,7 +216,7 @@ def main() -> None:
     # RATIO stays ~1 while recall drops — skew is the trigger that
     # actually fires)
     def batch_skew(df):
-        occ = (pq_build_index(df, coarse, codebooks)
+        occ = (pq_build_index(df, coarse, codebooks, strategy="vectorized")
                .groupBy("cell").count().select("count").collect())
         counts = [r["count"] for r in occ]
         return (max(counts) * len(coarse)) / sum(counts)
@@ -299,7 +301,8 @@ def main() -> None:
     codebooks2 = train_pq(_micro(np.array([r["embedding"] for r in s2])))
     root_v2 = f"{base}/index_v2"
     shutil.rmtree(root_v2, ignore_errors=True)
-    pq_write_index(pq_build_index(full, coarse2, codebooks2), root_v2)
+    pq_write_index(pq_build_index(full, coarse2, codebooks2,
+                                  strategy="vectorized"), root_v2)
     wall_retrain = round(time.perf_counter() - t0, 1)
     print(f"retrain+rebuild {wall_retrain}s", flush=True)
 
