@@ -207,6 +207,28 @@ def _glob_escape(path: str) -> str:
     return re.sub(r"([{}\[\]*?\\])", r"\\\1", path)
 
 
+def _reader_path(path: str) -> str:
+    """Round-trip an `input_file_name()` URI into a string
+    `spark.read` resolves to the SAME file (round-12, proven by
+    test_manifest_pruned_read_glob_metachar_paths):
+
+    - input_file_name() returns the URI-ENCODED form of the literal
+      on-disk path (a hive-escaped dir ``tag=%2A`` comes back as
+      ``tag=%252A``), while the reader treats its argument as a RAW
+      path and re-encodes — so feeding it back verbatim DOUBLE-encodes
+      and fails loudly (PATH_NOT_FOUND). One urllib decode round-trips
+      exactly... except %2F: an escaped slash inside a partition value
+      must stay ONE path segment, so it is kept encoded.
+    - glob metachars that survive in the decoded literal path (e.g. a
+      hive value's unescaped ``}``, or raw non-hive filenames) are
+      backslash-escaped so the reader's glob layer treats them
+      verbatim instead of as patterns — the silent-wrong-partition
+      hazard ('[2]' would glob-match '2')."""
+    from urllib.parse import unquote  # noqa: PLC0415
+
+    return _glob_escape(unquote(path.replace("%2F", "%252F")))
+
+
 def _stat_aggs(cols: list[str]):
     """The manifest's stat-column list — ONE definition shared by
     build_manifest and update_manifest, so the update == rebuild
@@ -275,12 +297,7 @@ def manifest_pruned_read(
         reader = spark.read
         if base_path is not None:
             reader = reader.option("basePath", base_path)
-        # input_file_name() URIs are literal paths, but the reader
-        # GLOB-interprets its arguments — a hive partition value
-        # containing { } [ ] * ? would mis-resolve (or fail) the
-        # pruned read even though the full scan works, so backslash-
-        # escape every glob metachar (Hadoop GlobPattern honors \)
-        return reader.parquet(*[_glob_escape(p) for p in paths])
+        return reader.parquet(*[_reader_path(p) for p in paths])
 
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():

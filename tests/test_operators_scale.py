@@ -974,3 +974,32 @@ def test_manifest_handles_partitioned_tables(spark, tmp_path):
     empty = updated.filter(F.lit(False))
     with pytest.raises(ValueError, match="empty manifest"):
         manifest_pruned_read(spark, empty, {"id": (0, 1)})
+
+
+def test_manifest_pruned_read_glob_metachar_paths(spark, tmp_path):
+    """Round-12 ADVICE fix, exercised: a hive partition VALUE carrying
+    glob metacharacters ({ } [ ] *) lands verbatim in the file path,
+    and the pruned read feeds those paths back into spark.read — which
+    glob-interprets them. Without escaping, '[2]' matches the literal
+    '2' (a DIFFERENT partition) and the pruned read silently returns
+    the wrong partition's rows while the full scan is fine."""
+    from jobhouse_spark.operators.maintenance import (
+        build_manifest,
+        manifest_pruned_read,
+    )
+
+    root = str(tmp_path / "t")
+    tags = ["[2]", "2", "{a}", "*", "plain"]
+    rows = [(i * len(tags) + j, v)
+            for i in range(4) for j, v in enumerate(tags)]
+    spark.createDataFrame(rows, "id long, tag string") \
+        .write.partitionBy("tag").parquet(root)
+    m = build_manifest(spark, root, ["id"])
+    m = spark.createDataFrame(m.collect(), m.schema)
+    full = spark.read.parquet(root)
+    lo, hi = 0, 100
+    pruned = manifest_pruned_read(spark, m, {"id": (lo, hi)}, base_path=root)
+    assert sorted(map(tuple, pruned.select("id", "tag").collect())) == sorted(
+        map(tuple, full.filter(F.col("id").between(lo, hi))
+            .select("id", "tag").collect())
+    )
