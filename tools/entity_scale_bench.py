@@ -84,7 +84,7 @@ def make_wordlist(seed: int, n: int, min_dist: int = 5) -> list[str]:
     return words
 
 
-def _zipf_base(spark, F, n_entities: int, c_head: int):
+def _zipf_base(spark, F, n_entities: int, c_head: int, open_vocab: bool = False):
     """Cohort-structured corpus: power-law head of shared brands +
     singleton tail; see module docstring. Returns (id, base).
 
@@ -148,13 +148,31 @@ def _zipf_base(spark, F, n_entities: int, c_head: int):
     )
     ents = head.unionByName(tail).repartition(32)
     m = (F.col("j") + F.pmod(F.hash("cohort"), F.lit(1000))) % 1000
+    closed_dist = F.element_at(n_arr, (m + 1).cast("int"))
+    if open_vocab:
+        # OPEN distinguisher vocabulary for the singleton tail: a
+        # hash-random 3-syllable word per cohort. Exactness argument
+        # unchanged — distinguisher separation is only REQUIRED
+        # within a cohort (cross-cohort names already differ by the
+        # random brand), and singletons have no within-cohort pairs;
+        # multi-member cohorts keep the separated 1000-list. This is
+        # the realistic regime: tail token df stays O(1) as E grows
+        # instead of O(E/1000).
+        rand_dist = F.concat(*[
+            F.element_at(arr, (F.pmod(F.hash("cohort", F.lit(salt)),
+                                      F.lit(card)) + 1).cast("int"))
+            for s in range(3)
+            for arr, card, salt in ((cons_arr, 19, 100 + s * 3),
+                                    (vow_arr, 5, 101 + s * 3),
+                                    (cons_arr, 19, 102 + s * 3))
+        ])
+        dist = F.when(F.col("cohort") < len(sizes), closed_dist) \
+            .otherwise(rand_dist)
+    else:
+        dist = closed_dist
     return ents.select(
         F.monotonically_increasing_id().alias("id"),
-        F.concat(
-            brand(F.col("cohort")),
-            F.lit(" "),
-            F.element_at(n_arr, (m + 1).cast("int")),
-        ).alias("base"),
+        F.concat(brand(F.col("cohort")), F.lit(" "), dist).alias("base"),
     )
 
 
@@ -186,7 +204,8 @@ def main() -> None:
 
     corpus = opt.get("corpus", "grid")
     if corpus == "zipf":
-        base = _zipf_base(spark, F, n_entities, int(opt.get("zipf-c", "2000")))
+        base = _zipf_base(spark, F, n_entities, int(opt.get("zipf-c", "2000")),
+                          open_vocab=opt.get("dist-vocab") == "open")
     else:
         side = math.isqrt(n_entities - 1) + 1
         adjs = make_wordlist(11, side)
@@ -275,6 +294,7 @@ def main() -> None:
         "stage_stats": stage_stats,
         "entities": n_entities,
         "gram_len": gram_len,
+        "dist_vocab": opt.get("dist-vocab", "closed") if corpus == "zipf" else None,
         "raw_names": n_raw,
         "distinct_normalized": n_nodes,
         "clusters": int(stats.clusters),
