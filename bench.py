@@ -56,8 +56,63 @@ def main() -> None:
     # block off for special runs (scale ladders) where only the
     # baseline-comparable headline matters
     ap.add_argument("--no-ops-section", action="store_true")
+    # contention auto-retry (round 13): three of the five driver rounds
+    # r08-r12 moved the headline +-15% on machine load alone. When the
+    # first attempt self-flags contended, wait (bounded) for the load
+    # to decay below the documented idle band and measure once more;
+    # both attempts land in the one JSON line. --no-contention-retry
+    # for scale ladders where wall-clock budget matters more.
+    ap.add_argument("--no-contention-retry", action="store_true")
+    ap.add_argument("--retry-wait-max", type=float, default=600.0,
+                    help="max seconds to wait for load decay before the retry")
     args = ap.parse_args()
 
+    first = _measure(args)
+    result = first
+    if first["contended"] and not args.no_contention_retry:
+        waited = _wait_for_idle(args.retry_wait_max)
+        second = _measure(args)
+        second["retry_waited_sec"] = round(waited, 1)
+        # headline = the attempt that ran cleaner: an uncontended retry
+        # always wins; if BOTH flagged, the lower total is the better
+        # estimate of the plan (load only ever inflates walls). The
+        # losing attempt rides along under other_attempt so the record
+        # shows both, per the round-12 verdict's bench-robustness task.
+        if not second["contended"] or second["value"] <= first["value"]:
+            result = second
+            result["other_attempt"] = _attempt_summary(first)
+        else:
+            result = first
+            result["other_attempt"] = _attempt_summary(second)
+    print(json.dumps(result))
+
+
+def _attempt_summary(res: dict) -> dict:
+    keep = ("value", "queries", "contended", "load_avg_before",
+            "load_avg_15m", "wall_spread_median", "retry_waited_sec",
+            "ops_total")
+    return {k: res[k] for k in keep if k in res}
+
+
+# idle band from BASELINE.md's measured good/bad splits: good runs at
+# load15 4.2-4.4, the bad run at 7.2. load1 <= 4.0 additionally gates
+# on nothing CURRENTLY running (our own attempt-1 executors push load1
+# up; it decays within a couple of minutes).
+_IDLE_LOAD1 = 4.0
+_IDLE_LOAD15 = 4.4
+
+
+def _wait_for_idle(max_wait: float) -> float:
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < max_wait:
+        l1, _l5, l15 = os.getloadavg()
+        if l1 <= _IDLE_LOAD1 and l15 <= _IDLE_LOAD15:
+            break
+        time.sleep(15.0)
+    return time.perf_counter() - t0
+
+
+def _measure(args) -> dict:
     # contention telltale #1: 1-min load average BEFORE this process
     # spins up its own executors — anything much above ~1 here is other
     # tenants, and their scheduling pressure will inflate walls without
@@ -156,9 +211,7 @@ def main() -> None:
         or load15 > 6.0
         or (spread_median is not None and spread_median > 1.5)
     )
-    print(
-        json.dumps(
-            {
+    return {
                 "metric": "headline_query_wall_clock_total",
                 "value": total,
                 "unit": "sec",
@@ -183,8 +236,6 @@ def main() -> None:
                     "ops_total": round(sum(ops_timings.values()), 4)}
                    if ops_timings else {}),
             }
-        )
-    )
 
 
 if __name__ == "__main__":
