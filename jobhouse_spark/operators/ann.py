@@ -1003,18 +1003,26 @@ def pq_index_append(
     partitions."""
     payload = pq_build_index(new_batch, centroids, codebooks, id_col, vec_col,
                              strategy=strategy)
+    cached = None
     if guard_duplicates:
         spark = payload.sparkSession
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(root)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(jpath):
-            payload = payload.persist()  # featurize once, not per action
-            touched = [r["cell"] for r in payload.select("cell").distinct().collect()]
+            cached = payload.persist()  # featurize once, not per action
+            touched = [r["cell"] for r in cached.select("cell").distinct().collect()]
             existing = (
                 spark.read.parquet(root)
                 .where(F.col("cell").isin(touched))  # partition-pruned
                 .select("vec_id")
             )
-            payload = payload.join(existing, "vec_id", "left_anti")
-    pq_write_index(payload, root, mode="append")
+            payload = cached.join(existing, "vec_id", "left_anti")
+    try:
+        pq_write_index(payload, root, mode="append")
+    finally:
+        if cached is not None:
+            # the write is eager, so the guard cache is dead here;
+            # without this every guarded append leaked one cached
+            # relation per batch (round-12 verdict persist-sweep)
+            cached.unpersist()

