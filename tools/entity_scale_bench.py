@@ -45,6 +45,13 @@ overstates.
 Usage:
   python tools/entity_scale_bench.py [--entities=100000] [--rows-per=5]
          [--corpus=grid|zipf] [--json=PATH]
+
+`--incremental=K` (round 13): the production daily-ingest rung. Hold
+out K entities' variants as the day-2 batch, fully resolve the rest
+(the stored map / day-0 build), apply the batch with
+resolve_entities_incremental, and rebuild from scratch on the union as
+the honest denominator. Asserts exact recovery AND incremental ==
+rebuild row-for-row; reports marginal-vs-rebuild wall ratio.
 """
 
 from __future__ import annotations
@@ -176,6 +183,86 @@ def _zipf_base(spark, F, n_entities: int, c_head: int, open_vocab: bool = False)
     )
 
 
+def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
+    """Day-0 full resolve on E-K entities, day-2 incremental batch of
+    K entities' variants (plus a 1%% resubmission slice of stored
+    names — the no-op path), rebuild-on-union denominator, exact
+    equality assert. Entity ids >= E-K are the held-out batch."""
+    import json as _json
+    import sys as _sys
+    import time as _time
+
+    from jobhouse_spark.operators.entity import (
+        resolve_entities,
+        resolve_entities_incremental,
+    )
+
+    # freeze the generated ids (zipf uses monotonically_increasing_id,
+    # which is plan-layout-dependent) and avoid regenerating the corpus
+    # on every action below
+    variants = variants.localCheckpoint(eager=True)
+    # hash-fraction holdout: ~inc_k of the E entities become the day-2
+    # batch; every variant of an entity lands on the same side
+    permille = max(1, round(1000 * inc_k / n_entities))
+    is_batch = F.pmod(F.hash(F.col("id").cast("string")), F.lit(1000)) < permille
+    stored_names = variants.filter(~is_batch).select("name")
+    # realistic batch: all variants of the held-out entities + a 1%
+    # resubmission slice of stored raw names (already-resolved no-ops)
+    batch_names = variants.filter(is_batch).select("name").unionAll(
+        variants.filter(~is_batch & (F.col("id") % 100 == 0)).select("name")
+    )
+    k_actual = variants.filter(is_batch).select("id").distinct().count()
+
+    t0 = _time.perf_counter()
+    stored = resolve_entities(stored_names).persist()
+    n_stored = stored.count()
+    t_day0 = round(_time.perf_counter() - t0, 1)
+
+    t0 = _time.perf_counter()
+    inc = resolve_entities_incremental(batch_names, stored).persist()
+    n_inc = inc.count()
+    t_inc = round(_time.perf_counter() - t0, 1)
+
+    t0 = _time.perf_counter()
+    full = resolve_entities(variants.select("name")).persist()
+    n_full = full.count()
+    t_rebuild = round(_time.perf_counter() - t0, 1)
+
+    cl = (
+        inc.groupBy("canonical").agg(F.count("*").alias("m"))
+        .agg(F.count("*").alias("clusters"), F.min("m").alias("mn"),
+             F.max("m").alias("mx"))
+        .first()
+    )
+    diff = inc.exceptAll(full).count() + full.exceptAll(inc).count()
+    ok = (
+        cl.clusters == n_entities and cl.mn == cl.mx == 3
+        and diff == 0 and n_inc == n_full
+    )
+    summary = {
+        "metric": "entity_incremental_rung",
+        "entities": n_entities,
+        "batch_entities": k_actual,
+        "raw_names": n_raw,
+        "stored_nodes": n_stored,
+        "union_nodes": n_full,
+        "clusters": int(cl.clusters),
+        "members_min_max": [int(cl.mn), int(cl.mx)],
+        "incremental_equals_rebuild": diff == 0,
+        "exact_recovery": bool(ok),
+        "day0_wall_s": t_day0,
+        "incremental_wall_s": t_inc,
+        "rebuild_wall_s": t_rebuild,
+        "marginal_vs_rebuild": round(t_inc / max(t_rebuild, 1e-9), 3),
+    }
+    print(_json.dumps(summary))
+    out = opt.get("json")
+    if out:
+        with open(out, "w") as f:
+            _json.dump(summary, f, indent=1)
+    _sys.exit(0 if ok else 1)
+
+
 def main() -> None:
     opt = {a.split("=")[0][2:]: a.split("=", 1)[1]
            for a in sys.argv[1:] if a.startswith("--") and "=" in a}
@@ -244,6 +331,11 @@ def main() -> None:
         ).alias("name"),
     )
     n_raw = variants.count()
+
+    inc_k = int(opt.get("incremental", "0"))
+    if inc_k:
+        _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw)
+        return
 
     stage_stats: dict = {}
     gram_len = int(opt.get("gram-len", "4"))
