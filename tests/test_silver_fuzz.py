@@ -14,7 +14,15 @@ import duckdb
 import pytest
 
 from tools import query_fuzz as qf
-from tools.silver_fuzz import SILVER_FKS, SILVER_PK, SILVER_TABLES, materialize
+from tools.silver_fuzz import (
+    SILVER_ARR_SPEC,
+    SILVER_FKS,
+    SILVER_IVAL_SPEC,
+    SILVER_JSON_SPEC,
+    SILVER_PK,
+    SILVER_TABLES,
+    materialize,
+)
 
 SEED_BLOCKS = [(1, 12), (13, 25)]
 
@@ -30,11 +38,14 @@ def silver_env(spark, tmp_path_factory):
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{root}/{t}/*.parquet')"
         )
-    prev = qf.set_universe(SILVER_TABLES, SILVER_PK, SILVER_FKS)
+    prev = qf.set_universe(SILVER_TABLES, SILVER_PK, SILVER_FKS,
+                           json_spec=SILVER_JSON_SPEC,
+                           arr_spec=SILVER_ARR_SPEC,
+                           ival_spec=SILVER_IVAL_SPEC)
     try:
         yield con, qf.build_pools(con)
     finally:
-        qf.set_universe(*prev)
+        qf.restore_universe(prev)
         con.close()
 
 
@@ -60,3 +71,20 @@ def test_seed_19_boundary_literal_regression(spark, silver_env):
         spark, con, pools, [19], verbose=False, shapes=qf.GENERIC_SHAPES
     )
     assert not failures, failures
+
+
+def test_silver_v9_json_hof_shapes_agree(spark, silver_env):
+    """v9 (round-13): the spec-driven JSON / HOF / interval / v7
+    composition shapes over the PIPELINE surface — raw_json is the
+    bronze envelope's raw_content, req_lens a derived array<int>. A
+    fixed seed block over ONLY these shapes keeps the semi-structured
+    silver surface pinned in CI (wide campaigns in QUERYFUZZ.json)."""
+    con, pools = silver_env
+    v9_shapes = ["json_path", "interval_arith", "array_hof",
+                 "win_json", "win_hof", "setop_json"]
+    failures = qf.run_campaign(
+        spark, con, pools, range(1, 19), verbose=False, shapes=v9_shapes,
+    )
+    assert not failures, "\n".join(
+        f"seed={s}: {why}\n  {sql}" for s, sql, why in failures
+    )

@@ -98,7 +98,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # constant sampled FROM a stored double then compares unequal to its
 # own source row in DuckDB only. The shape list matches v7, but the
 # literal respelling means v8 seeds are not text-identical to v7's.
-GRAMMAR_VERSION = 8
+# v9 (round 13, VERDICT r12 task 1) parameterizes the v6/v7 JSON / HOF
+# / interval shapes by universe: the shapes read JSON_SPEC / ARR_SPEC /
+# IVAL_SPEC module globals (defaulting to the historical
+# events.props / embeddings.embedding / events.ts bindings) instead of
+# hardcoding those tables, so the silver campaign can point them at
+# PIPELINE-PRODUCED JSON (postings.raw_json, the bronze envelope's
+# to_json output) and a pipeline-derived array column
+# (postings.req_lens). Spec-driven knobs (extract paths, numeric
+# ranges, OOB-safe element access) mean v9 seeds are not
+# RNG-compatible with v8's — campaigns are versioned in the ledger.
+GRAMMAR_VERSION = 9
 
 TABLES: dict[str, dict[str, str]] = {
     "lineitem": {
@@ -249,7 +259,9 @@ FULL_SHAPES = ["agg", "agg", "distinct", "window",
                "setop_json"]
 
 # universe-agnostic shapes: everything that reads only TABLES/PK/FKS
-# (the v6/v7 shapes hardcode events.props / embeddings.embedding)
+# (kept for campaigns that want only the universe-agnostic core; since
+# v9 the v6/v7 shapes are spec-driven and run on any universe that
+# provides JSON_SPEC/ARR_SPEC/IVAL_SPEC bindings via set_universe)
 GENERIC_SHAPES = ["agg", "agg", "distinct", "window",
                   "setop", "scalar_sub", "having",
                   "exists_sub", "in_sub",
@@ -259,17 +271,89 @@ GENERIC_SHAPES = ["agg", "agg", "distinct", "window",
                   "grouping_sets", "setop_multi"]
 
 
-def set_universe(tables, pk, fks):
-    """Swap the generator's table universe (v8): the Gen machinery
-    reads the module globals, so a campaign over a different substrate
-    (e.g. the silver domain tables) re-points them before build_pools.
-    Callers must also pass a compatible ``shapes`` list to Gen.
-    Returns the PREVIOUS (tables, pk, fks) so in-process callers
-    (tests) can restore the default universe in a finally."""
-    global TABLES, PK, FKS  # noqa: PLW0603
-    prev = (TABLES, PK, FKS)
+# ---------------------------------------------------------------------------
+# v9 shape bindings: which tables/columns carry the JSON document, the
+# array column, and the interval-arithmetic substrate. Defaults are the
+# historical v6/v7 events/embeddings bindings; silver_fuzz re-points
+# them at pipeline-produced columns. Every expression here is a FULL
+# "table.column"-qualified snippet (or a (spark, duck) dialect pair).
+# ---------------------------------------------------------------------------
+
+JSON_SPEC = {
+    "table": "events",
+    # (path template applied to the json column, (spark, duck) pair);
+    # list — the generator samples one path per query. Every path must
+    # extract a NUMERIC leaf (the shapes SUM/MIN/MAX and BETWEEN it).
+    "jk": [("CAST(get_json_object(events.props, '$.k') AS INT)",
+            "CAST(json_extract_string(events.props, '$.k') AS INTEGER)")],
+    "pk": "events.event_id",          # data-verified unique total order
+    "part_str": "events.event_type",  # string partition-key column
+    "part_str_key": ("events", "event_type"),  # pools key for constants
+    "num": "events.user_id",          # numeric modulo partition column
+    "ts": "events.ts",
+    # numeric range the extracted leaf lives in: BETWEEN predicates
+    # sample lo from it, width from jk_width (0 width -> degenerate)
+    "jk_rng": (0, 60),
+    "jk_width": (5, 50),
+}
+
+ARR_SPEC = {
+    "table": "embeddings",
+    # (spark, duck) pair for the quantized element-array expression
+    "mv": ("transform(embeddings.embedding, x -> CAST(CAST(CAST(x "
+           "AS DOUBLE) AS DECIMAL(12,3)) * 1000 AS BIGINT))",
+           "list_transform(embeddings.embedding, x -> CAST(CAST("
+           "CAST(x AS DOUBLE) AS DECIMAL(12,3)) * 1000 AS BIGINT))"),
+    "pk": "embeddings.vec_id",
+    # numeric expression usable under % for synthetic group keys (the
+    # pk itself when numeric; a numeric column when the pk is a string)
+    "pk_mod": "embeddings.vec_id",
+    "label": "embeddings.label",
+    # element-threshold range for filter(x > k)
+    "k_rng": (-300, 300),
+    # index range + OOB-safe accessor pair: embeddings vectors are
+    # fixed 16-dim so plain element_at is in-bounds by construction;
+    # variable-length universes must use (try_element_at, list_extract)
+    "idx_rng": (1, 16),
+    "elem_fn": ("element_at({MV}, {I})", "list_extract({MV}, {I})"),
+}
+
+IVAL_SPEC = {
+    "table": "events",
+    "ts": "events.ts",
+    "ts_key": ("events", "ts"),  # pools key for timestamp constants
+    "num": "events.user_id",     # checksum operand (nullable is fine:
+                                 # SUM skips NULLs in both engines)
+}
+
+
+def set_universe(tables, pk, fks, json_spec=None, arr_spec=None,
+                 ival_spec=None):
+    """Swap the generator's table universe (v8) and, since v9, the
+    v6/v7 shape bindings: the Gen machinery reads the module globals,
+    so a campaign over a different substrate (e.g. the silver domain
+    tables) re-points them before build_pools. Callers must also pass
+    a compatible ``shapes`` list to Gen. Returns the PREVIOUS
+    (tables, pk, fks, json_spec, arr_spec, ival_spec) so in-process
+    callers (tests) can restore the default universe in a finally."""
+    global TABLES, PK, FKS, JSON_SPEC, ARR_SPEC, IVAL_SPEC  # noqa: PLW0603
+    prev = (TABLES, PK, FKS, JSON_SPEC, ARR_SPEC, IVAL_SPEC)
     TABLES, PK, FKS = tables, pk, fks
+    if json_spec is not None:
+        JSON_SPEC = json_spec
+    if arr_spec is not None:
+        ARR_SPEC = arr_spec
+    if ival_spec is not None:
+        IVAL_SPEC = ival_spec
     return prev
+
+
+def restore_universe(prev) -> None:
+    """Undo set_universe (accepts both the v8 3-tuple and v9 6-tuple)."""
+    global TABLES, PK, FKS, JSON_SPEC, ARR_SPEC, IVAL_SPEC  # noqa: PLW0603
+    TABLES, PK, FKS = prev[:3]
+    if len(prev) > 3:
+        JSON_SPEC, ARR_SPEC, IVAL_SPEC = prev[3:]
 
 
 class Gen:
@@ -720,32 +804,33 @@ class Gen:
             return (f"SELECT {sel} FROM {t} WHERE {self.pred(cols)} "
                     f"{op} SELECT {sel} FROM {t} WHERE {self.pred(cols)}")
         if shape == "json_path":
-            # JSON path extraction over events.props — the dialect
-            # corner: same path, same CAST, different function names.
-            # props is {"k": int} on every row (verified non-null in
-            # the corpus), so the extracted value is integer-exact and
-            # every aggregate over it hashes identically.
-            cols = [(t, c, ty) for t, c, ty in
-                    [("events", c, ty) for c, ty in TABLES["events"].items()]]
-            jk = ("CAST(get_json_object(events.props, '$.k') AS INT)",
-                  "CAST(json_extract_string(events.props, '$.k') AS INTEGER)")
+            # JSON path extraction over JSON_SPEC's document column —
+            # the dialect corner: same path, same CAST, different
+            # function names. The extracted leaf is numeric (possibly
+            # NULL: both engines skip NULLs in SUM/MIN/MAX and group
+            # NULL keys together), so aggregates hash identically.
+            sp = JSON_SPEC
+            jt = sp["table"]
+            cols = [(jt, c, ty) for c, ty in TABLES[jt].items()]
+            jk = r.choice(sp["jk"])
             key = r.choice([
-                "events.event_type",
-                f"(events.user_id % {r.choice([3, 7, 10])})",
-                "EXTRACT(MONTH FROM events.ts)",
+                sp["part_str"],
+                f"({sp['num']} % {r.choice([3, 7, 10])})",
+                f"EXTRACT(MONTH FROM {sp['ts']})",
                 "{JK}",  # group directly by the extracted value
             ])
-            lo = r.randint(0, 60)
-            hi = lo + r.randint(5, 40)
+            lo = r.randint(*sp["jk_rng"])
+            hi = lo + r.randint(*sp["jk_width"])
             where = r.choice([
                 f"{{JK}} BETWEEN {lo} AND {hi}",
-                f"{{JK}} {r.choice(['<', '>=', '<>'])} {r.randint(0, 99)}",
+                f"{{JK}} {r.choice(['<', '>=', '<>'])} "
+                f"{r.randint(*sp['jk_rng'])}",
                 self.pred(cols, depth=1),
             ])
             aggs = ["COUNT(*) AS c1",
                     "CAST(SUM({JK}) AS BIGINT) AS c2",
                     f"{r.choice(['MIN', 'MAX'])}({{JK}}) AS c3"]
-            tmpl = (f"SELECT {key} AS c0, {', '.join(aggs)} FROM events "
+            tmpl = (f"SELECT {key} AS c0, {', '.join(aggs)} FROM {jt} "
                     f"WHERE {where} GROUP BY 1")
             return (tmpl.replace("{JK}", jk[0]), tmpl.replace("{JK}", jk[1]))
         if shape == "interval_arith":
@@ -754,26 +839,28 @@ class Gen:
             # date_trunc is CAST AS TIMESTAMP because DuckDB returns
             # DATE for day-and-coarser units where Spark returns
             # TIMESTAMP — v6 generator contract lesson #1
-            cols = [("events", c, ty) for c, ty in TABLES["events"].items()]
+            sp = IVAL_SPEC
+            it = sp["table"]
+            cols = [(it, c, ty) for c, ty in TABLES[it].items()]
             n1, u1 = r.randint(1, 72), r.choice(["MINUTE", "HOUR", "DAY"])
             sign = r.choice(["+", "-"])
-            shifted = f"(events.ts {sign} INTERVAL {n1} {u1})"
+            shifted = f"({sp['ts']} {sign} INTERVAL {n1} {u1})"
             key = r.choice([
                 f"CAST(date_trunc('{r.choice(['hour', 'day', 'month'])}', "
                 f"{shifted}) AS TIMESTAMP)",
                 f"EXTRACT({r.choice(['YEAR', 'MONTH', 'DAY', 'HOUR'])} "
                 f"FROM {shifted})",
             ])
-            c = self.constant(("events", "ts"), "ts")
+            c = self.constant(sp["ts_key"], "ts")
             n2, u2 = r.randint(1, 10), r.choice(["HOUR", "DAY"])
-            where = (f"events.ts {r.choice(['>=', '<'])} "
+            where = (f"{sp['ts']} {r.choice(['>=', '<'])} "
                      f"{c} {r.choice(['+', '-'])} INTERVAL {n2} {u2}")
             if r.random() < 0.4:
                 where += f" AND {self.pred(cols, depth=1)}"
             aggs = ["COUNT(*) AS c1",
-                    "CAST(SUM(CAST(events.user_id AS DECIMAL(18,4)) % 1000003) "
+                    f"CAST(SUM(CAST({sp['num']} AS DECIMAL(18,4)) % 1000003) "
                     "AS DOUBLE) AS c2"]
-            return (f"SELECT {key} AS c0, {', '.join(aggs)} FROM events "
+            return (f"SELECT {key} AS c0, {', '.join(aggs)} FROM {it} "
                     f"WHERE {where} GROUP BY 1")
         if shape == "array_hof":
             # nested array HOFs over embeddings.embedding, quantized to
@@ -782,12 +869,13 @@ class Gen:
             # integer-exact: per-element |x| <= ~1000 milli-units, so
             # sum-of-squares <= 64e6 per row and the per-group SUM stays
             # far inside the 2^53 double-exact range at every rung
-            mv = ("transform(embeddings.embedding, x -> CAST(CAST(CAST(x "
-                  "AS DOUBLE) AS DECIMAL(12,3)) * 1000 AS BIGINT))",
-                  "list_transform(embeddings.embedding, x -> CAST(CAST("
-                  "CAST(x AS DOUBLE) AS DECIMAL(12,3)) * 1000 AS BIGINT))")
-            k = r.randint(-300, 300)
-            i = r.randint(1, 16)
+            ap = ARR_SPEC
+            at = ap["table"]
+            mv = ap["mv"]
+            k = r.randint(*ap["k_rng"])
+            i = r.randint(*ap["idx_rng"])
+            elem = (ap["elem_fn"][0].replace("{I}", str(i)),
+                    ap["elem_fn"][1].replace("{I}", str(i)))
             scalar = r.choice([
                 ("CAST(aggregate({MV}, CAST(0 AS BIGINT), "
                  "(acc, x) -> acc + x) AS BIGINT)",
@@ -798,26 +886,28 @@ class Gen:
                  "AS BIGINT)"),
                 (f"CAST(size(filter({{MV}}, x -> x > {k})) AS BIGINT)",
                  f"CAST(len(list_filter({{MV}}, x -> x > {k})) AS BIGINT)"),
-                (f"element_at({{MV}}, {i})", f"list_extract({{MV}}, {i})"),
+                elem,
                 ("array_max({MV})", "list_max({MV})"),
                 ("array_min({MV})", "list_min({MV})"),
             ])
             s_scalar = scalar[0].replace("{MV}", mv[0])
             d_scalar = scalar[1].replace("{MV}", mv[1])
-            cols = [("embeddings", "vec_id", "int"),
-                    ("embeddings", "label", "int")]
+            pk_c = ap["pk"].split(".")[1]
+            lb_c = ap["label"].split(".")[1]
+            cols = [(at, pk_c, TABLES[at][pk_c]),
+                    (at, lb_c, TABLES[at][lb_c])]
             if r.random() < 0.5:
                 # per-row form over the PK
                 where = self.pred(cols, depth=1)
-                tmpl = ("SELECT embeddings.vec_id AS pk0, {SC} AS c0 "
-                        f"FROM embeddings WHERE {where}")
+                tmpl = (f"SELECT {ap['pk']} AS pk0, {{SC}} AS c0 "
+                        f"FROM {at} WHERE {where}")
             else:
-                key = r.choice(["embeddings.label",
-                                f"(embeddings.vec_id % {r.choice([5, 9])})"])
+                key = r.choice([ap["label"],
+                                f"({ap['pk_mod']} % {r.choice([5, 9])})"])
                 tmpl = (f"SELECT {key} AS c0, COUNT(*) AS c1, "
                         "CAST(SUM({SC}) AS BIGINT) AS c2, "
                         "MIN({SC}) AS c3, MAX({SC}) AS c4 "
-                        "FROM embeddings GROUP BY 1")
+                        f"FROM {at} GROUP BY 1")
             return (tmpl.replace("{SC}", s_scalar),
                     tmpl.replace("{SC}", d_scalar))
         if shape == "win_json":
@@ -827,13 +917,14 @@ class Gen:
             # event_id is a data-verified unique total order (else the
             # tie-stable RANK is the only order-sensitive fn used) and
             # the extracted value is integer-exact.
-            jk = ("CAST(get_json_object(events.props, '$.k') AS INT)",
-                  "CAST(json_extract_string(events.props, '$.k') AS INTEGER)")
+            sp = JSON_SPEC
+            jt = sp["table"]
+            jk = r.choice(sp["jk"])
             part = r.choice([
                 f"({{JK}} % {r.choice([3, 5, 7])})",
-                "events.event_type",
+                sp["part_str"],
             ])
-            uniq = "events" in self.pools["_unique_pk"]
+            uniq = jt in self.pools["_unique_pk"]
             fns = ["RANK()"]
             if uniq:
                 fns += ["ROW_NUMBER()",
@@ -841,20 +932,20 @@ class Gen:
             fn = r.choice(fns)
             frame = ("" if not fn.startswith("SUM") else
                      " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
-            order = ("{JK} ASC NULLS FIRST, events.event_id ASC"
+            order = (f"{{JK}} ASC NULLS FIRST, {sp['pk']} ASC"
                      if fn == "RANK()" and r.random() < 0.5
-                     else "events.event_id ASC NULLS FIRST")
+                     else f"{sp['pk']} ASC NULLS FIRST")
             w = f"{fn} OVER (PARTITION BY {part} ORDER BY {order}{frame})"
             if fn.startswith("SUM"):
                 w = f"CAST({w} AS DOUBLE)"
-            lo = r.randint(0, 60)
+            lo = r.randint(*sp["jk_rng"])
             where = r.choice([
-                f"{{JK}} BETWEEN {lo} AND {lo + r.randint(10, 50)}",
-                f"events.event_type {r.choice(['=', '<>'])} "
-                f"{self.constant(('events', 'event_type'), 'str')}",
+                f"{{JK}} BETWEEN {lo} AND {lo + r.randint(*sp['jk_width'])}",
+                f"{sp['part_str']} {r.choice(['=', '<>'])} "
+                f"{self.constant(sp['part_str_key'], 'str')}",
             ])
-            inner = (f"SELECT {part} AS c0, events.event_id AS pk0, "
-                     f"{{JK}} AS jv, {w} AS w FROM events WHERE {where}")
+            inner = (f"SELECT {part} AS c0, {sp['pk']} AS pk0, "
+                     f"{{JK}} AS jv, {w} AS w FROM {jt} WHERE {where}")
             if fn in ("ROW_NUMBER()", "RANK()"):
                 tmpl = f"SELECT * FROM ({inner}) sub WHERE w <= {r.randint(2, 6)}"
             else:
@@ -868,11 +959,10 @@ class Gen:
             # engine disagreement in HOF evaluation ORDER or null
             # handling now perturbs rank/frame placement, not just a
             # scalar column.
-            mv = ("transform(embeddings.embedding, x -> CAST(CAST(CAST(x "
-                  "AS DOUBLE) AS DECIMAL(12,3)) * 1000 AS BIGINT))",
-                  "list_transform(embeddings.embedding, x -> CAST(CAST("
-                  "CAST(x AS DOUBLE) AS DECIMAL(12,3)) * 1000 AS BIGINT))")
-            k = r.randint(-300, 300)
+            ap = ARR_SPEC
+            at = ap["table"]
+            mv = ap["mv"]
+            k = r.randint(*ap["k_rng"])
             scalar = r.choice([
                 ("CAST(aggregate({MV}, CAST(0 AS BIGINT), "
                  "(acc, x) -> acc + x) AS BIGINT)",
@@ -883,21 +973,22 @@ class Gen:
             ])
             s_sc = scalar[0].replace("{MV}", mv[0])
             d_sc = scalar[1].replace("{MV}", mv[1])
-            part = r.choice(["embeddings.label",
-                             f"(embeddings.vec_id % {r.choice([4, 8])})"])
+            part = r.choice([ap["label"],
+                             f"({ap['pk_mod']} % {r.choice([4, 8])})"])
             d = r.choice(["ASC", "DESC"])
-            if r.random() < 0.6:
+            uniq = at in self.pools["_unique_pk"]
+            if not uniq or r.random() < 0.6:
                 w = (f"RANK() OVER (PARTITION BY {part} ORDER BY "
-                     f"{{SC}} {d} NULLS LAST, embeddings.vec_id ASC)")
+                     f"{{SC}} {d} NULLS LAST, {ap['pk']} ASC)")
                 tail = f" WHERE w <= {r.randint(2, 5)}" if r.random() < 0.5 else ""
             else:
                 w = ("CAST(SUM(CAST({SC} AS DECIMAL(18,4))) OVER "
-                     f"(PARTITION BY {part} ORDER BY embeddings.vec_id "
+                     f"(PARTITION BY {part} ORDER BY {ap['pk']} "
                      "ASC NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING "
                      "AND CURRENT ROW) AS DOUBLE)")
                 tail = ""
-            inner = (f"SELECT {part} AS c0, embeddings.vec_id AS pk0, "
-                     f"{{SC}} AS hv, {w} AS w FROM embeddings")
+            inner = (f"SELECT {part} AS c0, {ap['pk']} AS pk0, "
+                     f"{{SC}} AS hv, {w} AS w FROM {at}")
             tmpl = f"SELECT * FROM ({inner}) sub{tail}"
             return (tmpl.replace("{SC}", s_sc), tmpl.replace("{SC}", d_sc))
         if shape == "setop_json":
@@ -906,24 +997,26 @@ class Gen:
             # JSON leaf, so extraction-normalization differences
             # (whitespace, int-vs-string) that a plain projection
             # would hide become row-identity differences here.
-            jk = ("CAST(get_json_object(events.props, '$.k') AS INT)",
-                  "CAST(json_extract_string(events.props, '$.k') AS INTEGER)")
+            sp = JSON_SPEC
+            jt = sp["table"]
+            jk = r.choice(sp["jk"])
             sel = r.choice([
-                "{JK} AS c0, events.event_type AS c1",
-                f"{{JK}} AS c0, (events.user_id % {r.choice([5, 11])}) AS c1",
-                "({JK} % 10) AS c0, EXTRACT(MONTH FROM events.ts) AS c1",
+                f"{{JK}} AS c0, {sp['part_str']} AS c1",
+                f"{{JK}} AS c0, ({sp['num']} % {r.choice([5, 11])}) AS c1",
+                f"({{JK}} % 10) AS c0, EXTRACT(MONTH FROM {sp['ts']}) AS c1",
             ])
             op = r.choice(["INTERSECT", "EXCEPT", "UNION", "UNION ALL",
                            "INTERSECT ALL", "EXCEPT ALL"])
-            lo1, lo2 = r.randint(0, 50), r.randint(0, 50)
-            w1 = f"{{JK}} BETWEEN {lo1} AND {lo1 + r.randint(10, 60)}"
+            lo1 = r.randint(*sp["jk_rng"])
+            lo2 = r.randint(*sp["jk_rng"])
+            w1 = f"{{JK}} BETWEEN {lo1} AND {lo1 + r.randint(*sp['jk_width'])}"
             w2 = r.choice([
-                f"{{JK}} BETWEEN {lo2} AND {lo2 + r.randint(10, 60)}",
-                f"events.event_type = "
-                f"{self.constant(('events', 'event_type'), 'str')}",
+                f"{{JK}} BETWEEN {lo2} AND {lo2 + r.randint(*sp['jk_width'])}",
+                f"{sp['part_str']} = "
+                f"{self.constant(sp['part_str_key'], 'str')}",
             ])
-            tmpl = (f"SELECT {sel} FROM events WHERE {w1} "
-                    f"{op} SELECT {sel} FROM events WHERE {w2}")
+            tmpl = (f"SELECT {sel} FROM {jt} WHERE {w1} "
+                    f"{op} SELECT {sel} FROM {jt} WHERE {w2}")
             return (tmpl.replace("{JK}", jk[0]), tmpl.replace("{JK}", jk[1]))
         # scalar_sub: uncorrelated scalar subquery in the predicate
         frm, _, cols = self.scope(max_joins=1)

@@ -20,6 +20,16 @@ salary arithmetic, string-PK window orders, timestamp grouping) that
 the TPC-H substrate cannot reach. The bronze->silver plumbing itself is
 differentially checked by jh9/jh10's raw-JSON oracles.
 
+Since grammar v9 (round 13, VERDICT r12 task 1) the campaign runs the
+FULL shape list: the v6/v7 JSON / HOF / interval shapes are spec-driven
+and point here at the pipeline's own semi-structured surface —
+postings.raw_json is the bronze envelope's raw_content (the exact JSON
+silver's from_json parses, with JSON-null salaries), postings.req_lens
+a pipeline-derived array<int>. get_json_object path semantics over
+engine JSON, HOF null handling, and window/set-op composition over
+extracted leaves now get dialect-differential coverage on the silver
+universe.
+
 `--enlarge=K` appends K replicated copies (posting_id suffixed,
 published_at shifted +i minutes, salary nudged +i) BEFORE the write,
 so both engines still read identical bytes — the 30x-style block that
@@ -50,6 +60,15 @@ SILVER_TABLES = {
         "experience": "str", "employment": "str", "published_at": "ts",
         "salary_mid": "float", "pub_year": "int", "pub_month": "int",
         "pub_day": "int",
+        # v9: the PIPELINE-PRODUCED semi-structured surface. raw_json
+        # is the bronze envelope's raw_content (the exact JSON the
+        # silver from_json parses — salary/employer/area as nested
+        # objects, JSON null salaries); req_lens is the requirement's
+        # token-length vector (array<int>, never empty by construction
+        # of split — so the aggregate([])=0 vs list_sum([])=NULL
+        # dialect edge cannot fire; NULL requirement -> NULL array,
+        # consistent in both engines).
+        "raw_json": "json", "req_lens": "arr",
     },
     "areas": {
         "area_name": "str", "n_postings": "int", "n_employers": "int",
@@ -72,14 +91,85 @@ SILVER_FKS = [
     ("postings", "employer_name", "employers", "employer_name"),
 ]
 
+# v9 shape bindings over the pipeline surface. Numeric JSON leaves only
+# (the shapes SUM/BETWEEN the extracted value); salary leaves are JSON
+# null on ~1/5 of rows — NULL extraction, NULL grouping and NULL-skip
+# aggregation are exactly the dialect edges worth fuzzing. jk_rng spans
+# the RUR salary band so BETWEEN predicates have real selectivity.
+SILVER_JSON_SPEC = {
+    "table": "postings",
+    "jk": [
+        ("CAST(get_json_object(postings.raw_json, '$.salary.from') AS INT)",
+         "CAST(json_extract_string(postings.raw_json, '$.salary.from') "
+         "AS INTEGER)"),
+        ("CAST(get_json_object(postings.raw_json, '$.salary.to') AS INT)",
+         "CAST(json_extract_string(postings.raw_json, '$.salary.to') "
+         "AS INTEGER)"),
+    ],
+    "pk": "postings.posting_id",   # unique; string order is ASCII-stable
+    "part_str": "postings.employer_name",
+    "part_str_key": ("postings", "employer_name"),
+    "num": "postings.salary_to",
+    "ts": "postings.published_at",
+    "jk_rng": (30000, 250000),
+    "jk_width": (20000, 200000),
+}
+
+SILVER_ARR_SPEC = {
+    "table": "postings",
+    "mv": ("transform(postings.req_lens, x -> CAST(x AS BIGINT))",
+           "list_transform(postings.req_lens, x -> CAST(x AS BIGINT))"),
+    "pk": "postings.posting_id",
+    "pk_mod": "postings.salary_from",  # nullable: NULL%k groups NULL, both
+    "label": "postings.pub_day",
+    "k_rng": (0, 12),                  # token lengths are 1..~15
+    # req_lens length varies by row -> OOB-safe accessor pair
+    "idx_rng": (1, 4),
+    "elem_fn": ("try_element_at({MV}, {I})", "list_extract({MV}, {I})"),
+}
+
+SILVER_IVAL_SPEC = {
+    "table": "postings",
+    "ts": "postings.published_at",
+    "ts_key": ("postings", "published_at"),
+    "num": "postings.salary_from",
+}
+
 
 def materialize(spark, root: str, enlarge: int) -> None:
     """Write postings/areas/employers parquet under ``root``."""
     from pyspark.sql import functions as F
 
-    from jobhouse_spark.queries.jobhouse_gold import _silver_v4
+    import json as _json
+
+    from jobhouse_spark.queries.jobhouse_gold import (
+        AT4,
+        FIXTURE4,
+        _silver_v4,
+    )
+    from jobhouse_spark.sources.bronze import envelope_projection
+    from jobhouse_spark.sources.rest import (
+        PaginatedFetcher,
+        items_to_dataframe,
+        replay_client,
+    )
 
     silver = _silver_v4(spark).drop("salary_gross")  # bool: out of model
+    # the REAL raw_content bytes the silver from_json parsed — replayed
+    # through the same envelope path and joined back by posting_id, so
+    # the json shapes extract from pipeline JSON, not a re-serialization
+    with open(FIXTURE4) as f:
+        pages = _json.load(f)
+    items = PaginatedFetcher(client=replay_client(pages)).fetch_all(
+        "data engineer"
+    )
+    raw = envelope_projection(
+        items_to_dataframe(spark, items), "data engineer", extracted_at=AT4
+    ).select("posting_id", F.col("raw_content").alias("raw_json"))
+    silver = silver.join(raw, "posting_id").withColumn(
+        "req_lens",
+        F.transform(F.split(F.col("requirement"), " "), lambda x: F.length(x)),
+    )
     if enlarge:
         copies = [silver]
         for i in range(1, enlarge + 1):
@@ -149,11 +239,13 @@ def main() -> None:
             f"read_parquet('{root}/{t}/*.parquet')"
         )
 
-    qf.set_universe(SILVER_TABLES, SILVER_PK, SILVER_FKS)
+    qf.set_universe(SILVER_TABLES, SILVER_PK, SILVER_FKS,
+                    json_spec=SILVER_JSON_SPEC, arr_spec=SILVER_ARR_SPEC,
+                    ival_spec=SILVER_IVAL_SPEC)
     pools = qf.build_pools(duck)
     failures = qf.run_campaign(
         spark, duck, pools, range(seed0, seed0 + n),
-        shapes=qf.GENERIC_SHAPES,
+        shapes=qf.FULL_SHAPES,
     )
     summary = {
         "metric": "silver_fuzz", "grammar": qf.GRAMMAR_VERSION,
