@@ -30,17 +30,17 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # One hash-checkable representative per SURVEY §2 family, 50 exactly.
 #
-# ROUND-12 ROTATION (VERDICT r11 task 1: close the driver-row
-# backlog): IN — the five round-11 additions that post-dated the r11
-# head pin (s18 z-order invariance, s19 manifest-pruned scan, s20
-# retention vacuum, jh9 repost audit, jh10 DQ scorecard). OUT — five
-# multi-round-green anchors (l24b, l25, l26 green since their r10
-# head debut; jh6, jh7 green r10+r11); their families keep anchors
-# (l24/l27* for L-mixture/ANN, jh1/jh5/jh8/jh9/jh10 for marts). The
-# seven rows-only-by-contract entries (SURVEY §2.C rule 6: g14, l2,
-# l3b, l3c, l4b, l10, t7) stay pinned with their hash-checked twins
-# green (g14b, l2c/l2d, l3b2, l3c2, l4b2, l10b, t7b) — guard:
-# tests/test_entry_contract.py.
+# ROUND-13 ROTATION (VERDICT r12 task 8: keep driver-row freshness
+# cycling). IN — the six oldest pass* entries (driver-green only in
+# r01: s2 jsonl.gz, s3 csv, p4 in/like/case, j2 left outer, j4 left
+# semi, j6 theta/range) plus the new jh11 incremental entity
+# resolution. OUT — seven multi-round-green anchors: g10, j12, o2,
+# p3, s10, s11 (green r01+r11+r12) and jh5 (green r10-r12); their
+# families keep anchors (g1/g4c/g14, j1/j2/j4/j6, o1, p1/p4,
+# s1-s3/s17-s20, jh1/jh8-jh11). The seven rows-only-by-contract
+# entries (SURVEY §2.C rule 6: g14, l2, l3b, l3c, l4b, l10, t7) stay
+# pinned with their hash-checked twins green (g14b, l2c/l2d, l3b2,
+# l3c2, l4b2, l10b, t7b) — guard: tests/test_entry_contract.py.
 _HEAD = (
     # family anchors — all driver-green in r01–r08
     "s1_parquet_scan",
@@ -64,13 +64,13 @@ _HEAD = (
     "l23b_semantic_dedup_scaled",
     "l24_domain_mixture",
     "l27b_ivfpq_topk",
-    # ---- r01-stale anchors rotated back in (round 11) ----
-    "g10_min_max_by",
-    "j12_full_outer",
-    "o2_limit_offset",
-    "p3_null_predicates",
-    "s10_bucketed_join",
-    "s11_xml_roundtrip",
+    # ---- r01-stale anchors rotated back in (round 13) ----
+    "s2_jsonl_gz_roundtrip",
+    "s3_csv_roundtrip",
+    "p4_in_like_case",
+    "j2_left_outer",
+    "j4_left_semi",
+    "j6_theta_range",
     # G — profiling
     "g14_approx_percentile",  # rows-only (HLL); twin g14b green r08
     # L — near-dup / ANN production paths (recall-graded; checked twins green)
@@ -91,7 +91,6 @@ _HEAD = (
     "t13b_dynamic_session_streaming",
     "l27d_ivfpq_stored_index",
     "l27e_ivfpq_index_append",
-    "jh5_vacancy_lifecycle",
     # ---- round-11 additions ----
     "jh8_employer_resolution",
     "s17_compaction_invariance",
@@ -101,6 +100,8 @@ _HEAD = (
     "s20_retention_vacuum",
     "jh9_repost_audit",
     "jh10_dq_scorecard",
+    # ---- round-13 addition ----
+    "jh11_incremental_resolution",
 )
 
 
