@@ -261,13 +261,16 @@ def main() -> None:
         thresh[r.query_id] = min(thresh.get(r.query_id, float("inf")), r.dot)
     print(f"ground truth {wall_gt}s", flush=True)
 
-    def measure_recall(index_root, cents, books):
+    def measure_recall(index_root, cents, books, n_probe=8, rerank=True):
+        t0 = time.perf_counter()
         idx = spark.read.parquet(index_root)
         got = (
-            ivf_pq_search(probes, idx, cents, books, k=10, n_probe=8,
-                          corpus=full, rerank_k=50)
+            ivf_pq_search(probes, idx, cents, books, k=10, n_probe=n_probe,
+                          corpus=full if rerank else None,
+                          rerank_k=50 if rerank else None)
             .select("query_id", "neighbor_id").collect()
         )
+        wall = round(time.perf_counter() - t0, 1)
         # exact dot of returned pairs via point-fetch of their vectors
         need = sorted({r.neighbor_id for r in got} | set(q_ids))
         vec_by_id = {
@@ -286,11 +289,41 @@ def main() -> None:
         print(f"  rows returned: base={rows['b']} drift={rows['d']}",
               flush=True)
         return (round(hits["b"] / (10.0 * n_q), 3),
-                round(hits["d"] / (10.0 * n_q), 3))
+                round(hits["d"] / (10.0 * n_q), 3), wall)
 
-    rec_base_before, rec_drift_before = measure_recall(root_v1, coarse, codebooks)
-    print(f"recall BEFORE retrain: base={rec_base_before} "
-          f"drift={rec_drift_before}", flush=True)
+    # ---- nprobe sweep (round 13, VERDICT r12 task 3): locate the
+    # recall/wall knee instead of measuring one generous point. Each
+    # row = (n_probe, rerank?) -> (recall_base, recall_drift, wall);
+    # the ADC-only row shows what the refine stage buys at this scale.
+    sweep_probes = [int(x) for x in opt.get("sweep", "1,2,4,8").split(",")]
+    sweep_before = []
+    for np_ in sweep_probes:
+        rb, rd, wsec = measure_recall(root_v1, coarse, codebooks, n_probe=np_)
+        sweep_before.append({"n_probe": np_, "rerank": True,
+                             "recall_base": rb, "recall_drift": rd,
+                             "search_wall_s": wsec})
+        print(f"  sweep before: n_probe={np_} base={rb} drift={rd} "
+              f"{wsec}s", flush=True)
+    rb, rd, wsec = measure_recall(root_v1, coarse, codebooks,
+                                  n_probe=sweep_probes[-1], rerank=False)
+    sweep_before.append({"n_probe": sweep_probes[-1], "rerank": False,
+                         "recall_base": rb, "recall_drift": rd,
+                         "search_wall_s": wsec})
+    print(f"  sweep before: ADC-only n_probe={sweep_probes[-1]} "
+          f"base={rb} drift={rd} {wsec}s", flush=True)
+
+    # the KNEE: smallest nprobe whose BASE recall clears 0.95 — the
+    # drift delta is then measured where the operating point actually
+    # sits, not at a saturation point that hides it
+    knee = next((row["n_probe"] for row in sweep_before
+                 if row["rerank"] and row["recall_base"] >= 0.95),
+                sweep_probes[-1])
+    knee_row = next(r for r in sweep_before
+                    if r["rerank"] and r["n_probe"] == knee)
+    rec_base_before = knee_row["recall_base"]
+    rec_drift_before = knee_row["recall_drift"]
+    print(f"knee: n_probe={knee}; recall BEFORE retrain at knee: "
+          f"base={rec_base_before} drift={rec_drift_before}", flush=True)
 
     # ---- retrain rehearsal (side-by-side rebuild, atomic swap) -------
     t0 = time.perf_counter()
@@ -306,10 +339,21 @@ def main() -> None:
     wall_retrain = round(time.perf_counter() - t0, 1)
     print(f"retrain+rebuild {wall_retrain}s", flush=True)
 
-    rec_base_after, rec_drift_after = measure_recall(root_v2, coarse2, codebooks2)
+    sweep_after = []
+    for np_ in sweep_probes:
+        rb, rd, wsec = measure_recall(root_v2, coarse2, codebooks2,
+                                      n_probe=np_)
+        sweep_after.append({"n_probe": np_, "rerank": True,
+                            "recall_base": rb, "recall_drift": rd,
+                            "search_wall_s": wsec})
+        print(f"  sweep after: n_probe={np_} base={rb} drift={rd} "
+              f"{wsec}s", flush=True)
+    after_knee = next(r for r in sweep_after if r["n_probe"] == knee)
+    rec_base_after = after_knee["recall_base"]
+    rec_drift_after = after_knee["recall_drift"]
     mse_drift_after = batch_mse(batch, coarse2, codebooks2)
-    print(f"recall AFTER retrain: base={rec_base_after} "
-          f"drift={rec_drift_after}", flush=True)
+    print(f"recall AFTER retrain at knee n_probe={knee}: "
+          f"base={rec_base_after} drift={rec_drift_after}", flush=True)
 
     summary = {
         "metric": "ivfpq_10m",
@@ -328,6 +372,9 @@ def main() -> None:
         "drift_tripped": bool(tripped),
         "mse_drift_after_retrain": mse_drift_after,
         "wall_ground_truth": wall_gt,
+        "sweep_before": sweep_before,
+        "sweep_after": sweep_after,
+        "knee_n_probe": knee,
         "recall_base_before": rec_base_before,
         "recall_drift_before": rec_drift_before,
         "wall_retrain_rebuild": wall_retrain,

@@ -28,6 +28,14 @@ Ops per step (seeded random):
             day's files to the byte-planned count)
   zorder  — in-place per-day-partition zorder_compact on (a, b)
   vacuum  — vacuum_partitions at a cutoff chosen among live days
+  merge   — incremental_merge (round 13, VERDICT r12 task 6): CDC
+            upserts (updates of live keys + brand-new keys) and
+            deletes (live keys, occasionally a WHOLE day, sometimes
+            the same key as an upsert — delete wins, and some no-op
+            absent keys) applied through the day-partition dynamic
+            overwrite; the emptied-day clear and the rewritten
+            partitions interact with the persisted manifest exactly
+            where a stale manifest row would hide
   (update_manifest runs after every op; build_manifest comparison
    every few steps)
 
@@ -74,6 +82,7 @@ def make_batch(rng: random.Random, next_id: int, n: int):
 def run_trajectory(spark, seed: int, n_steps: int, stats: dict) -> None:
     from pyspark.sql import functions as F
 
+    from jobhouse_spark.operators.incremental import incremental_merge
     from jobhouse_spark.operators.maintenance import (
         build_manifest,
         compact_parquet,
@@ -186,7 +195,8 @@ def run_trajectory(spark, seed: int, n_steps: int, stats: dict) -> None:
 
     # step 0 is always an ingest so every trajectory has a table
     ops = ["ingest"] + [
-        rng.choice(["ingest", "ingest", "compact", "zorder", "vacuum"])
+        rng.choice(["ingest", "ingest", "compact", "zorder", "vacuum",
+                    "merge", "merge"])
         for _ in range(n_steps - 1)
     ]
     for step_no, op in enumerate(ops):
@@ -207,14 +217,72 @@ def run_trajectory(spark, seed: int, n_steps: int, stats: dict) -> None:
                 replace_dir(day_dir, lambda s, d: zorder_compact(
                     spark, s, d, ["a", "b"],
                     target_file_bytes=32 * 1024, bins=16))
+        elif op == "merge" and model:
+            # --- build a CDC batch against the CURRENT model ---
+            live = sorted(model)  # (id,a,b,day), each id unique
+            # updates: same id, SAME day (the operator's documented
+            # contract), fresh a/b
+            upd = [(i, rng.randrange(1000), rng.randrange(1000), d)
+                   for (i, _, _, d) in rng.sample(live,
+                                                  min(len(live),
+                                                      rng.randrange(1, 40)))]
+            # inserts: brand-new ids on random days
+            ins = make_batch(rng, next_id, rng.randrange(0, 40))
+            next_id += len(ins)
+            # deletes: live keys; 1-in-4 batches delete a WHOLE day
+            # (exercises the emptied-day clear + manifest interplay)
+            if rng.random() < 0.25 and live_days():
+                kill = rng.choice(live_days())
+                dels = [(i, d) for (i, _, _, d) in live if d == kill]
+            else:
+                dels = [(i, d) for (i, _, _, d) in
+                        rng.sample(live, min(len(live), rng.randrange(0, 15)))]
+            # sometimes delete a key that is ALSO upserted (delete wins)
+            if upd and rng.random() < 0.4:
+                i0, _, _, d0 = upd[0]
+                dels.append((i0, d0))
+            # and a no-op delete of an absent key on a live day
+            if live_days() and rng.random() < 0.3:
+                dels.append((next_id + 10**9, rng.choice(live_days())))
+            ups_df = spark.createDataFrame(
+                upd + ins, "id long, a long, b long, day string")
+            dels_df = spark.createDataFrame(dels, "id long, day string")                 if dels else spark.createDataFrame([], "id long, day string")
+            incremental_merge(spark, root, ups_df, dels_df,
+                              key_col="id", day_col="day")
+            # --- model mutation (independent re-derivation) ---
+            del_ids = {i for (i, _) in dels}
+            for key in [k for k in model if k[0] in del_ids]:
+                del model[key]
+            up_by_id = {i: (i, a, b, d) for (i, a, b, d) in upd
+                        if i not in del_ids}
+            for key in [k for k in model if k[0] in up_by_id]:
+                del model[key]
+            model.update(up_by_id.values())
+            model.update((i, a, b, d) for (i, a, b, d) in ins
+                         if i not in del_ids)
         elif op == "vacuum" and len(live_days()) > 1:
             cutoff = rng.choice(live_days()[1:])  # keep >= 1 day alive
+            # vacuum's contract is DIRECTORY-level: a merge that
+            # deleted a whole day leaves an EMPTY day= directory (the
+            # emptied-day clear — incremental_merge's documented
+            # non-emitting-partition behavior), which vacuum rightly
+            # removes even though the model has no rows there. Expect
+            # from the filesystem, then separately assert no LIVE day
+            # at/above the cutoff was touched. (Caught by fuzz seed
+            # 120007 on the first merge-enabled run.)
+            dir_days = {n.split("=", 1)[1] for n in os.listdir(root)
+                        if n.startswith("day=")}
             removed = set(vacuum_partitions(spark, root, "day", cutoff))
-            expect_removed = {d for d in live_days() if d < cutoff}
+            expect_removed = {d for d in dir_days if d < cutoff}
             if removed != expect_removed:
                 raise AssertionError(
                     f"seed={seed} step={tag}: vacuum removed {removed}, "
                     f"expected {expect_removed}"
+                )
+            if any(d >= cutoff for d in removed):
+                raise AssertionError(
+                    f"seed={seed} step={tag}: vacuum removed a day at/"
+                    f"above the cutoff {cutoff}: {removed}"
                 )
             for key in [k for k in model if k[3] < cutoff]:
                 del model[key]
