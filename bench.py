@@ -186,7 +186,10 @@ def _measure(args) -> dict:
     # headline total stays comparable to the round-6 BASELINE (which
     # predates these operators). Spreads feed the same contention flag.
     _OPS_SECTION = ("jh8_employer_resolution", "s17_compaction_invariance",
-                    "s19_manifest_pruned_scan")
+                    "s19_manifest_pruned_scan",
+                    # round 13: the incremental-resolution production
+                    # shape — day-1 resolve + day-2 batch apply
+                    "jh11_incremental_resolution")
     ops_timings: dict[str, float] = {}
     ops_cpu: dict[str, float] = {}
     if args.tag == "headline" and not args.no_ops_section:

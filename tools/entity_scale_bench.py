@@ -219,7 +219,10 @@ def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
     t_day0 = round(_time.perf_counter() - t0, 1)
 
     t0 = _time.perf_counter()
-    inc = resolve_entities_incremental(batch_names, stored).persist()
+    inc_stats: dict = {}
+    inc = resolve_entities_incremental(
+        batch_names, stored, stats_out=inc_stats
+    ).persist()
     n_inc = inc.count()
     t_inc = round(_time.perf_counter() - t0, 1)
 
@@ -248,6 +251,7 @@ def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
         "union_nodes": n_full,
         "clusters": int(cl.clusters),
         "members_min_max": [int(cl.mn), int(cl.mx)],
+        "incremental_stats": inc_stats,
         "incremental_equals_rebuild": diff == 0,
         "exact_recovery": bool(ok),
         "day0_wall_s": t_day0,
