@@ -867,7 +867,19 @@ def ivf_pq_search(
     shortlist only (broadcast shortlist joined against a map-only
     corpus scan — at 100 TB, a point-fetch from the vector store, NOT
     a corpus scan carrying vectors into a shuffle), exact integer-dot
-    re-rank."""
+    re-rank.
+
+    OPERATING POINT (measured at 10M vectors / 96 cells / 48 queries
+    per region — SCALE.md round-13 knee section, IVFPQ_10M.json):
+    recall@10 is 0.77 at n_probe=1, 0.95 at 2 (the knee), 0.99 at 4;
+    the default n_probe=4 sits just past the knee — recall-first.
+    Latency-first callers use n_probe=2. ALWAYS pass corpus+rerank_k
+    for quality search: ADC-only recall at this bit budget (8 bytes /
+    64 dims) is ~0.38 at ~45% of the refined wall — the refine stage
+    is the whole game. Retrain guidance from the same rung: the
+    cell-skew trigger warrants retrain for ROUTING health (below-knee
+    recall and probe balance); only the MSE trigger signals codebook
+    resolution decay."""
     from jobhouse_spark.functions.vectors import dot_micro, micro_vec  # noqa: PLC0415
 
     if rerank_k is not None and corpus is None:
