@@ -213,6 +213,10 @@ def main() -> None:
     n = int(opt.get("n", "500"))
     seed0 = int(opt.get("seed0", "1"))
     enlarge = int(opt.get("enlarge", "0"))
+    # --shapes=v9 restricts to the six spec-driven JSON/HOF/interval
+    # shapes for a DENSE pass over the semi-structured surface (the
+    # full list only samples them ~38% of seeds); default = full list
+    shapes_opt = opt.get("shapes", "full")
 
     if "PYSPARK_SUBMIT_ARGS" not in os.environ:
         os.environ["PYSPARK_SUBMIT_ARGS"] = "--driver-memory 6g pyspark-shell"
@@ -243,13 +247,17 @@ def main() -> None:
                     json_spec=SILVER_JSON_SPEC, arr_spec=SILVER_ARR_SPEC,
                     ival_spec=SILVER_IVAL_SPEC)
     pools = qf.build_pools(duck)
+    shapes = (["json_path", "interval_arith", "array_hof",
+               "win_json", "win_hof", "setop_json"]
+              if shapes_opt == "v9" else qf.FULL_SHAPES)
     failures = qf.run_campaign(
         spark, duck, pools, range(seed0, seed0 + n),
-        shapes=qf.FULL_SHAPES,
+        shapes=shapes,
     )
     summary = {
         "metric": "silver_fuzz", "grammar": qf.GRAMMAR_VERSION,
         "universe": "silver", "n": n, "seed0": seed0, "enlarge": enlarge,
+        "shapes": shapes_opt,
         "postings_rows": spark.table("postings").count(),
         "pass": n - len(failures), "fail": len(failures),
         "failed_seeds": [s for s, _, _ in failures][:20],
