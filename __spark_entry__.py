@@ -30,17 +30,18 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # One hash-checkable representative per SURVEY §2 family, 50 exactly.
 #
-# ROUND-13 ROTATION (VERDICT r12 task 8: keep driver-row freshness
-# cycling). IN — the six oldest pass* entries (driver-green only in
-# r01: s2 jsonl.gz, s3 csv, p4 in/like/case, j2 left outer, j4 left
-# semi, j6 theta/range) plus the new jh11 incremental entity
-# resolution. OUT — seven multi-round-green anchors: g10, j12, o2,
-# p3, s10, s11 (green r01+r11+r12) and jh5 (green r10-r12); their
-# families keep anchors (g1/g4c/g14, j1/j2/j4/j6, o1, p1/p4,
-# s1-s3/s17-s20, jh1/jh8-jh11). The seven rows-only-by-contract
-# entries (SURVEY §2.C rule 6: g14, l2, l3b, l3c, l4b, l10, t7) stay
-# pinned with their hash-checked twins green (g14b, l2c/l2d, l3b2,
-# l3c2, l4b2, l10b, t7b) — guard: tests/test_entry_contract.py.
+# ROUND-14 ROTATION (VERDICT r13 task 7: keep the head-rotation
+# cadence). IN — seven of the stalest pass* entries (driver-green
+# only in r01 per the CORRECTNESS union: s5 parquet sink, s8 VALUES,
+# j5 left anti, j7 band self-join, g5 filtered agg, g9 partial+final,
+# w2 lag/lead). OUT — the seven freshly re-greened r13 rotations
+# s2/s3/p4/j2/j4/j6 (green r01+r13) and g4c (multi-round green);
+# family coverage after the swap: S keeps s1/s5/s8/s17-s20, P keeps
+# p1, J keeps j1/j5/j7, G keeps g1/g5/g9/g14, W keeps w1/w2. The
+# seven rows-only-by-contract entries (SURVEY §2.C rule 6: g14, l2,
+# l3b, l3c, l4b, l10, t7) stay pinned with their hash-checked twins
+# green (g14b, l2c/l2d, l3b2, l3c2, l4b2, l10b, t7b) — guard:
+# tests/test_entry_contract.py.
 _HEAD = (
     # family anchors — all driver-green in r01–r08
     "s1_parquet_scan",
@@ -58,19 +59,19 @@ _HEAD = (
     "q18_large_volume_customer",
     "sq1_scalar_subquery",
     "jh1_gold_daily_mart",
-    "g4c_grouping_sets",
     "l1_exact_dedup",
     "l6b_quality_scores",
     "l23b_semantic_dedup_scaled",
     "l24_domain_mixture",
     "l27b_ivfpq_topk",
-    # ---- r01-stale anchors rotated back in (round 13) ----
-    "s2_jsonl_gz_roundtrip",
-    "s3_csv_roundtrip",
-    "p4_in_like_case",
-    "j2_left_outer",
-    "j4_left_semi",
-    "j6_theta_range",
+    # ---- r01-stale anchors rotated back in (round 14) ----
+    "s5_parquet_sink_roundtrip",
+    "s8_values_literal",
+    "j5_left_anti",
+    "j7_band_self_join",
+    "g5_conditional_agg",
+    "g9_partial_final",
+    "w2_lag_lead",
     # G — profiling
     "g14_approx_percentile",  # rows-only (HLL); twin g14b green r08
     # L — near-dup / ANN production paths (recall-graded; checked twins green)

@@ -79,18 +79,50 @@ def main() -> None:
         # losing attempt rides along under other_attempt so the record
         # shows both, per the round-12 verdict's bench-robustness task.
         if not second["contended"] or second["value"] <= first["value"]:
-            result = second
-            result["other_attempt"] = _attempt_summary(first)
+            result, loser = second, first
         else:
-            result = first
-            result["other_attempt"] = _attempt_summary(second)
+            result, loser = first, second
+        # the FULL dual-attempt record (per-query walls AND cpu dicts
+        # for both attempts) goes to a SIDE file — the driver parses
+        # only the last ~2,000 bytes of stdout, and round 13 proved
+        # that embedding the losing attempt's 19-query dict overflows
+        # that window (BENCH_r13 recorded parsed:null).
+        try:
+            side = os.environ.get(
+                "SPARK_GRAFT_BENCH_SIDE",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_local.json"))
+            with open(side, "w") as fh:
+                json.dump({"winner": dict(result), "loser_full": loser},
+                          fh, indent=1)
+        except OSError:
+            pass  # side record is best-effort; the stdout line is the contract
+        # stdout line, retry shape: winner's walls stay (the baseline
+        # comparison needs them); the winner's per-query CPU dicts move
+        # to the side file (diagnostics, ~640 bytes) and the loser is
+        # summarized to scalars — keeping the printed line well inside
+        # the driver's capture window with headroom for future keys.
+        for k in ("cpu_sec", "ops_cpu_sec"):
+            result.pop(k, None)
+        result["cpu_in_side_file"] = True
+        result["other_attempt"] = _attempt_summary(loser)
+        if first["contended"] and second["contended"]:
+            # ADVICE r13: when BOTH attempts flagged, the headline is a
+            # min-of-two — mark it so cross-round comparisons can
+            # account for the selection bias vs single-attempt rounds
+            result["both_contended"] = True
     print(json.dumps(result))
 
 
 def _attempt_summary(res: dict) -> dict:
-    keep = ("value", "queries", "contended", "load_avg_before",
-            "load_avg_15m", "wall_spread_median", "retry_waited_sec",
-            "ops_total")
+    # SCALARS ONLY (round-14 fix): r13's retry embedded the losing
+    # attempt's full per-query dict here, pushing the final stdout line
+    # to ~2.9 KB — past the driver's 2,000-byte tail capture, so the
+    # driver recorded parsed:null. The per-query detail lives in
+    # BENCH_local.json instead; tests/test_bench_retry.py pins the
+    # printed-line budget.
+    keep = ("value", "contended", "load_avg_before",
+            "load_avg_15m", "wall_spread_median", "retry_waited_sec")
     return {k: res[k] for k in keep if k in res}
 
 
@@ -186,10 +218,7 @@ def _measure(args) -> dict:
     # headline total stays comparable to the round-6 BASELINE (which
     # predates these operators). Spreads feed the same contention flag.
     _OPS_SECTION = ("jh8_employer_resolution", "s17_compaction_invariance",
-                    "s19_manifest_pruned_scan",
-                    # round 13: the incremental-resolution production
-                    # shape — day-1 resolve + day-2 batch apply
-                    "jh11_incremental_resolution")
+                    "s19_manifest_pruned_scan")
     ops_timings: dict[str, float] = {}
     ops_cpu: dict[str, float] = {}
     if args.tag == "headline" and not args.no_ops_section:
@@ -197,6 +226,17 @@ def _measure(args) -> dict:
         ops_qs = {n: all_qs[n] for n in _OPS_SECTION
                   if n in all_qs and n not in skipped}
         ops_timings, ops_cpu = run_set(ops_qs, spreads)
+        # jh11 under SPLIT keys (round-13 verdict task 6): the single
+        # registry-query timing bundled day-1 full resolution with the
+        # day-2 batch apply, so the ops trend line mostly tracked the
+        # rebuild the incremental operator exists to avoid. Timing the
+        # two phases separately keeps the apply's cost visible on its
+        # own. r13 comparability: jh11_incremental_resolution (r13 ops
+        # key) ~= jh11_day0_resolve + jh11_batch_apply (BASELINE.md).
+        if "jh11_incremental_resolution" not in skipped:
+            jh11_walls, jh11_cpus = _run_jh11_split(spark, args, spreads)
+            ops_timings.update(jh11_walls)
+            ops_cpu.update(jh11_cpus)
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 4)
@@ -239,6 +279,67 @@ def _measure(args) -> dict:
                     "ops_total": round(sum(ops_timings.values()), 4)}
                    if ops_timings else {}),
             }
+
+
+def _run_jh11_split(spark, args, spreads_acc: list[float]) -> tuple[dict, dict]:
+    """Time jh11's two phases under separate keys with the run_set
+    protocol (median-of-repeat walls + driver cpu, warm-repeat spread
+    into the shared contention accumulator):
+
+      jh11_day0_resolve — full day-1 resolution + persist of the
+        stored mapping (the cost a production deployment pays ONCE,
+        then amortizes across daily batches);
+      jh11_batch_apply — the incremental apply of the day-2 batch
+        against the ALREADY-MATERIALIZED stored map (the recurring
+        daily cost; this is the number the operator exists to shrink).
+
+    The stored map is persisted and forced BEFORE the apply timer
+    starts, so the apply measurement can't silently re-run day-1 work
+    through lineage. Maps are released per repeat (and at the end) so
+    repeats don't accumulate cached relations."""
+    import statistics as _st  # local: keep module top unchanged
+
+    from jobhouse_spark.operators.entity import (
+        persist_entity_mapping,
+        release_persisted_entity_maps,
+        resolve_entities,
+        resolve_entities_incremental,
+    )
+    from jobhouse_spark.queries.jobhouse_gold import jh11_split_inputs
+
+    walls = {"jh11_day0_resolve": [], "jh11_batch_apply": []}
+    cpus = {"jh11_day0_resolve": [], "jh11_batch_apply": []}
+    for rep in range(max(1, args.repeat)):
+        if args.gc_between_repeats and rep > 0:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.5)
+        release_persisted_entity_maps()
+        day1, batch = jh11_split_inputs(spark)
+
+        t0, c0 = time.perf_counter(), time.process_time()
+        stored = persist_entity_mapping(resolve_entities(day1))
+        # noop write materializes the persisted map (same honest forcer
+        # as run_set) so the apply phase starts from a warm stored map
+        stored.write.format("noop").mode("overwrite").save()
+        walls["jh11_day0_resolve"].append(time.perf_counter() - t0)
+        cpus["jh11_day0_resolve"].append(time.process_time() - c0)
+
+        t0, c0 = time.perf_counter(), time.process_time()
+        out = resolve_entities_incremental(batch, stored).orderBy("name")
+        out.write.format("noop").mode("overwrite").save()
+        walls["jh11_batch_apply"].append(time.perf_counter() - t0)
+        cpus["jh11_batch_apply"].append(time.process_time() - c0)
+    release_persisted_entity_maps()
+
+    wall_out, cpu_out = {}, {}
+    for key in walls:
+        ws = walls[key]
+        wall_out[key] = round(_st.median(ws), 4)
+        cpu_out[key] = round(_st.median(cpus[key]), 4)
+        if len(ws) >= 2 and min(ws) > 0:
+            warm = ws[1:] if len(ws) >= 3 else ws
+            spreads_acc.append(max(warm) / min(warm))
+    return wall_out, cpu_out
 
 
 if __name__ == "__main__":

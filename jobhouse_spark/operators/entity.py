@@ -302,6 +302,80 @@ def release_persisted_entity_maps() -> int:
 # ---------------------------------------------------------------------------
 
 
+def _incremental_candidate_edges(
+    new_nodes: DataFrame,
+    union_nodes: DataFrame,
+    gram_len: int,
+    max_dist: int,
+) -> DataFrame:
+    """Verified batch-adjacent edges for incremental resolution:
+    one-sided prefix filter (long stratum) + deletion keys (short
+    stratum), levenshtein-verified. Extracted as a module-level helper
+    so tools/explain_audit.py can assert the STRUCTURAL batch-sizedness
+    property on the exact plan the resolver executes (the closure's
+    eager localCheckpoint truncates this lineage out of the final
+    mapping's plan): exactly one prefix-rank Window (only the NEW side
+    is prefix-filtered — a second window or a windowed self-join would
+    mean domain-wide prefix work), no CartesianProduct/BNLJ, no Python
+    eval. Called only by resolve_entities_incremental."""
+    short_bound = gram_len * (max_dist + 1)
+    prefix_len = gram_len * max_dist + 1
+
+    # ---- long stratum: one-sided prefix filter ----
+    union_long_grams = (
+        union_nodes.filter(F.length("name") >= short_bound)
+        .select("name", F.explode(_grams("name", gram_len)).alias("gram"))
+    )
+    gram_df = union_long_grams.groupBy("gram").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("name").orderBy(F.asc("df"), F.asc("gram"))
+    new_prefix = (
+        new_nodes.filter(F.length("name") >= short_bound)
+        .select("name", F.explode(_grams("name", gram_len)).alias("gram"))
+        .join(gram_df, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("name", "gram")
+    )
+    a = new_prefix.alias("a")
+    b = union_long_grams.alias("b")
+    cand_long = (
+        a.join(b, "gram")
+        .filter(F.col("a.name") != F.col("b.name"))
+        .filter(
+            F.abs(F.length(F.col("a.name")) - F.length(F.col("b.name"))) <= max_dist
+        )
+        .select(
+            F.least(F.col("a.name"), F.col("b.name")).alias("src"),
+            F.greatest(F.col("a.name"), F.col("b.name")).alias("dst"),
+        )
+        .distinct()
+    )
+
+    # ---- short stratum: deletion keys, batch side vs union side ----
+    shortish = F.length("name") < short_bound + max_dist
+    new_sk = new_nodes.filter(shortish).select(
+        "name", F.explode(_deletion_keys("name", max_dist)).alias("k")
+    )
+    union_sk = union_nodes.filter(shortish).select(
+        "name", F.explode(_deletion_keys("name", max_dist)).alias("k")
+    )
+    sa = new_sk.alias("a")
+    sb = union_sk.alias("b")
+    cand_short = (
+        sa.join(sb, "k")
+        .filter(F.col("a.name") != F.col("b.name"))
+        .select(
+            F.least(F.col("a.name"), F.col("b.name")).alias("src"),
+            F.greatest(F.col("a.name"), F.col("b.name")).alias("dst"),
+        )
+        .distinct()
+    )
+
+    return cand_long.unionAll(cand_short).filter(
+        F.levenshtein("src", "dst") <= max_dist
+    )
+
+
 def resolve_entities_incremental(
     batch_names: DataFrame,
     stored_mapping: DataFrame,
@@ -362,9 +436,6 @@ def resolve_entities_incremental(
     may be raw (they are normalized here) and may repeat stored names
     (dropped — already resolved).
     """
-    short_bound = gram_len * (max_dist + 1)
-    prefix_len = gram_len * max_dist + 1
-
     old_nodes = stored_mapping.select(F.col("name"))
     new_nodes = (
         batch_names.select(normalize_entity_name(F.col(name_col)).alias("name"))
@@ -373,59 +444,8 @@ def resolve_entities_incremental(
         .join(old_nodes, "name", "left_anti")
     )
     union_nodes = old_nodes.unionByName(new_nodes)
-
-    # ---- long stratum: one-sided prefix filter ----
-    union_long_grams = (
-        union_nodes.filter(F.length("name") >= short_bound)
-        .select("name", F.explode(_grams("name", gram_len)).alias("gram"))
-    )
-    gram_df = union_long_grams.groupBy("gram").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("name").orderBy(F.asc("df"), F.asc("gram"))
-    new_prefix = (
-        new_nodes.filter(F.length("name") >= short_bound)
-        .select("name", F.explode(_grams("name", gram_len)).alias("gram"))
-        .join(gram_df, "gram")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= prefix_len)
-        .select("name", "gram")
-    )
-    a = new_prefix.alias("a")
-    b = union_long_grams.alias("b")
-    cand_long = (
-        a.join(b, "gram")
-        .filter(F.col("a.name") != F.col("b.name"))
-        .filter(
-            F.abs(F.length(F.col("a.name")) - F.length(F.col("b.name"))) <= max_dist
-        )
-        .select(
-            F.least(F.col("a.name"), F.col("b.name")).alias("src"),
-            F.greatest(F.col("a.name"), F.col("b.name")).alias("dst"),
-        )
-        .distinct()
-    )
-
-    # ---- short stratum: deletion keys, batch side vs union side ----
-    shortish = F.length("name") < short_bound + max_dist
-    new_sk = new_nodes.filter(shortish).select(
-        "name", F.explode(_deletion_keys("name", max_dist)).alias("k")
-    )
-    union_sk = union_nodes.filter(shortish).select(
-        "name", F.explode(_deletion_keys("name", max_dist)).alias("k")
-    )
-    sa = new_sk.alias("a")
-    sb = union_sk.alias("b")
-    cand_short = (
-        sa.join(sb, "k")
-        .filter(F.col("a.name") != F.col("b.name"))
-        .select(
-            F.least(F.col("a.name"), F.col("b.name")).alias("src"),
-            F.greatest(F.col("a.name"), F.col("b.name")).alias("dst"),
-        )
-        .distinct()
-    )
-
-    edges_new = cand_long.unionAll(cand_short).filter(
-        F.levenshtein("src", "dst") <= max_dist
+    edges_new = _incremental_candidate_edges(
+        new_nodes, union_nodes, gram_len, max_dist
     )
 
     # ---- contract old endpoints to their stored canonical ----

@@ -69,3 +69,67 @@ def test_no_contention_retry_flag(monkeypatch, capsys):
     res = _run(monkeypatch, capsys, [CONTENDED],
                argv_extra=["--no-contention-retry"])
     assert res["value"] == 19.0 and "other_attempt" not in res
+
+
+def test_both_contended_marker(monkeypatch, capsys):
+    res = _run(monkeypatch, capsys, [CONTENDED, dict(CONTENDED, value=21.0)])
+    assert res.get("both_contended") is True
+    res2 = _run(monkeypatch, capsys, [CONTENDED, IDLE])
+    assert "both_contended" not in res2
+
+
+def _realistic(value, contended):
+    """A full-sized attempt payload — 19 headline queries + the 5-key
+    ops section, shaped like a real _measure() result — so the line-
+    budget test exercises the same serialized volume that overflowed
+    the driver's tail capture in round 13."""
+    qnames = ["g1_groupby_agg", "j1_inner_equi", "j3_broadcast_dim",
+              "l14_stopword_ratio", "l15_langid_ngram", "l2_minhash_neardup",
+              "l6_quality_filters", "o1_global_sort", "p2_filter_pushdown",
+              "q18_large_orders", "q3_shipping_priority", "q5_local_supplier",
+              "q6_forecast_revenue", "s1_parquet_scan", "t2_tumbling_window",
+              "u1_union_dedup", "w4_topk_per_group", "x2_pandas_udf",
+              "sq1_scalar_subquery"]
+    ops = ["jh8_employer_resolution", "s17_compaction_invariance",
+           "s19_manifest_pruned_scan", "jh11_day0_resolve",
+           "jh11_batch_apply"]
+    return {
+        "metric": "headline_query_wall_clock_total", "value": value,
+        "unit": "sec", "queries": {n: 1.2345 for n in qnames},
+        "cpu_sec": {n: 0.0456 for n in qnames}, "repeat": 3, "sf": 0.1,
+        "load_avg_before": 6.73, "load_avg_5m": 5.1, "load_avg_15m": 6.73,
+        "wall_spread_median": 1.081, "contended": contended,
+        "ops_queries": {n: 4.5678 for n in ops},
+        "ops_cpu_sec": {n: 0.1234 for n in ops},
+        "ops_total": 22.839,
+    }
+
+
+def test_retry_line_fits_driver_tail_capture(monkeypatch, capsys, tmp_path):
+    """Round-13 regression: other_attempt embedded the losing attempt's
+    full per-query dicts, pushing the final stdout line past the
+    driver's 2,000-byte tail capture (BENCH_r13 recorded parsed:null).
+    The summary must keep SCALARS ONLY and the printed line must stay
+    inside the capture window with headroom, even with full-sized
+    attempt payloads on the retry path."""
+    side = tmp_path / "BENCH_local.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SIDE", str(side))
+    for attempts in ([_realistic(16.10, True), _realistic(14.38, False)],
+                     [_realistic(16.10, True), _realistic(17.0, True)]):
+        res = _run(monkeypatch, capsys, [dict(a) for a in attempts])
+        line = json.dumps(res)
+        assert len(line) < 1800, f"printed line {len(line)}B >= 1800B budget"
+        # winner's walls stay on stdout (baseline comparison); its CPU
+        # dicts move to the side file; loser summarized to scalars
+        assert "queries" in res and "ops_queries" in res
+        assert "cpu_sec" not in res and "ops_cpu_sec" not in res
+        assert res["cpu_in_side_file"] is True
+        other = res["other_attempt"]
+        assert "queries" not in other and "ops_total" not in other
+        assert set(other) <= {"value", "contended", "load_avg_before",
+                              "load_avg_15m", "wall_spread_median",
+                              "retry_waited_sec"}
+    # the full dual-attempt record is preserved in the side file
+    rec = json.loads(side.read_text())
+    assert "queries" in rec["loser_full"] and "cpu_sec" in rec["loser_full"]
+    assert "cpu_sec" in rec["winner"] and "other_attempt" not in rec["winner"]

@@ -471,3 +471,59 @@ def test_incremental_resolution_equals_full_on_split(spark):
     assert sorted(map(tuple, again2.collect())) == sorted(
         map(tuple, stored.collect())
     )
+
+
+def test_incremental_resolution_chained_days(spark):
+    """Round-13 verdict task 3: production applies one batch per day
+    FOREVER — the single-batch equivalence (jh11) is the inductive
+    step, but state corruption would COMPOUND across days. Chain K=4
+    sequential daily batches, asserting after EVERY apply that the
+    evolving stored mapping equals a from-scratch re-resolve of the
+    union so far. The planted geometry puts the cluster bridge ACROSS
+    days: day-1 creates cluster A ('aurora analytics'), day-2 creates
+    cluster B ('aurorx bnalytica', ed 3 from A — provably separate),
+    and day-3's 'aurorx analytica' (ed 2 to A, ed 1 to B) must merge
+    a day-1-created and a day-2-created cluster — exactly the
+    cross-day relabeling a subtly stale stored map would get wrong.
+    Day-4 is pure churn + a resubmission, pinning that the merged
+    state keeps absorbing ordinary days."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from jobhouse_spark.operators.entity import (
+        resolve_entities,
+        resolve_entities_incremental,
+    )
+
+    def df(names):
+        return spark.createDataFrame([(n,) for n in names], "name string")
+
+    day0 = df(["Quasar Shipping", "Quasar Shipping LLC", "Nimbus Freight"])
+    days = [
+        ["Aurora Analytics", "Nimbus  FREIGHT"],          # day 1: cluster A
+        ["aurorx bnalytica", "Granite Harbor"],           # day 2: cluster B
+        ["AURORX  ANALYTICA"],                            # day 3: the bridge
+        ["Granite Harbor Ltd", "Quasar Shipping"],        # day 4: churn+resubmit
+    ]
+
+    stored = resolve_entities(day0)
+    union = day0
+    snapshots = []
+    for k, batch_names in enumerate(days, start=1):
+        batch = df(batch_names)
+        stored = resolve_entities_incremental(batch, stored)
+        union = union.unionByName(batch)
+        got = sorted(map(tuple, stored.collect()))
+        want = sorted(map(tuple, resolve_entities(union).collect()))
+        assert got == want, f"chained apply diverged from rebuild at day {k}"
+        snapshots.append({name: canon for name, canon in got})
+
+    # the bridge really spanned days: separate clusters after day 2,
+    # one cluster (relabeled to the re-elected minimum) after day 3
+    assert snapshots[1]["aurora analytics"] == "aurora analytics"
+    assert snapshots[1]["aurorx bnalytica"] == "aurorx bnalytica"
+    assert snapshots[2]["aurorx bnalytica"] == "aurora analytics"
+    assert snapshots[2]["aurorx analytica"] == "aurora analytics"
+    # day-4 churn didn't disturb the merged cluster, and the
+    # resubmitted stored name stayed a no-op
+    assert snapshots[3]["aurorx bnalytica"] == "aurora analytics"
+    assert snapshots[3]["quasar shipping"] == snapshots[0]["quasar shipping"]

@@ -184,10 +184,25 @@ def _zipf_base(spark, F, n_entities: int, c_head: int, open_vocab: bool = False)
 
 
 def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
-    """Day-0 full resolve on E-K entities, day-2 incremental batch of
-    K entities' variants (plus a 1%% resubmission slice of stored
-    names — the no-op path), rebuild-on-union denominator, exact
-    equality assert. Entity ids >= E-K are the held-out batch."""
+    """Day-0 full resolve on E-K entities, then the held-out K
+    entities' variants applied incrementally — as ONE day-2 batch by
+    default, or as `--chain=N` SEQUENTIAL daily batches (the variants
+    of a held-out entity are hash-scattered across the N days, so
+    cross-day cluster bridges arise naturally: a day-1 deletion typo
+    and a day-2 substitution typo sit in separate stored clusters
+    until a later day's clean form merges them). Each batch also
+    carries a 1%% resubmission slice of stored names (the no-op
+    path). Rebuild-on-union is the denominator; the FINAL mapping must
+    equal it row-for-row.
+
+    Pass criterion (ADVICE r13): the GRID corpus is constructed for
+    provable exact recovery (clusters == E, every cluster exactly 3
+    members) and gates on it; the ZIPF corpus's cross-cohort
+    separation is probabilistic (random CVC brands; open-vocab tail
+    distinguishers), so its gate is the equivalence contract
+    (incremental chain == rebuild) — exact recovery is still computed
+    and reported, it just can't spuriously fail the rung on a brand
+    collision the resolver handled consistently on both sides."""
     import json as _json
     import sys as _sys
     import time as _time
@@ -197,20 +212,20 @@ def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
         resolve_entities_incremental,
     )
 
+    chain_n = max(1, int(opt.get("chain", "1")))
+
     # freeze the generated ids (zipf uses monotonically_increasing_id,
     # which is plan-layout-dependent) and avoid regenerating the corpus
     # on every action below
     variants = variants.localCheckpoint(eager=True)
-    # hash-fraction holdout: ~inc_k of the E entities become the day-2
-    # batch; every variant of an entity lands on the same side
+    # hash-fraction holdout: ~inc_k of the E entities become the batch;
+    # every variant of an entity lands on the same side
     permille = max(1, round(1000 * inc_k / n_entities))
     is_batch = F.pmod(F.hash(F.col("id").cast("string")), F.lit(1000)) < permille
     stored_names = variants.filter(~is_batch).select("name")
-    # realistic batch: all variants of the held-out entities + a 1%
-    # resubmission slice of stored raw names (already-resolved no-ops)
-    batch_names = variants.filter(is_batch).select("name").unionAll(
-        variants.filter(~is_batch & (F.col("id") % 100 == 0)).select("name")
-    )
+    resubmission = variants.filter(
+        ~is_batch & (F.col("id") % 100 == 0)
+    ).select("name")
     k_actual = variants.filter(is_batch).select("id").distinct().count()
 
     t0 = _time.perf_counter()
@@ -218,13 +233,30 @@ def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
     n_stored = stored.count()
     t_day0 = round(_time.perf_counter() - t0, 1)
 
-    t0 = _time.perf_counter()
-    inc_stats: dict = {}
-    inc = resolve_entities_incremental(
-        batch_names, stored, stats_out=inc_stats
-    ).persist()
-    n_inc = inc.count()
-    t_inc = round(_time.perf_counter() - t0, 1)
+    # apply the held-out work as chain_n sequential daily batches;
+    # day assignment is per-VARIANT (hash of the raw name), so one
+    # entity's clean/typo forms split across days and later days
+    # genuinely merge earlier days' partial clusters
+    day_col = F.pmod(F.hash(F.col("name")), F.lit(chain_n))
+    step_walls: list[float] = []
+    step_sizes: list[int] = []
+    step_stats: list[dict] = []
+    current = stored
+    for d in range(chain_n):
+        b = variants.filter(is_batch & (day_col == d)).select("name") \
+            .unionAll(resubmission)
+        t0 = _time.perf_counter()
+        st: dict = {}
+        nxt = resolve_entities_incremental(b, current, stats_out=st).persist()
+        n_cur = nxt.count()
+        step_walls.append(round(_time.perf_counter() - t0, 1))
+        step_sizes.append(int(st.get("new_nodes", -1)))
+        step_stats.append(st)
+        if current is not stored:
+            current.unpersist()
+        current = nxt
+    inc, n_inc = current, n_cur
+    t_inc = round(sum(step_walls), 1)
 
     t0 = _time.perf_counter()
     full = resolve_entities(variants.select("name")).persist()
@@ -238,24 +270,31 @@ def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
         .first()
     )
     diff = inc.exceptAll(full).count() + full.exceptAll(inc).count()
-    ok = (
-        cl.clusters == n_entities and cl.mn == cl.mx == 3
-        and diff == 0 and n_inc == n_full
-    )
+    equiv = diff == 0 and n_inc == n_full
+    recovery = cl.clusters == n_entities and cl.mn == cl.mx == 3
+    is_grid = opt.get("corpus", "grid") != "zipf"
+    ok = (equiv and recovery) if is_grid else equiv
     summary = {
         "metric": "entity_incremental_rung",
+        "corpus": opt.get("corpus", "grid"),
+        "dist_vocab": (opt.get("dist-vocab", "closed")
+                       if opt.get("corpus") == "zipf" else None),
         "entities": n_entities,
         "batch_entities": k_actual,
+        "chain_days": chain_n,
         "raw_names": n_raw,
         "stored_nodes": n_stored,
         "union_nodes": n_full,
         "clusters": int(cl.clusters),
         "members_min_max": [int(cl.mn), int(cl.mx)],
-        "incremental_stats": inc_stats,
-        "incremental_equals_rebuild": diff == 0,
-        "exact_recovery": bool(ok),
+        "incremental_stats": (step_stats[0] if chain_n == 1 else step_stats),
+        "incremental_equals_rebuild": bool(equiv),
+        "exact_recovery": bool(recovery),
+        "pass_criterion": "equivalence+recovery" if is_grid else "equivalence",
         "day0_wall_s": t_day0,
         "incremental_wall_s": t_inc,
+        **({"chain_step_walls_s": step_walls,
+            "chain_step_new_nodes": step_sizes} if chain_n > 1 else {}),
         "rebuild_wall_s": t_rebuild,
         "marginal_vs_rebuild": round(t_inc / max(t_rebuild, 1e-9), 3),
     }
@@ -264,6 +303,16 @@ def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
     if out:
         with open(out, "w") as f:
             _json.dump(summary, f, indent=1)
+    rungs_path = opt.get("append-json")
+    if rungs_path:
+        try:
+            with open(rungs_path) as f:
+                doc = _json.load(f)
+        except (OSError, ValueError):
+            doc = {"rungs": []}
+        doc.setdefault("rungs", []).append(summary)
+        with open(rungs_path, "w") as f:
+            _json.dump(doc, f, indent=1)
     _sys.exit(0 if ok else 1)
 
 

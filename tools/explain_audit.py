@@ -385,6 +385,60 @@ def main() -> None:
     check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
           "s19: digest left the JVM")
 
+    # jh11 structural audit (round-13 verdict task 5): the incremental
+    # resolver's batch-sizedness was enforced by MEASUREMENT only
+    # (ENTITY_INC.json); these checks pin the structure so a refactor
+    # that re-introduces domain-wide pairwork fails the gate, not the
+    # ladder. The closure's eager localCheckpoint truncates the
+    # candidate lineage out of the final mapping's plan, so the audit
+    # plans the extracted candidate-edge builder directly on a
+    # 50-batch / 100k-stored synthetic (entity.py
+    # _incremental_candidate_edges docstring documents the contract).
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from jobhouse_spark.operators.entity import (  # noqa: PLC0415
+        _incremental_candidate_edges,
+    )
+
+    new_nodes = spark.range(50).select(
+        F.concat(F.lit("batch entity name number "),
+                 F.col("id").cast("string")).alias("name")
+    )
+    stored_nodes = spark.range(100_000).select(
+        F.concat(F.lit("stored entity name number "),
+                 F.col("id").cast("string")).alias("name")
+    )
+    cand = _incremental_candidate_edges(
+        new_nodes, stored_nodes.unionByName(new_nodes), 4, 2
+    )
+    p = cand._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")
+    )
+    n_windows = len(re.findall(r"^\(\d+\) Window$", p, re.M))
+    check(n_windows == 1,
+          f"jh11: expected exactly ONE prefix-rank window (one-sided "
+          f"prefix filter over the BATCH grams), found {n_windows} — "
+          f"a second window / windowed self-join means domain-wide "
+          f"prefix work")
+    check("WindowGroupLimit" in p,
+          "jh11: prefix bound (rn <= q*t+1) not pushed as a rank "
+          "group-limit — the full gram rank would materialize before "
+          "the filter")
+    check("CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "jh11: candidate generation degenerated to a cross product")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "jh11: gram/levenshtein work left the JVM")
+    check("levenshtein" in p,
+          "jh11: edit-distance verify missing from the candidate plan")
+    # the registry query's end-to-end plan (day-1 resolve + apply):
+    # no cross products, no Python eval anywhere in the visible plan
+    p = plan_of(spark, "jh11_incremental_resolution")
+    check("CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "jh11 query: cross product in the end-to-end plan")
+    check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "jh11 query: Python eval in the end-to-end plan")
+
     p = plan_of(spark, "jh9_repost_audit")
     check("BroadcastHashJoin" in p,
           "jh9: name->canonical map not broadcast onto postings")

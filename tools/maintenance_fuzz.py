@@ -246,7 +246,7 @@ def run_trajectory(spark, seed: int, n_steps: int, stats: dict) -> None:
                 dels.append((next_id + 10**9, rng.choice(live_days())))
             ups_df = spark.createDataFrame(
                 upd + ins, "id long, a long, b long, day string")
-            dels_df = spark.createDataFrame(dels, "id long, day string")                 if dels else spark.createDataFrame([], "id long, day string")
+            dels_df = spark.createDataFrame(dels, "id long, day string")
             incremental_merge(spark, root, ups_df, dels_df,
                               key_col="id", day_col="day")
             # --- model mutation (independent re-derivation) ---

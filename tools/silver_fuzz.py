@@ -228,6 +228,11 @@ def main() -> None:
         .appName("silver_fuzz")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
+        # match the ENGINE session (jobhouse_spark/session.py): without
+        # ANSI, size(filter(NULL,...)) returns -1 vs NULL in ANSI/DuckDB
+        # — a tool-only false mismatch CI couldn't reproduce if the
+        # fixture ever gains NULL requirement arrays (ADVICE r13)
+        .config("spark.sql.ansi.enabled", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
