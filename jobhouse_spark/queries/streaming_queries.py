@@ -98,9 +98,14 @@ def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t4_session_window",
     oracle="""
 WITH flagged AS (
+  -- STRICT >: an event at exactly prev+gap EXTENDS the session
+  -- (Spark's session merge is boundary-inclusive; pinned empirically
+  -- by tools/streaming_fuzz.py — session_window([t, t+30min], gap
+  -- 30min) is ONE session. The fixture's random micros never land on
+  -- the exact boundary, which is why the old >= was latently green.)
   SELECT user_id, ts, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   >= INTERVAL '30 minutes'
+                   > INTERVAL '30 minutes'
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          THEN 1 ELSE 0 END AS new_session
   FROM events),
@@ -120,8 +125,10 @@ FROM sessions GROUP BY user_id ORDER BY user_id
 )
 def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: session windows (30 min gap) vs the gaps-and-islands batch
-    formulation. Boundary semantics pinned to Spark's half-open
-    [start, last+gap): a gap of exactly 30 min starts a new session."""
+    formulation. Boundary semantics pinned EMPIRICALLY (round-14
+    streaming fuzz): Spark's session merge is boundary-INCLUSIVE — an
+    event at exactly prev+gap extends the session — so the islands
+    break is the STRICT ts - prev_ts > gap."""
     from jobhouse_spark.tables import Tables  # noqa: PLC0415
 
     sess = session_counts(Tables(spark, sf_dir).events, gap="30 minutes")
@@ -230,7 +237,9 @@ def t11_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # shared by t13 (batch session_window) and t13b (the STREAMING form):
 # the gaps-and-islands generalization of dynamic-gap sessionization —
-# a session breaks when ts >= max(prev ts+gap)
+# a session breaks when ts > max(prev ts+gap), STRICT: an event at
+# exactly the running session end merges in (boundary-inclusive, same
+# empirical pin as t4; tools/streaming_fuzz.py hits the boundary)
 _T13_ORACLE = """
 WITH g AS (
   SELECT user_id, ts, event_id,
@@ -244,7 +253,7 @@ w AS (
            AS prev_end
   FROM g)
 SELECT user_id,
-       CAST(SUM(CASE WHEN prev_end IS NULL OR ts >= prev_end
+       CAST(SUM(CASE WHEN prev_end IS NULL OR ts > prev_end
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM w GROUP BY user_id ORDER BY user_id
@@ -261,21 +270,13 @@ def t13_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (15 min after clicks, 45 min otherwise), Spark's
     `session_window(ts, expr)` form. The batch oracle is the
     running-max gaps-and-islands generalization: a session breaks when
-    ts >= max(prev ts+gap) (half-open, ties to Spark's merge-on-overlap
-    semantics). Same one-shuffle-per-user shape as T4 at scale."""
+    ts > max(prev ts+gap), STRICT — the merge is boundary-inclusive
+    (empirical pin, see t4). Same one-shuffle-per-user shape as T4 at
+    scale."""
+    from jobhouse_spark.streaming.jobs import dynamic_session_counts  # noqa: PLC0415
     from jobhouse_spark.tables import Tables  # noqa: PLC0415
 
-    e = Tables(spark, sf_dir).events
-    # session_window's dynamic gap must be CalendarIntervalType;
-    # INTERVAL literals parse as DayTimeIntervalType — make_interval
-    # yields the calendar type
-    gap = F.expr(
-        "CASE WHEN event_type = 'click' THEN make_interval(0,0,0,0,0,15,0) "
-        "ELSE make_interval(0,0,0,0,0,45,0) END"
-    )
-    sess = e.groupBy(F.session_window("ts", gap), "user_id").agg(
-        F.count("*").alias("n_events")
-    )
+    sess = dynamic_session_counts(Tables(spark, sf_dir).events)
     return (
         sess.groupBy("user_id")
         .agg(
@@ -302,20 +303,13 @@ def t13b_dynamic_session_streaming(spark: SparkSession, sf_dir: str) -> DataFram
     for this exact pipeline: tests/test_streaming.py::test_t14 and
     tools/state_store_suite.py at 30x."""
     from jobhouse_spark.streaming.jobs import (  # noqa: PLC0415
+        dynamic_session_counts,
         pinned_shuffle,
         run_to_memory,
         stream_events,
     )
 
-    gap = F.expr(
-        "CASE WHEN event_type = 'click' THEN make_interval(0,0,0,0,0,15,0) "
-        "ELSE make_interval(0,0,0,0,0,45,0) END"
-    )
-    sess = (
-        stream_events(spark, sf_dir)
-        .groupBy(F.session_window("ts", gap), "user_id")
-        .agg(F.count("*").alias("n_events"))
-    )
+    sess = dynamic_session_counts(stream_events(spark, sf_dir))
     with pinned_shuffle(spark, 8):
         sunk = run_to_memory(sess, mode="complete")
     return (

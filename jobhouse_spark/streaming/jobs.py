@@ -148,6 +148,26 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def dynamic_session_counts(events: DataFrame) -> DataFrame:
+    """T13/T13b core: DYNAMIC-gap session windows — the gap depends on
+    the event (15 min after clicks, 45 min otherwise), Spark's
+    `session_window(ts, expr)` form. Works identically over a batch or
+    streaming DataFrame (t13 runs it batch, t13b through the streaming
+    session-merge state machine; tools/streaming_fuzz.py fuzzes both
+    paths against the gaps-and-islands oracle).
+
+    session_window's dynamic gap must be CalendarIntervalType; INTERVAL
+    literals parse as DayTimeIntervalType — make_interval yields the
+    calendar type."""
+    gap = F.expr(
+        "CASE WHEN event_type = 'click' THEN make_interval(0,0,0,0,0,15,0) "
+        "ELSE make_interval(0,0,0,0,0,45,0) END"
+    )
+    return events.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+
+
 def dedup_stream(events: DataFrame) -> DataFrame:
     """T6: streaming exact dedup on the event key (A15 streaming form)."""
     return events.dropDuplicates(["event_id"])
