@@ -348,6 +348,65 @@ def check_watermark(spark, duck, d, batches):
     return _mismatches(got, want)
 
 
+def check_wmdedup(spark, duck, d, batches):
+    """dropDuplicatesWithinWatermark (t6b): fully arrival-dependent —
+    a key may legitimately re-emit once its state expired — so the
+    oracle is a Python model pinned by nine probes (round 14):
+
+      - two watermarks, as for aggregation: batch k's LATE FILTER
+        drops rows with ts <= W_{k-1} (inclusive, one batch behind);
+        EVICTION at batch k's end uses W_k (evict iff
+        expiresAt <= W_k, inclusive);
+      - the FIRST-IN-ARRIVAL-ORDER row of a key emits and defines the
+        state's expiry (its ts + delay) — later in-batch duplicates
+        are dropped even if earlier in event time;
+      - a re-arrival during batch k dedups against state as evicted
+        through batch k-1: expired-but-not-yet-evicted keys still
+        dedup (eviction lags one batch behind expiry).
+    """
+    from jobhouse_spark.streaming.jobs import (  # noqa: PLC0415
+        dedup_stream_within_watermark,
+    )
+
+    delay_us = 3600 * MICRO
+    got = _run_stream(
+        dedup_stream_within_watermark(_stream(spark, d), horizon="1 hour")
+        .select("event_id", "ts"),
+        "append",
+    )
+
+    w_filter = 0  # W_{k-1}
+    w_evict = 0   # W_k
+    state: dict[int, int] = {}  # key -> expiresAt
+    emitted: list[tuple[int, int]] = []
+    for b in batches:
+        for eid, ts, _u, _et, _v in b:
+            if ts <= w_filter:
+                continue  # late
+            if eid in state:
+                continue  # duplicate within horizon
+            state[eid] = ts + delay_us
+            emitted.append((eid, ts))
+        # end-of-batch-k eviction uses W_k (the wm DURING this batch,
+        # i.e. BEFORE advancing on this batch's data — probe ddw6: a
+        # key whose expiry lies between W_k and W_{k+1} still dedups
+        # the NEXT batch's re-arrival), inclusive at equality (ddw5)
+        state = {k: exp for k, exp in state.items() if exp > w_evict}
+        w_filter = w_evict
+        if b:
+            w_evict = max(w_evict, max(r[1] for r in b) - delay_us)
+    import datetime as dt  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    want = pd.DataFrame(
+        [(eid, dt.datetime.utcfromtimestamp(ts // MICRO)
+          + dt.timedelta(microseconds=ts % MICRO)) for eid, ts in emitted],
+        columns=["event_id", "ts"],
+    )
+    return _mismatches(got, want)
+
+
 CHECKS = {
     "tumbling": check_tumbling,
     "sliding": check_sliding,
@@ -355,6 +414,7 @@ CHECKS = {
     "dynsession": check_dynsession,
     "dedup": check_dedup,
     "watermark": check_watermark,
+    "wmdedup": check_wmdedup,
 }
 
 
@@ -427,7 +487,8 @@ def main() -> None:
         "checks": checks,
         "total_checks": n_checks,
         "mismatches": mismatches,
-        "oracle": {c: ("python-model" if c == "watermark" else "duckdb")
+        "oracle": {c: ("python-model" if c in ("watermark", "wmdedup")
+                       else "duckdb")
                    for c in checks},
         "wall_s": wall,
     }
