@@ -213,6 +213,13 @@ def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
     )
 
     chain_n = max(1, int(opt.get("chain", "1")))
+    # honor --gram-len on ALL THREE resolves (day0 / incremental /
+    # rebuild): the zipf ladder's 1M operating point is q=6 — CVC text
+    # has only ~5M distinct 6-grams and far fewer 4-grams, so q=4 at
+    # 3M nodes drowns in birthday-collision candidates (SCALE.md
+    # "Open distinguisher vocabulary"); the r14 first attempt at q=4
+    # sat in levenshtein for 50 minutes before its timeout
+    gram_len = int(opt.get("gram-len", "4"))
 
     # freeze the generated ids (zipf uses monotonically_increasing_id,
     # which is plan-layout-dependent) and avoid regenerating the corpus
@@ -229,7 +236,7 @@ def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
     k_actual = variants.filter(is_batch).select("id").distinct().count()
 
     t0 = _time.perf_counter()
-    stored = resolve_entities(stored_names).persist()
+    stored = resolve_entities(stored_names, gram_len=gram_len).persist()
     n_stored = stored.count()
     t_day0 = round(_time.perf_counter() - t0, 1)
 
@@ -247,7 +254,9 @@ def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
             .unionAll(resubmission)
         t0 = _time.perf_counter()
         st: dict = {}
-        nxt = resolve_entities_incremental(b, current, stats_out=st).persist()
+        nxt = resolve_entities_incremental(
+            b, current, gram_len=gram_len, stats_out=st
+        ).persist()
         n_cur = nxt.count()
         step_walls.append(round(_time.perf_counter() - t0, 1))
         step_sizes.append(int(st.get("new_nodes", -1)))
@@ -259,7 +268,7 @@ def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
     t_inc = round(sum(step_walls), 1)
 
     t0 = _time.perf_counter()
-    full = resolve_entities(variants.select("name")).persist()
+    full = resolve_entities(variants.select("name"), gram_len=gram_len).persist()
     n_full = full.count()
     t_rebuild = round(_time.perf_counter() - t0, 1)
 
@@ -282,6 +291,7 @@ def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
         "entities": n_entities,
         "batch_entities": k_actual,
         "chain_days": chain_n,
+        "gram_len": gram_len,
         "raw_names": n_raw,
         "stored_nodes": n_stored,
         "union_nodes": n_full,
