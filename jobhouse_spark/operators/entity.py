@@ -435,6 +435,17 @@ def resolve_entities_incremental(
     ``resolve_entities`` — names already normalized. ``batch_names``
     may be raw (they are normalized here) and may repeat stored names
     (dropped — already resolved).
+
+    Chained (day-after-day) application: truncate the returned
+    mapping's lineage between applications (write it to a table, or
+    ``localCheckpoint``) — this function references ``stored_mapping``
+    four times, so feeding day k's un-truncated output in as day k+1's
+    stored map grows the analyzed logical plan ~4x per day and
+    plan-analysis time comes to dominate (measured: per-step walls
+    rose 56.6->98.7 s over 5 chained days at 1M entities while batch
+    sizes SHRANK; flat once checkpointed — ENTITY_INC.json). In
+    production the stored map lives in a parquet table between days,
+    which truncates lineage for free.
     """
     old_nodes = stored_mapping.select(F.col("name"))
     new_nodes = (

@@ -254,9 +254,16 @@ def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
             .unionAll(resubmission)
         t0 = _time.perf_counter()
         st: dict = {}
+        # localCheckpoint, not persist: the resolver references the
+        # stored map >=4 times, so chaining un-truncated lineage grows
+        # the analyzed logical plan ~4x PER DAY (the r14 first chain
+        # run's per-step walls rose 56->99 s while batches SHRANK —
+        # pure plan-analysis blowup, same trap ALS/GraphFrames
+        # checkpoint against). Production reads the stored map from a
+        # parquet table each day, which is what checkpointing models.
         nxt = resolve_entities_incremental(
             b, current, gram_len=gram_len, stats_out=st
-        ).persist()
+        ).localCheckpoint(eager=True)
         n_cur = nxt.count()
         step_walls.append(round(_time.perf_counter() - t0, 1))
         step_sizes.append(int(st.get("new_nodes", -1)))
@@ -307,6 +314,12 @@ def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
             "chain_step_new_nodes": step_sizes} if chain_n > 1 else {}),
         "rebuild_wall_s": t_rebuild,
         "marginal_vs_rebuild": round(t_inc / max(t_rebuild, 1e-9), 3),
+        # production-fair chain metric: N daily applies vs N daily
+        # rebuilds (marginal_vs_rebuild divides the SUM of applies by
+        # ONE rebuild, which overstates chain cost by a factor of N)
+        **({"marginal_vs_daily_rebuilds":
+            round(t_inc / max(chain_n * t_rebuild, 1e-9), 3)}
+           if chain_n > 1 else {}),
     }
     print(_json.dumps(summary))
     out = opt.get("json")
