@@ -81,7 +81,6 @@ _HEAD = (
     "l4b_simhash_fingerprint",  # rows-only; twin l4b2 green r08
     "l10_stratified_sample",  # rows-only (sampleBy); twin l10b below
     "l10b_deterministic_sample",
-    "l20_corpus_ngram_counts",
     # T — stateful streaming (t7 rows-only by emission timing; t7b twin)
     "t7_stateful_count",
     "t7b_stateful_count_checked",
@@ -103,6 +102,11 @@ _HEAD = (
     "jh10_dq_scorecard",
     # ---- round-13 addition ----
     "jh11_incremental_resolution",
+    # ---- round-14 addition: stored-blocking-index incremental apply;
+    # same oracle as jh11, so its hash row certifies indexed == plain
+    # == full re-resolve. l20_corpus_ngram_counts (driver-green r09+r13)
+    # rotated out to make room.
+    "jh12_indexed_incremental_resolution",
 )
 
 

@@ -204,12 +204,20 @@ def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
     and reported, it just can't spuriously fail the rung on a brand
     collision the resolver handled consistently on both sides."""
     import json as _json
+    import shutil as _shutil
     import sys as _sys
+    import tempfile as _tempfile
     import time as _time
 
     from jobhouse_spark.operators.entity import (
+        EntityGramIndex,
+        _delkey_rows,
+        _long_gram_rows,
+        build_entity_index,
+        normalize_entity_name,
         resolve_entities,
         resolve_entities_incremental,
+        resolve_entities_incremental_indexed,
     )
 
     chain_n = max(1, int(opt.get("chain", "1")))
@@ -240,6 +248,23 @@ def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
     n_stored = stored.count()
     t_day0 = round(_time.perf_counter() - t0, 1)
 
+    # --indexed=1: bootstrap the stored blocking index once (parquet
+    # tables, the production shape), then apply every batch through
+    # resolve_entities_incremental_indexed with a STALE df snapshot;
+    # each step appends only the batch's delta gram rows (new files in
+    # the parquet dirs — the real daily maintenance cost, timed inside
+    # the step wall)
+    indexed = opt.get("indexed", "0") == "1"
+    idx_dir = None
+    t_index = None
+    if indexed:
+        t0 = _time.perf_counter()
+        idx_dir = _tempfile.mkdtemp(prefix="jh_entidx_")
+        build_entity_index(stored_names, gram_len=gram_len, max_dist=2).save(
+            idx_dir
+        )
+        t_index = round(_time.perf_counter() - t0, 1)
+
     # apply the held-out work as chain_n sequential daily batches;
     # day assignment is per-VARIANT (hash of the raw name), so one
     # entity's clean/typo forms split across days and later days
@@ -261,10 +286,33 @@ def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
         # pure plan-analysis blowup, same trap ALS/GraphFrames
         # checkpoint against). Production reads the stored map from a
         # parquet table each day, which is what checkpointing models.
-        nxt = resolve_entities_incremental(
-            b, current, gram_len=gram_len, stats_out=st
-        ).localCheckpoint(eager=True)
-        n_cur = nxt.count()
+        if indexed:
+            idx = EntityGramIndex.load(spark, idx_dir)
+            nxt, _ = resolve_entities_incremental_indexed(
+                b, current, idx, stats_out=st
+            )
+            nxt = nxt.localCheckpoint(eager=True)
+            n_cur = nxt.count()
+            # append the batch delta to the stored index tables
+            # (anti-join against the PRE-batch domain, like the
+            # resolver's own new_nodes; df snapshot left stale)
+            new_nodes = (
+                b.select(normalize_entity_name(F.col("name")).alias("name"))
+                .filter(F.col("name") != "")
+                .distinct()
+                .join(current.select("name"), "name", "left_anti")
+            )
+            _long_gram_rows(new_nodes, gram_len, 2).write.mode(
+                "append"
+            ).parquet(f"{idx_dir}/postings")
+            _delkey_rows(new_nodes, gram_len, 2).write.mode(
+                "append"
+            ).parquet(f"{idx_dir}/delkeys")
+        else:
+            nxt = resolve_entities_incremental(
+                b, current, gram_len=gram_len, stats_out=st
+            ).localCheckpoint(eager=True)
+            n_cur = nxt.count()
         step_walls.append(round(_time.perf_counter() - t0, 1))
         step_sizes.append(int(st.get("new_nodes", -1)))
         step_stats.append(st)
@@ -308,6 +356,7 @@ def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
         "incremental_equals_rebuild": bool(equiv),
         "exact_recovery": bool(recovery),
         "pass_criterion": "equivalence+recovery" if is_grid else "equivalence",
+        **({"indexed": True, "day0_index_wall_s": t_index} if indexed else {}),
         "day0_wall_s": t_day0,
         "incremental_wall_s": t_inc,
         **({"chain_step_walls_s": step_walls,
@@ -336,6 +385,8 @@ def _incremental_rung(spark, F, opt, variants, n_entities, inc_k, n_raw):
         doc.setdefault("rungs", []).append(summary)
         with open(rungs_path, "w") as f:
             _json.dump(doc, f, indent=1)
+    if idx_dir:
+        _shutil.rmtree(idx_dir, ignore_errors=True)
     _sys.exit(0 if ok else 1)
 
 
