@@ -5,7 +5,10 @@ regress — in particular the boundary-INCLUSIVE session merge (an event
 at exactly prev+gap extends the session; the t4/_T13 oracles' original
 `>=` was an exact-boundary bug found by seed 0) and the two-watermark
 late-drop recurrence (filter uses the PREVIOUS batch's watermark,
-eviction the current one, both inclusive).
+eviction the current one, both inclusive — but at MILLISECOND
+granularity: Spark's watermark is the ms-floor of max event time
+minus the delay, so a µs-precision model is wrong by up to 999 µs;
+found by campaign-2 seed 300 and pinned by ddw10 below).
 
 The full campaign ledger lives in STREAMFUZZ.json (220+ seeds x 6
 checks); this test is the always-on subset.
@@ -68,3 +71,62 @@ def test_session_merge_is_boundary_inclusive(spark):
     gap_us = 30 * 60 * 1_000_000
     assert n_sessions(gap_us) == 1  # exactly at the boundary: merged
     assert n_sessions(gap_us + 1) == 2  # 1 us past: split
+
+
+def test_wmdedup_watermark_is_millisecond_floored(spark, tmp_path):
+    """ddw10, the distilled regression from campaign-2 seed 300: the
+    watermark is tracked in MILLISECONDS — W = floor_ms(max ts) -
+    delay — so with µs-precision event times a new key whose ts sits
+    in the sub-millisecond band ABOVE the ms-floored watermark is
+    emitted (a µs-precision watermark model wrongly drops it), while
+    ts == the ms-floored watermark exactly is dropped (the late
+    filter is inclusive, one batch behind). Only a boundary-planting
+    fuzzer with µs timestamps reaches this band."""
+    import datetime as dt
+    import os
+    import time as _t
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobhouse_spark.streaming.jobs import dedup_stream_within_watermark
+
+    tool = _load_tool()
+    t0 = dt.datetime(2026, 3, 1, 0, 0, 0)
+
+    def write(i, rows):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["c"] * len(rows), pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+        })
+        p = os.path.join(str(tmp_path), f"batch-{i:03d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (_t.time() - 3600 + i,) * 2)
+
+    # delay = 1h. batch 0's max is t0+2h+500µs, so the ms-floored
+    # watermark is exactly t0+1h (the 500 µs are floored away); a
+    # µs-naive model would say t0+1h+500µs. Batch 1 does not advance
+    # it, so batch 2's one-behind late filter uses t0+1h.
+    write(0, [(1, t0 + dt.timedelta(hours=2, microseconds=500))])
+    write(1, [(2, t0 + dt.timedelta(minutes=5))])
+    write(2, [
+        # 2 µs above the ms-floored wm, 498 µs below the µs-naive wm:
+        # Spark KEEPS it (the seed-300 shape)
+        (3, t0 + dt.timedelta(hours=1, microseconds=2)),
+        # exactly == the ms-floored wm: inclusive filter DROPS it
+        (4, t0 + dt.timedelta(hours=1)),
+    ])
+
+    got = tool._run_stream(
+        dedup_stream_within_watermark(
+            tool._stream(spark, str(tmp_path)), horizon="1 hour"
+        ).select("event_id"),
+        "append",
+    )
+    ids = set(got["event_id"])
+    assert 3 in ids, "ts above the ms-floored watermark must pass"
+    assert 4 not in ids, "ts == ms-floored watermark must be dropped"
+    assert ids == {1, 2, 3}

@@ -357,6 +357,16 @@ def check_wmdedup(spark, duck, d, batches):
         drops rows with ts <= W_{k-1} (inclusive, one batch behind);
         EVICTION at batch k's end uses W_k (evict iff
         expiresAt <= W_k, inclusive);
+      - ALL watermark arithmetic is MILLISECOND-floored: Spark tracks
+        the watermark as ms (EventTimeStats collects max event time in
+        ms), so W = floor_ms(max ts) - delay, and state expiry =
+        floor_ms(ts) + delay. A µs-precision model is wrong by up to
+        999 µs — campaign-2 seed 300's shuffled arrival split landed a
+        new key 2 µs above the ms-floored watermark (== the µs-naive
+        watermark minus nothing) and Spark emitted it where the µs
+        model dropped it; progress counters (numRowsDroppedByWatermark
+        per batch) isolated the granularity as the cause. Pinned by
+        the ddw10 boundary probe in tests/test_streaming_fuzz.py;
       - the FIRST-IN-ARRIVAL-ORDER row of a key emits and defines the
         state's expiry (its ts + delay) — later in-batch duplicates
         are dropped even if earlier in event time;
@@ -382,10 +392,10 @@ def check_wmdedup(spark, duck, d, batches):
     for b in batches:
         for eid, ts, _u, _et, _v in b:
             if ts <= w_filter:
-                continue  # late
+                continue  # late (inclusive, vs the ms-floored wm)
             if eid in state:
                 continue  # duplicate within horizon
-            state[eid] = ts + delay_us
+            state[eid] = (ts // 1000) * 1000 + delay_us  # expiry in ms
             emitted.append((eid, ts))
         # end-of-batch-k eviction uses W_k (the wm DURING this batch,
         # i.e. BEFORE advancing on this batch's data — probe ddw6: a
@@ -394,7 +404,8 @@ def check_wmdedup(spark, duck, d, batches):
         state = {k: exp for k, exp in state.items() if exp > w_evict}
         w_filter = w_evict
         if b:
-            w_evict = max(w_evict, max(r[1] for r in b) - delay_us)
+            mx = max(r[1] for r in b)
+            w_evict = max(w_evict, (mx // 1000) * 1000 - delay_us)
     import datetime as dt  # noqa: PLC0415
 
     import pandas as pd  # noqa: PLC0415
