@@ -725,9 +725,6 @@ def resolve_entities_incremental_indexed(
     is a daily delta (broadcast-sized); for a domain-sized batch use
     resolve_entities.
     """
-    gram_len, max_dist = index.gram_len, index.max_dist
-    prefix_len = gram_len * max_dist + 1
-
     old_nodes = stored_mapping.select(F.col("name"))
     new_nodes = (
         batch_names.select(normalize_entity_name(F.col(name_col)).alias("name"))
@@ -735,6 +732,27 @@ def resolve_entities_incremental_indexed(
         .distinct()
         .join(old_nodes, "name", "left_anti")
     )
+    edges_new = _indexed_candidate_edges(new_nodes, index)
+    mapping = _apply_verified_edges(
+        new_nodes, edges_new, stored_mapping, stats_out, max_iterations
+    )
+    return mapping, index.updated(new_nodes)
+
+
+def _indexed_candidate_edges(
+    new_nodes: DataFrame, index: EntityGramIndex
+) -> DataFrame:
+    """Verified batch-adjacent edges probed against the STORED index.
+    Module-level (like _incremental_candidate_edges) so
+    tools/explain_audit.py can assert the structural contract on the
+    exact plan the resolver executes when the index is parquet-backed:
+    the stored derivations are SCANNED (no domain explode / aggregate
+    / window in the plan), the batch side is broadcast into both
+    candidate joins (BroadcastHashJoin — the stored postings/delkeys
+    are never shuffled), exactly one prefix-rank window over the batch
+    grams, no CartesianProduct/BNLJ, no Python eval."""
+    gram_len, max_dist = index.gram_len, index.max_dist
+    prefix_len = gram_len * max_dist + 1
 
     # ---- long stratum: prefix ranked by the STALE df snapshot ----
     new_long = _long_gram_rows(new_nodes, gram_len, max_dist)
@@ -779,10 +797,6 @@ def resolve_entities_incremental_indexed(
         .distinct()
     )
 
-    edges_new = cand_long.unionAll(cand_short).filter(
+    return cand_long.unionAll(cand_short).filter(
         F.levenshtein("src", "dst") <= max_dist
     )
-    mapping = _apply_verified_edges(
-        new_nodes, edges_new, stored_mapping, stats_out, max_iterations
-    )
-    return mapping, index.updated(new_nodes)

@@ -439,6 +439,56 @@ def main() -> None:
     check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
           "jh11 query: Python eval in the end-to-end plan")
 
+    # jh12 structural audit (round 14): the INDEXED incremental
+    # resolver's contract is stronger than jh11's — the stored side's
+    # derivations must be SCANNED from the index tables, not
+    # recomputed, and the batch side must be broadcast into both
+    # candidate joins so the stored postings/delkeys are never
+    # shuffled. Audited with a parquet-backed index (the production
+    # shape) so the plan shows what a real deployment runs.
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from jobhouse_spark.operators.entity import (  # noqa: PLC0415
+        EntityGramIndex,
+        _indexed_candidate_edges,
+        build_entity_index,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="jh_audit_idx_")
+    try:
+        build_entity_index(stored_nodes, gram_len=4, max_dist=2).save(idx_dir)
+        idx = EntityGramIndex.load(spark, idx_dir)
+        cand = _indexed_candidate_edges(new_nodes, idx)
+        p = cand._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted")
+        )
+        n_windows = len(re.findall(r"^\(\d+\) Window$", p, re.M))
+        check(n_windows == 1,
+              f"jh12: expected exactly ONE prefix-rank window (batch "
+              f"grams only), found {n_windows}")
+        check("WindowGroupLimit" in p,
+              "jh12: prefix bound not pushed as a rank group-limit")
+        check(p.count("BroadcastHashJoin") >= 2,
+              "jh12: batch side not broadcast into both candidate "
+              "joins — the stored postings/delkeys would shuffle")
+        n_scans = len(re.findall(r"Scan parquet", p))
+        check(n_scans >= 3,
+              f"jh12: expected the postings/delkeys/gram_df to be "
+              f"parquet SCANS (>=3), found {n_scans} — a domain "
+              f"derivation is being recomputed instead of read")
+        check("CartesianProduct" not in p
+              and "BroadcastNestedLoopJoin" not in p,
+              "jh12: candidate generation degenerated to a cross "
+              "product")
+        check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+              "jh12: gram/levenshtein work left the JVM")
+        check("levenshtein" in p,
+              "jh12: edit-distance verify missing")
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
     p = plan_of(spark, "jh9_repost_audit")
     check("BroadcastHashJoin" in p,
           "jh9: name->canonical map not broadcast onto postings")
