@@ -291,7 +291,13 @@ def _run_jh11_split(spark, args, spreads_acc: list[float]) -> tuple[dict, dict]:
         then amortizes across daily batches);
       jh11_batch_apply — the incremental apply of the day-2 batch
         against the ALREADY-MATERIALIZED stored map (the recurring
-        daily cost; this is the number the operator exists to shrink).
+        daily cost; this is the number the operator exists to shrink);
+      jh12_bootstrap — build + write the stored blocking index
+        (EntityGramIndex parquet tables; one-time, amortized like
+        day0);
+      jh12_apply — the same batch applied THROUGH the parquet-backed
+        index (round 14: the recurring daily cost without the
+        O(domain) re-derivation jh11_batch_apply still pays).
 
     The stored map is persisted and forced BEFORE the apply timer
     starts, so the apply measurement can't silently re-run day-1 work
@@ -299,16 +305,24 @@ def _run_jh11_split(spark, args, spreads_acc: list[float]) -> tuple[dict, dict]:
     repeats don't accumulate cached relations."""
     import statistics as _st  # local: keep module top unchanged
 
+    import shutil as _sh  # local: keep module top unchanged
+    import tempfile as _tf
+
     from jobhouse_spark.operators.entity import (
+        EntityGramIndex,
+        build_entity_index,
         persist_entity_mapping,
         release_persisted_entity_maps,
         resolve_entities,
         resolve_entities_incremental,
+        resolve_entities_incremental_indexed,
     )
     from jobhouse_spark.queries.jobhouse_gold import jh11_split_inputs
 
-    walls = {"jh11_day0_resolve": [], "jh11_batch_apply": []}
-    cpus = {"jh11_day0_resolve": [], "jh11_batch_apply": []}
+    keys = ("jh11_day0_resolve", "jh11_batch_apply",
+            "jh12_bootstrap", "jh12_apply")
+    walls = {k: [] for k in keys}
+    cpus = {k: [] for k in keys}
     for rep in range(max(1, args.repeat)):
         if args.gc_between_repeats and rep > 0:
             spark.sparkContext._jvm.System.gc()
@@ -329,6 +343,22 @@ def _run_jh11_split(spark, args, spreads_acc: list[float]) -> tuple[dict, dict]:
         out.write.format("noop").mode("overwrite").save()
         walls["jh11_batch_apply"].append(time.perf_counter() - t0)
         cpus["jh11_batch_apply"].append(time.process_time() - c0)
+
+        idx_dir = _tf.mkdtemp(prefix="jh_bench_idx_")
+        try:
+            t0, c0 = time.perf_counter(), time.process_time()
+            build_entity_index(day1).save(idx_dir)
+            walls["jh12_bootstrap"].append(time.perf_counter() - t0)
+            cpus["jh12_bootstrap"].append(time.process_time() - c0)
+
+            idx = EntityGramIndex.load(spark, idx_dir)
+            t0, c0 = time.perf_counter(), time.process_time()
+            out2, _ = resolve_entities_incremental_indexed(batch, stored, idx)
+            out2.orderBy("name").write.format("noop").mode("overwrite").save()
+            walls["jh12_apply"].append(time.perf_counter() - t0)
+            cpus["jh12_apply"].append(time.process_time() - c0)
+        finally:
+            _sh.rmtree(idx_dir, ignore_errors=True)
     release_persisted_entity_maps()
 
     wall_out, cpu_out = {}, {}
