@@ -111,6 +111,23 @@ def main() -> None:
             # min-of-two — mark it so cross-round comparisons can
             # account for the selection bias vs single-attempt rounds
             result["both_contended"] = True
+    else:
+        # single-attempt path: the full record (incl. ops cpu) to the
+        # side file, and the ops CPU dict off the printed line — the
+        # r14 jh12 keys pushed the line to 1,794 B, 6 B under the
+        # budget; ops_cpu_sec is pure diagnostics (~210 B) and lives
+        # in BENCH_local.json like the retry path's CPU dicts
+        try:
+            side = os.environ.get(
+                "SPARK_GRAFT_BENCH_SIDE",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_local.json"))
+            with open(side, "w") as fh:
+                json.dump({"winner": dict(result)}, fh, indent=1)
+        except OSError:
+            pass
+        if result.pop("ops_cpu_sec", None) is not None:
+            result["ops_cpu_in_side_file"] = True
     print(json.dumps(result))
 
 

@@ -13,6 +13,17 @@ import importlib.util
 import json
 import sys
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _side_file_in_tmp(monkeypatch, tmp_path):
+    """Both output paths write the full record to a side file now;
+    keep every test's side write out of the repo's real
+    BENCH_local.json."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SIDE",
+                       str(tmp_path / "BENCH_local.json"))
+
 
 def _load_bench():
     spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
@@ -92,7 +103,7 @@ def _realistic(value, contended):
               "sq1_scalar_subquery"]
     ops = ["jh8_employer_resolution", "s17_compaction_invariance",
            "s19_manifest_pruned_scan", "jh11_day0_resolve",
-           "jh11_batch_apply"]
+           "jh11_batch_apply", "jh12_bootstrap", "jh12_apply"]
     return {
         "metric": "headline_query_wall_clock_total", "value": value,
         "unit": "sec", "queries": {n: 1.2345 for n in qnames},
@@ -133,3 +144,24 @@ def test_retry_line_fits_driver_tail_capture(monkeypatch, capsys, tmp_path):
     rec = json.loads(side.read_text())
     assert "queries" in rec["loser_full"] and "cpu_sec" in rec["loser_full"]
     assert "cpu_sec" in rec["winner"] and "other_attempt" not in rec["winner"]
+
+
+def test_single_attempt_line_fits_budget_with_jh12_keys(
+    monkeypatch, capsys, tmp_path
+):
+    """Round 14: the jh12 ops keys pushed the real single-attempt line
+    to 1,794 B — 6 B under budget — so the ops CPU dict (diagnostics)
+    moved to the side file on the single-attempt path too. The printed
+    line must stay under budget with full-sized payloads, keep the
+    ops WALLS (trend line), and mark where the CPU detail went."""
+    side = tmp_path / "BENCH_local.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SIDE", str(side))
+    res = _run(monkeypatch, capsys, [_realistic(14.38, False)])
+    line = json.dumps(res)
+    assert len(line) < 1800, f"printed line {len(line)}B >= 1800B budget"
+    assert "queries" in res and "cpu_sec" in res  # r12-comparable core
+    assert "ops_queries" in res and "ops_total" in res
+    assert "ops_cpu_sec" not in res
+    assert res["ops_cpu_in_side_file"] is True
+    rec = json.loads(side.read_text())
+    assert "ops_cpu_sec" in rec["winner"]
