@@ -418,6 +418,104 @@ def check_wmdedup(spark, duck, d, batches):
     return _mismatches(got, want)
 
 
+def check_ssjoin(spark, duck, d, batches):
+    """Stream-stream inner join (t11's mechanism: equi-key + time-range,
+    watermarks both sides) under late/out-of-order MULTI-BATCH arrival —
+    the t11 registry fixture replays without late drops, so its batch
+    oracle never exercises the watermark interplay; this check does.
+
+    No order-blind SQL oracle exists (drops depend on micro-batch
+    boundaries), so the oracle is a Python model built from the pinned
+    facts plus the join-specific ones:
+
+      - TWO watermark nodes (one per side, attached after the
+        event_type filter); the GLOBAL watermark is the MIN of the two
+        (spark.sql.streaming.multipleWatermarkPolicy default), each
+        node's value = floor_ms(max event ts seen BY THAT NODE) -
+        delay, monotone, updated at batch end;
+      - late filter per input: drop iff ts <= W_{k-1} (inclusive,
+        ms-floored, one batch behind — same row-level convention ddw10
+        pins for dedup);
+      - within a batch, new-left joins (right state UNION new-right)
+        and new-right joins left state (new-new pairs counted once);
+        the range predicate is exact µs arithmetic;
+      - state eviction at batch k's end uses W_k: a left row is
+        evicted once l.ts + R < W_k can no longer match a future
+        right (keep iff l.ts + R >= W_k), a right row once
+        r.ts < W_k (keep iff r.ts >= W_k). Because the late filter
+        lags one batch behind eviction, a row arriving in the lag
+        window whose match was just evicted genuinely loses the pair —
+        real Spark behavior the model must reproduce, not a bug.
+    """
+    import collections  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from jobhouse_spark.streaming.jobs import stream_stream_join  # noqa: PLC0415
+
+    r_us = 30 * 60 * MICRO
+    delay_us = 3600 * MICRO
+    src = _stream(spark, d)
+    got = _run_stream(
+        stream_stream_join(
+            src.filter(F.col("event_type") == "click"),
+            src.filter(F.col("event_type") == "view"),
+            watermark="1 hour",
+            range_="30 minutes",
+        ).select("left_id", "right_id"),
+        "append",
+    )
+
+    def fl(ts: int) -> int:
+        return (ts // 1000) * 1000
+
+    w_node_l = w_node_r = None  # per-side watermark node values
+    w_filter = w_evict = 0      # global, one behind / current
+    lstate: list[tuple] = []
+    rstate: list[tuple] = []
+    pairs: list[tuple] = []
+    for b in batches:
+        clicks = [(r[0], r[1], r[2]) for r in b if r[3] == "click"]
+        views = [(r[0], r[1], r[2]) for r in b if r[3] == "view"]
+        new_l = [x for x in clicks if x[1] > w_filter]
+        new_r = [x for x in views if x[1] > w_filter]
+        for lid, lts, lu in new_l:
+            for rid, rts, ru in rstate + new_r:
+                if lu == ru and lts <= rts <= lts + r_us:
+                    pairs.append((lid, rid))
+        for rid, rts, ru in new_r:
+            for lid, lts, lu in lstate:
+                if lu == ru and lts <= rts <= lts + r_us:
+                    pairs.append((lid, rid))
+        lstate += new_l
+        rstate += new_r
+        lstate = [x for x in lstate if x[1] + r_us >= w_evict]
+        rstate = [x for x in rstate if x[1] >= w_evict]
+        w_filter = w_evict
+        if clicks:
+            mx = fl(max(t for _, t, _ in clicks)) - delay_us
+            w_node_l = mx if w_node_l is None else max(w_node_l, mx)
+        if views:
+            mx = fl(max(t for _, t, _ in views)) - delay_us
+            w_node_r = mx if w_node_r is None else max(w_node_r, mx)
+        if w_node_l is not None and w_node_r is not None:
+            w_evict = max(w_evict, min(w_node_l, w_node_r))
+
+    got_c = collections.Counter(
+        zip(got["left_id"].astype(int), got["right_id"].astype(int))
+    )
+    want_c = collections.Counter(pairs)
+    if got_c == want_c:
+        return []
+    extra = got_c - want_c
+    missing = want_c - got_c
+    return [
+        f"pair multiset differs: spark-only={sorted(extra.items())[:3]} "
+        f"model-only={sorted(missing.items())[:3]} "
+        f"(spark {sum(got_c.values())} pairs, model {sum(want_c.values())})"
+    ]
+
+
 CHECKS = {
     "tumbling": check_tumbling,
     "sliding": check_sliding,
@@ -426,6 +524,7 @@ CHECKS = {
     "dedup": check_dedup,
     "watermark": check_watermark,
     "wmdedup": check_wmdedup,
+    "ssjoin": check_ssjoin,
 }
 
 
@@ -477,14 +576,33 @@ def main() -> None:
     t0 = time.perf_counter()
     n_checks = 0
     mismatches: list[dict] = []
+    flaky: list[dict] = []
     for seed in range(lo, hi):
         for name, problems in run_seed(spark, duck, seed, checks):
             n_checks += 1
             if problems:
-                mismatches.append(
-                    {"seed": seed, "check": name, "problems": problems[:3]}
-                )
-                print(f"MISMATCH seed={seed} check={name}: {problems[:1]}")
+                # deterministic replay: a REAL semantic divergence
+                # reproduces on an immediate same-process rerun (same
+                # seed -> same files -> same micro-batches). Campaign-2
+                # seed 262/291 'session' mismatches did NOT (8/8 clean
+                # solo reruns; Spark's rows matched ground truth, the
+                # DUCK side was wrong once under 3-way machine load) —
+                # an environmental oracle flake. Retry once and ledger
+                # it separately: flaky entries stay visible, real
+                # divergences still fail the campaign.
+                retry = dict(run_seed(spark, duck, seed, [name]))[name]
+                if retry:
+                    mismatches.append(
+                        {"seed": seed, "check": name, "problems": problems[:3]}
+                    )
+                    print(f"MISMATCH seed={seed} check={name}: {problems[:1]}")
+                else:
+                    flaky.append(
+                        {"seed": seed, "check": name,
+                         "first_attempt": problems[:2]}
+                    )
+                    print(f"FLAKY (retry clean) seed={seed} check={name}: "
+                          f"{problems[:1]}")
         if (seed - lo + 1) % 20 == 0:
             print(f"... {seed - lo + 1}/{hi - lo} seeds, "
                   f"{len(mismatches)} mismatches, "
@@ -498,7 +616,9 @@ def main() -> None:
         "checks": checks,
         "total_checks": n_checks,
         "mismatches": mismatches,
-        "oracle": {c: ("python-model" if c in ("watermark", "wmdedup")
+        **({"flaky_retry_clean": flaky} if flaky else {}),
+        "oracle": {c: ("python-model"
+                       if c in ("watermark", "wmdedup", "ssjoin")
                        else "duckdb")
                    for c in checks},
         "wall_s": wall,
