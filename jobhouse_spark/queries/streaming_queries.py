@@ -18,6 +18,7 @@ from jobhouse_spark.streaming.jobs import (
     pinned_shuffle,
     stream_events,
     stream_stream_join,
+    stream_stream_left_join,
     tumbling_counts,
 )
 
@@ -232,6 +233,91 @@ def t11_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sunk.agg(
         F.count("*").alias("n_pairs"),
         F.sum(F.col("left_id") + F.col("right_id")).alias("id_sum"),
+    )
+
+
+@register(
+    "t14_stream_stream_left_join",
+    oracle="""
+WITH e AS (SELECT * FROM events WHERE event_id < 3000),
+     l AS (SELECT * FROM e WHERE event_type = 'click'),
+     r AS (SELECT * FROM e WHERE event_type = 'view')
+SELECT l.event_id AS left_id, r.event_id AS right_id,
+       l.user_id AS user_id
+FROM l LEFT JOIN r ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR
+ORDER BY left_id, right_id NULLS FIRST
+""",
+    tags=("streaming", "join", "outer"),
+)
+def t14_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14: stream-stream LEFT OUTER join with watermarks + time-range
+    bound. The semantics trap the batch oracle certifies: an unmatched
+    left row's null-padded result emits only when the WATERMARK EVICTS
+    its state — rows still in state when the data ends emit nothing.
+    To make the bounded replay total (and therefore batch-oracle-
+    equal), the replay appends a SENTINEL flush batch (one click + one
+    view at max ts + 6 h, user −1, filtered from the output) whose
+    watermark advance makes the final no-data micro-batch evict and
+    emit every real unmatched left — the exact pattern a production
+    backfill uses to drain funnel verdicts at partition end
+    (streaming/jobs.stream_stream_left_join docstring; eviction-on-
+    no-data-batch pinned by tests/test_streaming.py::t14 unit).
+
+    Replay shape: batch 0 = the whole real slice (so no real row is
+    ever late — pairs form exactly as in batch SQL), batch 1 = the
+    sentinels; maxFilesPerTrigger=1 forces that file→batch mapping.
+    """
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    import time as _time  # noqa: PLC0415
+
+    from jobhouse_spark.tables import Tables  # noqa: PLC0415
+
+    ev = (
+        Tables(spark, sf_dir).events
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    d = tempfile.mkdtemp(prefix="jh_t14_")
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b0"))
+    spark.createDataFrame(
+        [(-1, max_ts, -1, "click", 0.0), (-2, max_ts, -1, "view", 0.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    ).withColumn("ts", F.col("ts") + F.expr("interval 6 hours")) \
+     .coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b1"))
+    stream_dir = os.path.join(d, "stream")
+    os.makedirs(stream_dir)
+    base = _time.time() - 3600
+    for i, sub in enumerate(("b0", "b1")):
+        for f in sorted(os.listdir(os.path.join(d, sub))):
+            if f.endswith(".parquet"):
+                dst = os.path.join(stream_dir, f"{i:03d}-{f}")
+                os.link(os.path.join(d, sub, f), dst)
+                os.utime(dst, (base + i, base + i))
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(stream_dir)
+    )
+    joined = stream_stream_left_join(
+        src.filter(F.col("event_type") == "click"),
+        src.filter(F.col("event_type") == "view"),
+        watermark="1 hour",
+        range_="4 hours",
+    )
+    with pinned_shuffle(spark, 8):
+        sunk = run_to_memory(joined, mode="append")
+    return (
+        sunk.filter(F.col("left_id") >= 0)
+        .orderBy("left_id", F.asc_nulls_first("right_id"))
     )
 
 

@@ -323,6 +323,47 @@ def stream_stream_join(
     )
 
 
+def stream_stream_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "1 hour",
+    range_: str = "15 minutes",
+) -> DataFrame:
+    """T14: stream-stream LEFT OUTER join with watermarks and a
+    time-range condition. Matched pairs emit eagerly like the inner
+    join; an UNMATCHED left row emits its null-padded result only when
+    the watermark evicts its state (l.ts + range < watermark) — the
+    engine cannot know "no match will come" any earlier. Consequences
+    a caller must design for (pinned by tests and the lsjoin fuzz
+    axis):
+
+    - unmatched lefts still in state when the stream ends emit
+      NOTHING (no watermark passed them); a bounded replay that wants
+      every left accounted for must carry a terminal flush event past
+      max(ts) + delay + range on BOTH sides so the final no-data
+      batch evicts and emits the stragglers — the t14 registry query
+      does exactly that, which is what makes it batch-oracle-equal;
+    - at 100 TB the same property is the funnel-analysis contract: a
+      row's "no conversion" verdict arrives one watermark delay after
+      its range closes, never earlier, so downstream marts must treat
+      the null-padded stream as delayed by delay + range.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            "l.user_id = r.user_id AND "
+            f"r.ts >= l.ts AND r.ts <= l.ts + interval {range_}"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+
+
 def dedup_stream_within_watermark(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
     """T6b: dropDuplicatesWithinWatermark — dedup whose state is bounded
     by the watermark horizon instead of growing forever. The semantics

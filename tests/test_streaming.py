@@ -9,7 +9,7 @@ import time
 
 import pandas as pd
 import pytest
-from datetime import datetime
+from datetime import datetime, timedelta
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -599,3 +599,49 @@ def test_streaming_sink_maintains_manifest_incrementally(spark, tmp_path):
         (F.col("event_id_min") <= 1099) & (F.col("event_id_max") >= 1000)
     ).count()
     assert cand < len(incremental), "range query should not admit every file"
+
+
+def test_t14_left_join_null_rows_emit_on_eviction_only(spark):
+    """T14 distilled semantics: matched pairs emit eagerly; an
+    UNMATCHED left emits its null-padded row only when the watermark
+    EVICTS its state (via the trailing no-data micro-batch), and a
+    left still in state when the data ends emits NOTHING — the two
+    facts that make the sentinel-flush pattern necessary for bounded
+    replays (t14 registry query) and the funnel-verdict delay real at
+    100 TB."""
+    from jobhouse_spark.streaming.jobs import stream_stream_left_join
+
+    t0 = datetime(2024, 1, 1, 0, 0)
+    src = tempfile.mkdtemp(prefix="jh_t14u_")
+    # batch 0: a matched pair and an unmatched left
+    _write_batch(spark, src, [
+        (1, t0, 1, 1.0),
+        (101, t0 + timedelta(minutes=5), 1, 1.0),
+        (2, t0 + timedelta(minutes=20), 1, 1.0),
+    ], "b1.parquet")
+    # batch 1: flush left + a right OUTSIDE its range — watermark
+    # advances past every batch-0 row, but the flush left itself stays
+    # unmatched AND unevicted (W = max_ts - 1h < flush.ts + range)
+    _write_batch(spark, src, [
+        (90, t0 + timedelta(hours=10), 1, 1.0),
+        (190, t0 + timedelta(hours=10, minutes=20), 1, 1.0),
+    ], "b2.parquet")
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = run_to_memory(
+        stream_stream_left_join(
+            stream.filter(F.col("event_id") < 100),
+            stream.filter(F.col("event_id") >= 100),
+            watermark="1 hour",
+            range_="15 minutes",
+        ).select("left_id", "right_id"),
+        mode="append",
+    ).collect()
+    got = sorted((r.left_id, r.right_id) for r in out)
+    # 1 matched eagerly; 2 evicted-unmatched -> null row via the
+    # no-data batch; 90 unmatched but STILL IN STATE -> nothing
+    assert got == [(1, 101), (2, None)], got

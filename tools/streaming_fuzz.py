@@ -516,6 +516,111 @@ def check_ssjoin(spark, duck, d, batches):
     ]
 
 
+def check_lsjoin(spark, duck, d, batches):
+    """Stream-stream LEFT OUTER join (t14's mechanism) under
+    late/out-of-order arrival. The ssjoin model plus the outer-join
+    parts, each empirically pinned by the t14 unit probes:
+
+      - every left state row carries a matched flag, set when any pair
+        emits (in either direction);
+      - at eviction time an unmatched left emits its (left, NULL) row;
+        a matched left emits nothing more;
+      - eviction during batch k uses the IN-EFFECT watermark (one
+        behind the batch's own data), and Spark runs a trailing
+        NO-DATA batch after the last file, so the model runs one final
+        eviction pass with the end-of-stream watermark — left rows
+        still live after that pass emit nothing (the t14 sentinel
+        lesson).
+    """
+    import collections  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from jobhouse_spark.streaming.jobs import (  # noqa: PLC0415
+        stream_stream_left_join,
+    )
+
+    r_us = 30 * 60 * MICRO
+    delay_us = 3600 * MICRO
+    src = _stream(spark, d)
+    got = _run_stream(
+        stream_stream_left_join(
+            src.filter(F.col("event_type") == "click"),
+            src.filter(F.col("event_type") == "view"),
+            watermark="1 hour",
+            range_="30 minutes",
+        ).select("left_id", "right_id"),
+        "append",
+    )
+
+    def fl(ts: int) -> int:
+        return (ts // 1000) * 1000
+
+    w_node_l = w_node_r = None
+    w_filter = w_evict = 0
+    lstate: list[list] = []  # [id, ts, user, matched]
+    rstate: list[tuple] = []
+    out: list[tuple] = []
+
+    def evict(wm: int) -> None:
+        nonlocal lstate, rstate
+        keep = []
+        for row in lstate:
+            if row[1] + r_us < wm:
+                if not row[3]:
+                    out.append((row[0], None))
+            else:
+                keep.append(row)
+        lstate = keep
+        rstate = [x for x in rstate if x[1] >= wm]
+
+    for b in batches:
+        clicks = [r for r in b if r[3] == "click"]
+        views = [r for r in b if r[3] == "view"]
+        new_l = [[r[0], r[1], r[2], False] for r in clicks if r[1] > w_filter]
+        new_r = [(r[0], r[1], r[2]) for r in views if r[1] > w_filter]
+        for lrow in new_l:
+            for rid, rts, ru in rstate + new_r:
+                if lrow[2] == ru and lrow[1] <= rts <= lrow[1] + r_us:
+                    out.append((lrow[0], rid))
+                    lrow[3] = True
+        for rid, rts, ru in new_r:
+            for lrow in lstate:
+                if lrow[2] == ru and lrow[1] <= rts <= lrow[1] + r_us:
+                    out.append((lrow[0], rid))
+                    lrow[3] = True
+        lstate += new_l
+        rstate += new_r
+        evict(w_evict)
+        w_filter = w_evict
+        if clicks:
+            mx = fl(max(r[1] for r in clicks)) - delay_us
+            w_node_l = mx if w_node_l is None else max(w_node_l, mx)
+        if views:
+            mx = fl(max(r[1] for r in views)) - delay_us
+            w_node_r = mx if w_node_r is None else max(w_node_r, mx)
+        if w_node_l is not None and w_node_r is not None:
+            w_evict = max(w_evict, min(w_node_l, w_node_r))
+    evict(w_evict)  # the trailing no-data batch
+
+    got_c = collections.Counter(
+        (int(l), None if pd.isna(r) else int(r))
+        for l, r in zip(got["left_id"], got["right_id"])
+    )
+    want_c = collections.Counter(out)
+    if got_c == want_c:
+        return []
+    extra = got_c - want_c
+    missing = want_c - got_c
+    key = lambda kv: (kv[0][0], -1 if kv[0][1] is None else kv[0][1])  # noqa: E731
+    return [
+        f"row multiset differs: spark-only={sorted(extra.items(), key=key)[:3]} "
+        f"model-only={sorted(missing.items(), key=key)[:3]} "
+        f"(spark {sum(got_c.values())} rows, model {sum(want_c.values())})"
+    ]
+
+
 CHECKS = {
     "tumbling": check_tumbling,
     "sliding": check_sliding,
@@ -525,6 +630,7 @@ CHECKS = {
     "watermark": check_watermark,
     "wmdedup": check_wmdedup,
     "ssjoin": check_ssjoin,
+    "lsjoin": check_lsjoin,
 }
 
 
@@ -618,7 +724,7 @@ def main() -> None:
         "mismatches": mismatches,
         **({"flaky_retry_clean": flaky} if flaky else {}),
         "oracle": {c: ("python-model"
-                       if c in ("watermark", "wmdedup", "ssjoin")
+                       if c in ("watermark", "wmdedup", "ssjoin", "lsjoin")
                        else "duckdb")
                    for c in checks},
         "wall_s": wall,
