@@ -46,6 +46,18 @@ Checks per trajectory (all Spark sides are the engine's functions):
              its batch; a window emits to the append sink iff its end
              <= the final wm). The ledger marks this axis model-checked
              rather than DuckDB-checked.
+  wmdedup    append-mode dropDuplicatesWithinWatermark — Python model of
+             the two-watermark recurrence at MILLISECOND granularity
+             (the ms-floor found by campaign-2 seed 300; ddw10 pins it)
+  ssjoin     stream-stream INNER join (t11 mechanism: equi-key +
+             30-min range, 1h watermarks both sides) vs a Python model:
+             two watermark nodes (min policy), inclusive one-behind
+             late filter, exact-µs range predicate, current-watermark
+             eviction — reproduces the filter-lag pair losses
+  lsjoin     stream-stream LEFT OUTER join (t14) — ssjoin model plus
+             matched flags, eviction-time (left, NULL) emission, and
+             the trailing no-data eviction pass; in-state leftovers
+             emit nothing
 
 Usage:
   python tools/streaming_fuzz.py --seeds=0:220 [--json=STREAMFUZZ.json]
