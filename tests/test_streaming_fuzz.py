@@ -37,6 +37,12 @@ def test_streaming_fuzz_pinned_seeds(spark, seed):
     tool = _load_tool()
     duck = duckdb.connect()
     duck.execute("SET TimeZone='UTC'")
+    # single-threaded oracle: campaign-2 seeds 262/291/313 showed the
+    # SAME adjacent-session count-swap from DuckDB only under heavy
+    # machine load — the parallel window path's task split is the
+    # prime suspect, and threads=1 removes it from the oracle (the
+    # data is tiny; determinism is worth more than parallelism here)
+    duck.execute("SET threads=1")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
