@@ -473,12 +473,40 @@ def _apply_verified_edges(
     """Shared tail of the two incremental resolvers: contract old
     endpoints to their stored canonicals, run the closure over the
     touched subgraph, relabel merged clusters. Exactness argument in
-    resolve_entities_incremental's docstring."""
+    resolve_entities_incremental's docstring.
+
+    Shuffle discipline (round 14): a LEFT join's big preserved side
+    cannot be broadcast, so joining the verified edges against the
+    full stored mapping twice (src/dst contraction) and once more for
+    the relabel would shuffle the stored DOMAIN three times per apply.
+    Instead the mapping is first restricted to the TOUCHED endpoint
+    names with a broadcast inner join (the mapping side streams
+    map-side, no exchange), the outer contraction joins run
+    small-vs-small, and the relabel side is explicitly broadcast —
+    leaving the new-vs-stored anti-join as the only stored-domain
+    shuffle in the whole apply (verified in the physical plan: the
+    relabel join is a BroadcastHashJoin, the anti-join the single
+    remaining SortMergeJoin). At the 1M local rung the per-day wall is
+    unchanged (~33 s — dominated by materializing the updated 3M-row
+    mapping, a cost production pays as the daily table write); the
+    win is structural: two domain-wide exchanges per apply exist in
+    the old plan and not in this one, which is what matters when the
+    domain is 100M+ names and the shuffle crosses a network."""
+    # materialize the verified edges once: referenced three times
+    # below, and their candidate-generation lineage is the expensive
+    # part; batch-sized, so the checkpoint is small
+    edges_new = edges_new.localCheckpoint(eager=True)
     # ---- contract old endpoints to their stored canonical ----
-    msrc = stored_mapping.select(
+    endpoints = (
+        edges_new.select(F.col("src").alias("name"))
+        .unionAll(edges_new.select(F.col("dst").alias("name")))
+        .distinct()
+    )
+    m_touched = stored_mapping.join(F.broadcast(endpoints), "name")
+    msrc = m_touched.select(
         F.col("name").alias("src"), F.col("canonical").alias("src_canon")
     )
-    mdst = stored_mapping.select(
+    mdst = m_touched.select(
         F.col("name").alias("dst"), F.col("canonical").alias("dst_canon")
     )
     edges_c = (
@@ -527,9 +555,10 @@ def _apply_verified_edges(
         F.col("node").alias("old_canonical"),
         F.col("component").alias("new_canonical"),
     )
+    rb = F.broadcast(relabel)
     updated_old = (
         stored_mapping.join(
-            relabel, stored_mapping["canonical"] == relabel["old_canonical"], "left"
+            rb, stored_mapping["canonical"] == rb["old_canonical"], "left"
         )
         .select(
             F.col("name"),

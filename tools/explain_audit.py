@@ -438,6 +438,25 @@ def main() -> None:
           "jh11 query: cross product in the end-to-end plan")
     check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
           "jh11 query: Python eval in the end-to-end plan")
+    # shuffle discipline of the shared apply tail (round 14): the
+    # stored mapping must reach the relabel join by BROADCAST of the
+    # relabel side (not a domain shuffle), and the new-vs-stored
+    # anti-join must be the ONLY SortMergeJoin left in the final
+    # mapping plan — the contraction joins run against the
+    # broadcast-restricted touched subset inside the checkpointed
+    # closure input, never against the full domain.
+    smj_types = re.findall(
+        r"^\(\d+\) SortMergeJoin\n(?:[A-Z][^\n]*\n)*?Join type: (\w+)",
+        p, re.M)
+    check(smj_types.count("LeftAnti") <= 1 and
+          all(t == "LeftAnti" for t in smj_types),
+          f"jh11 query: stored-domain shuffle beyond the anti-join — "
+          f"SMJ join types {smj_types}")
+    check(re.search(
+        r"^\(\d+\) BroadcastHashJoin\n(?:[A-Z][^\n]*\n)*?"
+        r"Join type: LeftOuter", p, re.M) is not None,
+          "jh11 query: relabel join not broadcast (stored mapping "
+          "would shuffle on canonical)")
 
     # jh12 structural audit (round 14): the INDEXED incremental
     # resolver's contract is stronger than jh11's — the stored side's
