@@ -5,9 +5,10 @@ bins — the pre-ingest gate a training pipeline runs on a new
 crawl/batch: PSI > 0.2 on a feature distribution means the new data
 is materially different from the baseline.
 
-Scale shape: ONE scan of the input; per-(category, cohort, bin) counts
-are map-side combined; the grid/totals joins run over
-O(categories x bins) rows — broadcast-sized at any input scale.
+Scale shape: ONE scan of the input (verified in the physical plan —
+round 14); per-(category, bin) counts are map-side combined with both
+cohorts as columns, the per-category rollup and in-row grid evaluation
+shuffle O(categories x bins) rows, and there are no joins at all.
 
 Correctness details that matter:
 - Laplace smoothing (+1 per bin over +n_bins per total) keeps ln()
@@ -45,7 +46,6 @@ def psi_drift(
     the grid left-join and its counts would vanish from both cohorts."""
     from jobhouse_spark.queries.registry import fin  # noqa: PLC0415
 
-    spark = binned.sparkSession
     # the guard is routed THROUGH the bin column (not a dropped side
     # column, which column pruning would silently eliminate): every
     # downstream use reads the checked value, so violations always fire
@@ -56,64 +56,57 @@ def psi_drift(
             F.lit(f"psi_drift: {bin_col} outside pre-binned contract [0, {n_bins})")
         )
     )
+    # ROUND-14 SHAPE (optimization guide §2.3/§2.4). The r13 formulation
+    # referenced its counts aggregate three times (cb/cc/grid) and the
+    # totals twice — and an uncached DataFrame re-executes its whole
+    # lineage per reference, so "ONE scan of binned" was five corpus
+    # scans in the physical plan. Now: per-(category, bin) counts for
+    # BOTH cohorts as columns in a single aggregation (one corpus scan),
+    # then one per-category rollup into bin->count maps + totals, and
+    # the Laplace-smoothed PSI over the full 0..n_bins-1 grid evaluated
+    # IN-ROW with a higher-order aggregate — no grid cross join, no
+    # count/total self-joins, no second reference to anything. Plan:
+    # scan -> partial agg -> exchange(cat,bin) -> agg -> exchange(cat)
+    # -> agg -> project. 5 scans + 4 joins -> 1 scan + 0 joins; the two
+    # surviving exchanges carry O(categories x bins) rows.
+    # Equivalence notes vs the r13 join formulation, all pinned by the
+    # unchanged oracle + tests: NULL categories stay one group (groupBy
+    # keys NULL like the old eqNullSafe joins); a category present in
+    # one cohort keeps its rows (absent side smooths to the uniform
+    # 1/(0+n_bins)); a cohort label outside {base, cur} contributes to
+    # neither count but keeps its (category, bin) group alive — exactly
+    # the old grid-from-counts behavior. The contract guard routes
+    # through the GROUP KEY, so out-of-range bins still fail the job.
     counts = (
         binned.withColumn(bin_col, checked_bin)
-        .groupBy(category_col, cohort_col, bin_col)
-        .agg(F.count("*").alias("n"))
-    )
-    tot = counts.groupBy(category_col, cohort_col).agg(F.sum("n").alias("t"))
-    # grid from the COUNTS aggregate, not the raw input: every input
-    # category has >= 1 count row, and this keeps the operator at ONE
-    # scan of binned (a distinct over raw binned would be a second one)
-    grid = (
-        counts.select(category_col)
-        .distinct()
-        .crossJoin(spark.range(n_bins).select(F.col("id").cast("int").alias(bin_col)))
-    )
-    cb = counts.filter(F.col(cohort_col) == base_label).select(
-        F.col(category_col).alias("cat_b"), F.col(bin_col).alias("bin_b"),
-        F.col("n").alias("nb"),
-    )
-    cc = counts.filter(F.col(cohort_col) == cur_label).select(
-        F.col(category_col).alias("cat_c"), F.col(bin_col).alias("bin_c"),
-        F.col("n").alias("nc"),
-    )
-    tb = tot.filter(F.col(cohort_col) == base_label).select(
-        F.col(category_col).alias("cat_tb"), F.col("t").alias("tb")
-    )
-    tc = tot.filter(F.col(cohort_col) == cur_label).select(
-        F.col(category_col).alias("cat_tc"), F.col("t").alias("tc")
-    )
-    # NULL-SAFE category joins throughout: a NULL category (unclassified
-    # rows — often a brand-new max-drift bucket) must attach its real
-    # counts; plain equi-joins never match NULL=NULL and would silently
-    # report psi=0 for exactly the category that drifted most
-    cat = F.col(category_col)
-    p = (
-        grid.join(
-            cb, cat.eqNullSafe(F.col("cat_b")) & (F.col(bin_col) == F.col("bin_b")), "left"
-        )
-        .join(
-            cc, cat.eqNullSafe(F.col("cat_c")) & (F.col(bin_col) == F.col("bin_c")), "left"
-        )
-        # LEFT + 0 fallback: a category absent from one cohort keeps its
-        # rows (uniform smoothed distribution for the absent side) — the
-        # max-drift case an inner join would silently drop
-        .join(tb, cat.eqNullSafe(F.col("cat_tb")), "left")
-        .join(tc, cat.eqNullSafe(F.col("cat_tc")), "left")
-        .select(
-            category_col,
-            (
-                (F.coalesce(F.col("nb"), F.lit(0)) + 1.0)
-                / (F.coalesce(F.col("tb"), F.lit(0)) + float(n_bins))
-            ).alias("p_base"),
-            (
-                (F.coalesce(F.col("nc"), F.lit(0)) + 1.0)
-                / (F.coalesce(F.col("tc"), F.lit(0)) + float(n_bins))
-            ).alias("p_cur"),
+        .groupBy(category_col, bin_col)
+        .agg(
+            F.count(F.when(F.col(cohort_col) == base_label, True)).alias("nb"),
+            F.count(F.when(F.col(cohort_col) == cur_label, True)).alias("nc"),
         )
     )
-    psi = F.sum(
-        (F.col("p_cur") - F.col("p_base")) * F.log(F.col("p_cur") / F.col("p_base"))
+    percat = counts.groupBy(category_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col(bin_col).cast("int"), F.col("nb")))
+        ).alias("_mb"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col(bin_col).cast("int"), F.col("nc")))
+        ).alias("_mc"),
+        F.sum("nb").alias("_tb"),
+        F.sum("nc").alias("_tc"),
     )
-    return p.groupBy(category_col).agg(fin(psi, 6).alias("psi"))
+    # (p_cur - p_base) * ln(p_cur / p_base) summed over every bin of the
+    # grid, missing bins coalesced to 0 — double arithmetic identical to
+    # the r13 per-row formula, rounded through DECIMAL(18,6) at the end
+    psi = F.expr(
+        f"""aggregate(
+              sequence(0, {n_bins - 1}),
+              cast(0.0 as double),
+              (acc, i) -> acc +
+                (((coalesce(try_element_at(_mc, i), 0L) + 1.0) / (_tc + {float(n_bins)}))
+                 - ((coalesce(try_element_at(_mb, i), 0L) + 1.0) / (_tb + {float(n_bins)})))
+                * ln(((coalesce(try_element_at(_mc, i), 0L) + 1.0) / (_tc + {float(n_bins)}))
+                     / ((coalesce(try_element_at(_mb, i), 0L) + 1.0) / (_tb + {float(n_bins)})))
+            )"""
+    )
+    return percat.select(category_col, fin(psi, 6).alias("psi"))

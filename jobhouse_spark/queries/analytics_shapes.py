@@ -407,30 +407,40 @@ FROM dau JOIN wau USING (day) ORDER BY day
 def e5_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: DAU / trailing-7-day WAU stickiness per day — the engagement
     ratio every product dashboard runs. Rolling DISTINCT doesn't compose
-    as a window aggregate, so the trailing week is a range join of the
-    (tiny, broadcast) day spine against the event log — the standard
-    shape; at 100 TB the same query swaps COUNT(DISTINCT) for an HLL
-    sketch union to avoid re-scanning seven days per day."""
+    as a window aggregate; the r13 shape was the textbook range join of
+    the day spine against the event log, which scanned the corpus THREE
+    times (spine, DAU, WAU) and shuffled ~9x the event rows.
+
+    Round-14 shape (guide §2.3/§8 — decide on a lightweight proxy,
+    touch the heavy input once): dedup the log to DISTINCT (day, user)
+    pairs first — one corpus scan, one narrow shuffle — then explode
+    each pair into the 7 trailing days it contributes to and aggregate
+    once: WAU(d) = distinct users among pairs landing on d; DAU(d) = a
+    plain count of pairs whose own day IS d (already distinct by
+    construction, no second count-distinct); days outside the spine
+    drop out as dau = 0 (a spine day always has >= 1 pair). One scan +
+    7x PAIR rows shuffled instead of three scans + 8x EVENT rows —
+    hash-identical to the unchanged range-join oracle. At 100 TB the
+    same query swaps COUNT(DISTINCT) for an HLL sketch union."""
     e = Tables(spark, sf_dir).events
     day = F.date_trunc("day", F.col("ts"))
-    days = e.select(day.alias("day")).distinct()
-    dau = (
-        e.select(day.alias("day"), "user_id")
-        .groupBy("day")
-        .agg(F.countDistinct("user_id").cast("long").alias("dau"))
-    )
-    ev = e.select(day.alias("eday"), "user_id")
-    wau = (
-        ev.join(
-            F.broadcast(days),
-            (F.col("eday") >= F.col("day") - F.expr("INTERVAL 6 DAYS"))
-            & (F.col("eday") <= F.col("day")),
-        )
-        .groupBy("day")
-        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    pairs = e.select(day.alias("eday"), "user_id").distinct()
+    contrib = pairs.select(
+        "eday",
+        "user_id",
+        F.explode(
+            F.expr("sequence(eday, eday + interval 6 days, interval 1 day)")
+        ).alias("day"),
     )
     return (
-        dau.join(wau, "day")
+        contrib.groupBy("day")
+        .agg(
+            F.count(F.when(F.col("eday") == F.col("day"), True))
+            .cast("long")
+            .alias("dau"),
+            F.countDistinct("user_id").cast("long").alias("wau"),
+        )
+        .filter(F.col("dau") > 0)
         .select(
             "day", "dau", "wau",
             fin(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),

@@ -600,22 +600,36 @@ def l6c_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs score low, fluent in-distribution text scores high).
 
     Scale shape: ONE corpus scan builds the unigram table (partial+final
-    agg); the model — vocab counts + two scalars — is lexicon-sized at
-    any corpus size, so scoring is a broadcast join + map-side math and
-    one groupBy(doc) aggregate. Determinism: per-token log-probs round
+    agg; verified in the r14 physical plan — the model's two scalars ride
+    on a lexicon-sized global window instead of a second aggregate whose
+    lineage re-scanned the corpus); the model — vocab counts + two
+    scalars — is lexicon-sized at any corpus size, so scoring is a
+    broadcast join + map-side math and one groupBy(doc) aggregate. Determinism: per-token log-probs round
     through DECIMAL(18,9) BEFORE summing (decimal addition is exact in
     any order — AQE/retries can't perturb results), then one exact
     int-over-int style division rounds through DECIMAL(18,6)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
     from jobhouse_spark.queries.registry import dec  # noqa: PLC0415
 
     d = Tables(spark, sf_dir).documents
     tok = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
     uni = d.select(tok).groupBy("tok").agg(F.count("*").alias("c"))
-    stats = uni.agg(F.sum("c").alias("total"), F.count("*").alias("vocab"))
+    # total/vocab as GLOBAL-WINDOW columns over the unigram table, not a
+    # separate .agg() off `uni` — an uncached second reference re-executes
+    # the whole corpus tokenize+aggregate lineage, so the r13 plan
+    # scanned the corpus twice to produce two scalars (round-14 sweep).
+    # The single-partition window is lexicon-sized — the same smallness
+    # assumption the uni broadcast below already makes.
+    wall = Window.partitionBy()
+    uni = uni.select(
+        "tok", "c",
+        F.sum("c").over(wall).alias("total"),
+        F.count("*").over(wall).alias("vocab"),
+    )
     doc_toks = d.filter(F.col("doc_id") < 200).select("doc_id", tok)
     lp = (
         doc_toks.join(F.broadcast(uni), "tok")
-        .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
             dec(

@@ -432,66 +432,83 @@ def l14_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: tf/df/dl are exact integers; avgdl is an exact-integer
     sum divided once in IEEE double; idf is rounded through DECIMAL(18,6)
     immediately after the single `ln`, and per-term scores are rounded
-    to decimal BEFORE the per-doc SUM so accumulation order can't matter.
-    At scale: doc-frequency is one broadcastable 3-row aggregate, the
-    per-doc score is one groupBy(doc_id) — two narrow shuffles total."""
+    to decimal BEFORE the per-doc sum so accumulation order can't matter
+    (decimal addition is exact, and a tf=0 term contributes exact 0).
+
+    Round-14 shape (guide §2.3/§2.4 — aggregate before you shuffle,
+    remove shuffles outright): per-doc term frequencies for the FIXED
+    term set pivot into columns on a single tokenize pass, so corpus
+    stats (n_docs, avgdl, per-term df→idf) collapse into ONE single-row
+    aggregate that broadcasts back, and the per-doc score is computed
+    in-row — no per-term row explosion, no corpus-sized groupBy
+    shuffle. The corpus is scanned twice (stats pass + scoring pass,
+    the streaming-aggregate minimum); the only exchanges left are the
+    single-row stats aggregation and the final presentation sort.
+    Replaces the r13 shape: 4 corpus scans (each re-tokenizing), a 3x
+    row explosion, and a corpus-cardinality groupBy — hash-identical
+    output (same dec/fin rounding points), verified vs the unchanged
+    oracle."""
     d = Tables(spark, sf_dir).documents.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
     )
-    stats = d.agg(
+    # one tokenize pass -> per-doc (dl, tf per fixed term) as COLUMNS
+    tf_cols = [
+        F.expr(f"size(filter(toks, x -> x = '{t}'))").cast("long").alias(f"tf_{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    t = d.select("doc_id", F.size("toks").cast("long").alias("dl"), *tf_cols)
+    # ONE single-row corpus aggregate: n_docs, exact-integer token sum,
+    # and per-term document frequencies (count of docs with tf>0)
+    stats = t.agg(
         F.count("*").cast("long").alias("n_docs"),
-        (F.sum(F.size("toks")).cast("double") / F.count("*").cast("double")).alias(
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, True)).cast("long").alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    ).select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias(
             "avgdl"
         ),
-    )
-    terms = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
-    dfreq = (
-        d.crossJoin(F.broadcast(terms))
-        .filter(F.array_contains(F.col("toks"), F.col("term")))
-        .groupBy("term")
-        .agg(F.count("*").cast("long").alias("df"))
-    )
-    idf = dfreq.crossJoin(F.broadcast(stats)).select(
-        "term",
-        fin(
-            F.log(
-                (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
-                / (F.col("df").cast("double") + 0.5)
-                + 1.0
-            ),
-            6,
-        ).alias("idf"),
-    )
-    tfs = d.crossJoin(F.broadcast(terms)).select(
-        "doc_id",
-        "term",
-        F.expr("size(filter(toks, x -> x = term))").cast("double").alias("tf"),
-        F.size("toks").cast("double").alias("dl"),
-    )
-    k1, b = F.lit(_K1), F.lit(_B)
-    scored = (
-        tfs.join(F.broadcast(idf), "term")
-        .crossJoin(F.broadcast(stats).select("avgdl"))
-        .filter(F.col("tf") > 0)
-        .select(
-            "doc_id",
-            dec(
-                F.col("idf")
-                * (F.col("tf") * (k1 + F.lit(1.0)))
-                / (
-                    F.col("tf")
-                    + k1
-                    * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+        # idf rounded through DECIMAL(18,6) right after the ln — the
+        # same rounding point the r13 idf table used
+        *[
+            fin(
+                F.log(
+                    (F.col("n_docs").cast("double") - F.col(f"df_{i}").cast("double") + 0.5)
+                    / (F.col(f"df_{i}").cast("double") + 0.5)
+                    + 1.0
                 ),
                 6,
-            ).alias("s"),
-        )
+            ).alias(f"idf_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(fin(F.sum("s"), 6).alias("bm25"))
-        .orderBy("doc_id")
+    k1, b = F.lit(_K1), F.lit(_B)
+
+    def term_score(i: int) -> F.Column:
+        tf = F.col(f"tf_{i}").cast("double")
+        # dec-rounded per term BEFORE the sum, exactly like the r13
+        # per-row scores; tf=0 contributes an exact decimal 0 (the r13
+        # filter(tf>0) + sum drops the same zero)
+        return F.when(
+            F.col(f"tf_{i}") > 0,
+            dec(
+                F.col(f"idf_{i}")
+                * (tf * (k1 + F.lit(1.0)))
+                / (tf + k1 * (F.lit(1.0) - b + b * F.col("dl").cast("double") / F.col("avgdl"))),
+                6,
+            ),
+        ).otherwise(F.lit(0).cast("decimal(18,6)"))
+
+    scored = t.crossJoin(F.broadcast(stats)).filter(
+        " OR ".join(f"tf_{i} > 0" for i in range(len(_BM25_TERMS)))
     )
+    total = term_score(0)
+    for i in range(1, len(_BM25_TERMS)):
+        total = total + term_score(i)
+    return scored.select("doc_id", fin(total, 6).alias("bm25")).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
