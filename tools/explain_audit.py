@@ -221,6 +221,37 @@ def main() -> None:
     check("SortMergeJoin" not in p, "l14: idf/stats joins not broadcast")
     check("BatchEvalPython" not in p and "ArrowEvalPython" not in p,
           "l14: scoring left the JVM")
+    # round-14 single-pass contract: one tokenize pass per phase (stats
+    # + scoring), no per-term explosion, no corpus-sized groupBy — the
+    # r13 shape was 4 scans / 5 exchanges
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
+    check(n_scans <= 2, f"l14: {n_scans} corpus scans (stats pivot gone)")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE))
+    check(n_exchanges <= 2,
+          f"l14: {n_exchanges} exchanges (corpus-sized groupBy is back)")
+
+    # --- round-14 single-scan contracts (multi-reference recompute fix) ---
+    p = plan_of(spark, "g20_psi_drift")
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
+    check(n_scans <= 1, f"g20: {n_scans} corpus scans (r13 self-joins are back)")
+    check("Join" not in p, "g20: joins reappeared (map/HOF grid eval gone)")
+
+    p = plan_of(spark, "e5_dau_wau_stickiness")
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
+    check(n_scans <= 1, f"e5: {n_scans} corpus scans (pair-proxy shape gone)")
+    check("Join" not in p, "e5: dau/wau joins reappeared")
+
+    p = plan_of(spark, "l6c_unigram_logprob")
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
+    check(n_scans <= 2,
+          f"l6c: {n_scans} corpus scans (stats re-derives the unigram table)")
+
+    p = plan_of(spark, "jh5_vacancy_lifecycle")
+    # chained SCD2 applies must truncate lineage between days: without
+    # the snapshot/history checkpoints the replay-silver subtree is
+    # referenced multiplicatively (12 bronze scans in the r13 plan)
+    check("ExistingRDD" in p and "Scan json" not in p,
+          "jh5: scd2 chain lost its lineage truncation (bronze re-scans)")
 
     p = plan_of(spark, "a8b_bronze_hive_pruned")
     check("PartitionFilters" in p and "day" in p.split("PartitionFilters")[1][:200],
