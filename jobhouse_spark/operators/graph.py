@@ -57,27 +57,54 @@ def connected_components(
             F.col(node_col).alias("node"), F.col(node_col).alias("component")
         )
         for _ in range(max_iterations):
-            # Smallest label among each node's neighbors this round.
-            neighbor_min = (
+            # ONE aggregation per round (round 15, guide §2.3/§2.4):
+            # the r14 loop shuffled label-sized data three times per
+            # round — labels into the adjacency join, the neighbor-min
+            # groupBy, then a LEFT JOIN of labels against neighbor_min
+            # to apply the update and derive `changed`. Folding the
+            # node's OWN label into the same aggregation as its
+            # neighbors' (union + min, with an is_self marker) removes
+            # the left join and its exchange outright: new label =
+            # min(self, neighbors), changed = min < self-label. Edge
+            # endpoints absent from `nodes` have no self row and are
+            # dropped (has_self), exactly like the old left join's
+            # labels-preserving side.
+            contrib = (
                 labels.join(adj, labels["node"] == adj["a"])
-                .groupBy(F.col("b").alias("node"))
-                .agg(F.min("component").alias("nbr_component"))
-            )
-            updated = (
-                labels.join(neighbor_min, "node", "left")
                 .select(
-                    "node",
-                    F.least(
-                        "component", F.coalesce("nbr_component", "component")
-                    ).alias("component"),
-                    (
-                        F.coalesce("nbr_component", "component") < F.col("component")
-                    ).alias("changed"),
+                    F.col("b").alias("node"),
+                    "component",
+                    F.lit(False).alias("is_self"),
                 )
-            ).localCheckpoint(eager=True)
-            n_changed = updated.filter("changed").limit(1).count()
+                .unionByName(
+                    labels.select("node", "component", F.lit(True).alias("is_self"))
+                )
+            )
+            # LAZY checkpoint + one full-scan aggregate (round 15): the
+            # r14 shape ran an EAGER checkpoint job and then a separate
+            # limit(1).count() convergence probe — 2-3 scheduler jobs
+            # per round of which the probe was pure overhead. A lazy
+            # localCheckpoint materializes during the FIRST action, and
+            # a global max("changed") is an action that computes every
+            # partition (partial aggs leave no partition unscanned), so
+            # one job both truncates the lineage (all blocks cached —
+            # no fill-in job) and returns the convergence flag.
+            updated = (
+                contrib.groupBy("node")
+                .agg(
+                    F.min("component").alias("component"),
+                    (
+                        F.min("component")
+                        < F.min(F.when(F.col("is_self"), F.col("component")))
+                    ).alias("changed"),
+                    F.max("is_self").alias("has_self"),
+                )
+                .filter("has_self")
+                .select("node", "component", "changed")
+            ).localCheckpoint(eager=False)
+            any_changed = updated.agg(F.max("changed")).first()[0]
             labels = updated.drop("changed")
-            if n_changed == 0:
+            if not any_changed:
                 return labels
     finally:
         adj.unpersist()
