@@ -597,16 +597,34 @@ def minhash_near_duplicates(
         featured = featured.persist()
     banded = _band_signatures(featured, seed, num_hash_tables)
     capped = _capped_buckets(banded, max_bucket_size)
-    a = capped.alias("a")
-    b = capped.alias("b")
+    # In-row pair generation over the CAPPED buckets (round 15, guide
+    # §2.3/§2.4): the r14 shape self-joined `capped` with itself on
+    # (band_idx, sig), which re-executed the whole banded->window cap
+    # pipeline for BOTH join sides — a second full exchange + sort +
+    # window over 3x-doc-cardinality signature rows (featured is
+    # persisted, capped is not). Collecting each bucket's (already
+    # cap-bounded, <= max_bucket_size) membership once and expanding
+    # the C(members, 2) pairs with array transforms yields the
+    # IDENTICAL pair set — members sorted ascending, x paired with
+    # every later y, so doc_a < doc_b — from ONE pass, and the
+    # groupBy reuses the window's (band_idx, sig) hash partitioning
+    # (no new exchange). The spill-safe window cap stays in front, so
+    # a degenerate bucket still sorts/spills gracefully and the
+    # collect_list buffer is bounded by the cap, never by the bucket.
+    members = capped.groupBy("band_idx", "sig").agg(
+        F.sort_array(F.collect_list("doc")).alias("ms")
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc") < F.col("b.doc")),
+        members.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     out = _exact_jaccard_pairs(cand, featured, jaccard_threshold)
