@@ -416,12 +416,17 @@ def e5_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs first — one corpus scan, one narrow shuffle — then explode
     each pair into the 7 trailing days it contributes to and aggregate
     once: WAU(d) = distinct users among pairs landing on d; DAU(d) = a
-    plain count of pairs whose own day IS d (already distinct by
-    construction, no second count-distinct); days outside the spine
-    drop out as dau = 0 (a spine day always has >= 1 pair). One scan +
-    7x PAIR rows shuffled instead of three scans + 8x EVENT rows —
-    hash-identical to the unchanged range-join oracle. At 100 TB the
-    same query swaps COUNT(DISTINCT) for an HLL sketch union."""
+    count of NON-NULL-user pairs whose own day IS d (already distinct
+    by construction, no second count-distinct); days outside the spine
+    drop out because no pair's OWN day is there (a spine day always
+    has >= 1 pair, user NULL or not). One scan + 7x PAIR rows shuffled
+    instead of three scans + 8x EVENT rows — equal to the unchanged
+    range-join oracle, INCLUDING on NULL user_ids (ADVICE r14): the
+    oracle's COUNT(DISTINCT user_id) skips NULLs, so dau must not
+    count the (day, NULL) pair, while spine membership rides a
+    separate any-pair count so an all-NULL day still emits dau = 0.
+    At 100 TB the same query swaps COUNT(DISTINCT) for an HLL sketch
+    union."""
     e = Tables(spark, sf_dir).events
     day = F.date_trunc("day", F.col("ts"))
     pairs = e.select(day.alias("eday"), "user_id").distinct()
@@ -432,15 +437,17 @@ def e5_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sequence(eday, eday + interval 6 days, interval 1 day)")
         ).alias("day"),
     )
+    own_day = F.col("eday") == F.col("day")
     return (
         contrib.groupBy("day")
         .agg(
-            F.count(F.when(F.col("eday") == F.col("day"), True))
+            F.count(F.when(own_day & F.col("user_id").isNotNull(), True))
             .cast("long")
             .alias("dau"),
             F.countDistinct("user_id").cast("long").alias("wau"),
+            F.count(F.when(own_day, True)).alias("_own_pairs"),
         )
-        .filter(F.col("dau") > 0)
+        .filter(F.col("_own_pairs") > 0)
         .select(
             "day", "dau", "wau",
             fin(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),

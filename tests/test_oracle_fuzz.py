@@ -56,6 +56,12 @@ FUZZ_ENTRIES = (
     # percentile_disc thresholds + NULL-difficulty branch under
     # null/empty-text stress
     "l25_curriculum_bins",
+    # round-15 (ADVICE r14): the r14 pair-proxy rewrite silently
+    # diverged from the oracle on NULL user_ids (dau counted the
+    # (day, NULL) pair; an all-NULL day vanished from the spine) —
+    # latent because the static fixtures have none. The 5%-NULL
+    # user_id stream here exercises exactly that surface.
+    "e5_dau_wau_stickiness",
 )
 
 # per-seed stress profile: (exact_dup_rate, null_text_rate, empty_rate,
@@ -212,7 +218,15 @@ def _make_fuzz_dir(root: str, seed: int) -> str:
     return out
 
 
-@pytest.mark.parametrize("seed", sorted(_PROFILES))
+# Default-run seed block (round-15 verdict task 1): seed 2 (null-heavy
+# — the profile that exercises the e5/l25 NULL paths) and seed 5
+# (tie-heavy) stay always-on; the other profiles are campaign-gated
+# (JH_FULL_TESTS=1) — breadth re-verification, not regression pins.
+@pytest.mark.parametrize(
+    "seed",
+    [pytest.param(s, marks=pytest.mark.campaign) if s in (1, 3, 4)
+     else s for s in sorted(_PROFILES)],
+)
 def test_fuzzed_oracles_agree(spark, tmp_path_factory, seed):
     from jobhouse_spark.queries import all_queries
 
