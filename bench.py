@@ -32,6 +32,15 @@ from jobhouse_spark.session import get_spark
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Side-file default (round-15 verdict task 8): NOT BENCH_local.json —
+# that file is the COMMITTED curated idle-anchor record, and using it
+# as the default side sink meant every driver/bench invocation
+# clobbered the curated reading (the r14 c8 run overwrote the 20.6 s
+# anchor with a wave-poisoned 302 s record). BENCH_side.json is
+# gitignored; promote a reading into BENCH_local.json deliberately.
+_SIDE_DEFAULT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_side.json")
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -88,10 +97,7 @@ def main() -> None:
         # that embedding the losing attempt's 19-query dict overflows
         # that window (BENCH_r13 recorded parsed:null).
         try:
-            side = os.environ.get(
-                "SPARK_GRAFT_BENCH_SIDE",
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_local.json"))
+            side = os.environ.get("SPARK_GRAFT_BENCH_SIDE", _SIDE_DEFAULT)
             with open(side, "w") as fh:
                 json.dump({"winner": dict(result), "loser_full": loser},
                           fh, indent=1)
@@ -118,10 +124,7 @@ def main() -> None:
         # budget; ops_cpu_sec is pure diagnostics (~210 B) and lives
         # in BENCH_local.json like the retry path's CPU dicts
         try:
-            side = os.environ.get(
-                "SPARK_GRAFT_BENCH_SIDE",
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_local.json"))
+            side = os.environ.get("SPARK_GRAFT_BENCH_SIDE", _SIDE_DEFAULT)
             with open(side, "w") as fh:
                 json.dump({"winner": dict(result)}, fh, indent=1)
         except OSError:
@@ -139,8 +142,39 @@ def _attempt_summary(res: dict) -> dict:
     # BENCH_local.json instead; tests/test_bench_retry.py pins the
     # printed-line budget.
     keep = ("value", "contended", "load_avg_before",
-            "load_avg_15m", "wall_spread_median", "retry_waited_sec")
+            "load_avg_15m", "wall_spread_median", "cpu_ratio_median",
+            "wall_ratio_median", "retry_waited_sec")
     return {k: res[k] for k in keep if k in res}
+
+
+def _stream_floor(spark, repeat: int) -> float:
+    """Median wall of the t-family machinery alone: a one-row parquet
+    file-stream driven through the identical start/processAllAvailable/
+    stop/memory-sink path the t-entries use (streaming/jobs.run_to_memory),
+    with zero operator work riding on it."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from jobhouse_spark.streaming.jobs import run_to_memory  # noqa: PLC0415
+
+    d = tempfile.mkdtemp(prefix="jh_stream_floor_")
+    try:
+        spark.range(1).selectExpr(
+            "id", "timestamp'2024-01-01 00:00:00' AS ts"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        walls: list[float] = []
+        for _ in range(max(1, repeat)):
+            t0 = time.perf_counter()
+            raw = (
+                spark.readStream.schema("id long, ts timestamp")
+                .format("parquet")
+                .load(d)
+            )
+            run_to_memory(raw, mode="append").collect()
+            walls.append(time.perf_counter() - t0)
+        return round(statistics.median(walls), 4)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # idle band from BASELINE.md's measured good/bad splits: good runs at
@@ -149,6 +183,63 @@ def _attempt_summary(res: dict) -> dict:
 # up; it decays within a couple of minutes).
 _IDLE_LOAD1 = 4.0
 _IDLE_LOAD15 = 4.4
+
+# External-interference telltales (round-15 verdict task 2): the r14 c8
+# scaling run proved load averages + repeat spread CANNOT see host-level
+# interference waves — a wave-poisoned 302.7 s attempt (g1 alone 194 s)
+# self-reported contended:false and beat a clean 25.9 s attempt in the
+# retry selection. Two per-query anchor baskets close the hole; both
+# are sf0.1-only (anchor values are layout-specific) and validated
+# against all seven recorded splits (four poisoned runs flag, the
+# clean c8 attempt / the r14 idle anchor / the 20.6 s curated run
+# pass):
+#
+# 1. Driver-process CPU on the s1/p2/o1 floor trio: waves inflate it
+#    2-6x while clean runs sit at 0.9-1.6x (poisoned c8 ratios
+#    2.0/2.3/2.4; its clean sibling 1.6/1.1/1.0). EXACTLY this trio —
+#    a wider basket dilutes below threshold on waves that spare the
+#    mid-size queries (measured round 15).
+# 2. Walls on a 6-query anchor basket: some waves inflate walls
+#    10-80x while leaving driver CPU near-flat (round-15 measured run:
+#    o1 wall 18.2 s = 79x anchor, its cpu 1.8x — the cpu telltale
+#    alone barely flags it at 2.1). Median wall ratio > 2.5 flags;
+#    clean c8 sat at 1.7, the curated 20.6 s run at ~1.7.
+#
+# Anchors are idle-box readings of queries untouched since r13
+# (BENCH_r13 best / BENCH_local curated). They are core-count-tolerant
+# (clean c8 medians: cpu 1.13, wall 1.73) but host-EPOCH dependent —
+# if the sandbox hardware generation changes, rescale via
+# SPARK_GRAFT_CPU_ANCHOR_SCALE / SPARK_GRAFT_WALL_ANCHOR_SCALE
+# instead of editing code.
+_CPU_ANCHORS = {
+    "s1_parquet_scan": 0.011,
+    "p2_filter": 0.015,
+    "o1_global_sort": 0.021,
+}
+_CPU_INFLATION_FLAG = 2.0
+_WALL_ANCHORS = {
+    "s1_parquet_scan": 0.183,
+    "p2_filter": 0.171,
+    "o1_global_sort": 0.229,
+    "g1_groupby_agg": 1.228,
+    "j1_inner_equi": 0.578,
+    "l1_exact_dedup": 0.232,
+}
+_WALL_INFLATION_FLAG = 2.5
+
+
+def _anchor_ratio_median(
+    timings: dict, anchors: dict, scale_env: str
+) -> float | None:
+    """Median of per-query reading / idle-anchor ratios over a basket —
+    the interference-wave telltale (see the anchor-table comment)."""
+    scale = float(os.environ.get(scale_env, "1.0"))
+    ratios = [
+        timings[q] / (a * scale)
+        for q, a in anchors.items()
+        if q in timings and a > 0
+    ]
+    return round(statistics.median(ratios), 2) if ratios else None
 
 
 def _wait_for_idle(max_wait: float) -> float:
@@ -255,13 +346,33 @@ def _measure(args) -> dict:
             ops_timings.update(jh11_walls)
             ops_cpu.update(jh11_cpus)
 
+    # streaming machinery floor (round-15 verdict task 6): ~0.9 s of
+    # t2's ~1.1 s wall is micro-batch startup + file listing + memory
+    # sink + stop — machinery every t-entry pays per invocation, not
+    # operator cost. Measured with the same median-of-repeat protocol
+    # on a ONE-ROW passthrough stream so the JSON separates the floor
+    # from the operators that ride on it.
+    stream_floor = None
+    if any(n.startswith("t") for n in timings):
+        stream_floor = _stream_floor(spark, args.repeat)
+
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 4)
     spread_median = round(statistics.median(spreads), 3) if spreads else None
+    # anchor telltales only where the anchors mean something: the
+    # default sf0.1 layout (scale ladders pass other dirs)
+    cpu_ratio = wall_ratio = None
+    if sf == "0.1":
+        cpu_ratio = _anchor_ratio_median(
+            cpu_timings, _CPU_ANCHORS, "SPARK_GRAFT_CPU_ANCHOR_SCALE")
+        wall_ratio = _anchor_ratio_median(
+            timings, _WALL_ANCHORS, "SPARK_GRAFT_WALL_ANCHOR_SCALE")
     # the documented sandbox-contention signature, now machine-readable:
-    # other load already on the box, or repeats that disagree by >50%
-    # in the middle of the distribution. Judges/rounds read the verdict
-    # from the JSON instead of re-deriving it from cpu_sec flatness.
+    # other load already on the box, repeats that disagree by >50% in
+    # the middle of the distribution, or cpu/wall inflation on the
+    # anchor baskets (the wave telltales — see _CPU_ANCHORS above).
+    # Judges/rounds read the verdict from the JSON instead of
+    # re-deriving it.
     contended = bool(
         load_before > 4.0
         # recent heavy activity still settling; threshold from measured
@@ -270,6 +381,8 @@ def _measure(args) -> dict:
         # would flag genuinely idle runs for ~15 minutes)
         or load15 > 6.0
         or (spread_median is not None and spread_median > 1.5)
+        or (cpu_ratio is not None and cpu_ratio > _CPU_INFLATION_FLAG)
+        or (wall_ratio is not None and wall_ratio > _WALL_INFLATION_FLAG)
     )
     return {
                 "metric": "headline_query_wall_clock_total",
@@ -286,7 +399,11 @@ def _measure(args) -> dict:
                 "load_avg_5m": round(load5, 2),
                 "load_avg_15m": round(load15, 2),
                 "wall_spread_median": spread_median,
+                "cpu_ratio_median": cpu_ratio,
+                "wall_ratio_median": wall_ratio,
                 "contended": contended,
+                **({"stream_floor_sec": stream_floor}
+                   if stream_floor is not None else {}),
                 **({"skipped": skipped} if skipped else {}),
                 **({"gc_between_repeats": True} if args.gc_between_repeats else {}),
                 # separate keys: NOT part of the baseline-comparable

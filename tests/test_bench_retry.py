@@ -109,7 +109,9 @@ def _realistic(value, contended):
         "unit": "sec", "queries": {n: 1.2345 for n in qnames},
         "cpu_sec": {n: 0.0456 for n in qnames}, "repeat": 3, "sf": 0.1,
         "load_avg_before": 6.73, "load_avg_5m": 5.1, "load_avg_15m": 6.73,
-        "wall_spread_median": 1.081, "contended": contended,
+        "wall_spread_median": 1.081, "cpu_ratio_median": 1.23,
+        "wall_ratio_median": 1.45,
+        "contended": contended, "stream_floor_sec": 0.9123,
         "ops_queries": {n: 4.5678 for n in ops},
         "ops_cpu_sec": {n: 0.1234 for n in ops},
         "ops_total": 22.839,
@@ -139,11 +141,69 @@ def test_retry_line_fits_driver_tail_capture(monkeypatch, capsys, tmp_path):
         assert "queries" not in other and "ops_total" not in other
         assert set(other) <= {"value", "contended", "load_avg_before",
                               "load_avg_15m", "wall_spread_median",
+                              "cpu_ratio_median", "wall_ratio_median",
                               "retry_waited_sec"}
     # the full dual-attempt record is preserved in the side file
     rec = json.loads(side.read_text())
     assert "queries" in rec["loser_full"] and "cpu_sec" in rec["loser_full"]
     assert "cpu_sec" in rec["winner"] and "other_attempt" not in rec["winner"]
+
+
+def _cpu_ratio(bench, cpu):
+    return bench._anchor_ratio_median(
+        cpu, bench._CPU_ANCHORS, "SPARK_GRAFT_CPU_ANCHOR_SCALE")
+
+
+def _wall_ratio(bench, walls):
+    return bench._anchor_ratio_median(
+        walls, bench._WALL_ANCHORS, "SPARK_GRAFT_WALL_ANCHOR_SCALE")
+
+
+def test_cpu_ratio_telltale_discriminates_measured_splits():
+    """Round-15 verdict task 2: load averages + spread missed the r14
+    c8 interference wave (a 302.7 s attempt with g1=194 s self-reported
+    contended:false and won the retry over a clean 25.9 s attempt).
+    The cpu_sec telltale must flag that poisoned attempt and pass the
+    clean one — both dicts below are the REAL per-query cpu_sec values
+    from BENCH_r14_c8.json's two attempts."""
+    bench = _load_bench()
+    poisoned = {"s1_parquet_scan": 0.0219, "p2_filter": 0.0347,
+                "o1_global_sort": 0.0498}
+    clean = {"s1_parquet_scan": 0.0179, "p2_filter": 0.0169,
+             "o1_global_sort": 0.0205}
+    assert _cpu_ratio(bench, poisoned) > bench._CPU_INFLATION_FLAG
+    assert _cpu_ratio(bench, clean) <= bench._CPU_INFLATION_FLAG
+    assert _cpu_ratio(bench, {}) is None  # non-headline tags
+
+
+def test_wall_ratio_telltale_catches_cpu_flat_waves():
+    """Some waves inflate walls 10-80x while leaving driver CPU nearly
+    flat (round-15 measured run: o1 wall 18.2 s = 79x anchor, cpu only
+    1.8x) — the wall basket must flag those. Poisoned walls below are
+    the REAL round-15 run that self-reported contended:false; the
+    clean dict is the r14 c8 clean attempt (8 cores — the telltale
+    must tolerate the low-core fixed-cost bump)."""
+    bench = _load_bench()
+    poisoned = {"s1_parquet_scan": 0.7568, "p2_filter": 14.7007,
+                "o1_global_sort": 18.2176, "g1_groupby_agg": 1.7676,
+                "j1_inner_equi": 1.0943, "l1_exact_dedup": 2.2088}
+    clean_c8 = {"s1_parquet_scan": 0.4694, "p2_filter": 0.296,
+                "o1_global_sort": 0.3997, "g1_groupby_agg": 1.8289,
+                "j1_inner_equi": 0.7901, "l1_exact_dedup": 0.314}
+    assert _wall_ratio(bench, poisoned) > bench._WALL_INFLATION_FLAG
+    assert _wall_ratio(bench, clean_c8) <= bench._WALL_INFLATION_FLAG
+
+
+def test_cpu_inflated_attempt_triggers_retry(monkeypatch, capsys):
+    """An attempt whose only contention signal is the cpu telltale must
+    lose to a clean retry — the c8 failure mode end to end."""
+    wave = dict(CONTENDED, value=302.7, cpu_ratio_median=2.31,
+                load_avg_before=0.5, load_avg_15m=1.0,
+                wall_spread_median=1.1)
+    idle = dict(IDLE, cpu_ratio_median=1.05)
+    res = _run(monkeypatch, capsys, [wave, idle])
+    assert res["value"] == 15.0 and res["contended"] is False
+    assert res["other_attempt"]["cpu_ratio_median"] == 2.31
 
 
 def test_single_attempt_line_fits_budget_with_jh12_keys(
