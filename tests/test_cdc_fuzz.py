@@ -16,12 +16,13 @@ import pytest
 
 from tools.cdc_fuzz import gen_log, run_block
 
-# (seed, mode) — small blocks so the whole net stays under a minute
+# (seed, mode) — one always-on block per mode; the second pair is
+# campaign-gated (round-15 verdict task 1 — driver verify-window)
 CASES = [
     (95001, "snapshot"),
     (95002, "incremental"),
-    (95003, "snapshot"),
-    (95004, "incremental"),
+    pytest.param(95003, "snapshot", marks=pytest.mark.campaign),
+    pytest.param(95004, "incremental", marks=pytest.mark.campaign),
 ]
 
 

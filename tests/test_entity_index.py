@@ -53,6 +53,7 @@ def corpus():
     return variants
 
 
+@pytest.mark.campaign  # round-15 verdict task 1: driver verify-window
 def test_indexed_equals_plain_and_rebuild(spark, corpus):
     cut = len(corpus) * 2 // 3
     day1 = _df(spark, corpus[:cut])
@@ -75,6 +76,7 @@ def test_indexed_equals_plain_and_rebuild(spark, corpus):
     assert _rows(nxt) == _rows(resolve_entities_incremental(batch2, indexed))
 
 
+@pytest.mark.campaign  # round-15 verdict task 1: driver verify-window
 def test_indexed_noop_batches(spark, corpus):
     day1 = _df(spark, corpus[: len(corpus) // 2])
     stored = resolve_entities(day1)
@@ -91,6 +93,7 @@ def test_indexed_noop_batches(spark, corpus):
     assert _rows(repeat) == _rows(stored)
 
 
+@pytest.mark.campaign  # round-15 verdict task 1: driver verify-window
 def test_indexed_chained_bridge_with_parquet_roundtrip(spark, tmp_path):
     """The K=4 cross-day bridge chain of
     test_incremental_resolution_chained_days, through the INDEXED path
@@ -132,6 +135,7 @@ def test_indexed_chained_bridge_with_parquet_roundtrip(spark, tmp_path):
     assert snapshots[3]["quasar shipping"] == snapshots[0]["quasar shipping"]
 
 
+@pytest.mark.campaign  # round-15 verdict task 1: driver verify-window
 def test_index_refresh_df_is_equivalence_preserving(spark, corpus):
     """refresh_df=True merges batch gram counts into the snapshot —
     a candidate-pruning tune-up that must not change results, and the

@@ -17,6 +17,7 @@ subprocess JVM.
 
 from __future__ import annotations
 
+import pytest
 import subprocess
 import sys
 
@@ -68,6 +69,7 @@ def _run_probe(master: str) -> str:
     return lines[-1]
 
 
+@pytest.mark.campaign  # round-15 verdict task 1: driver verify-window
 def test_task_retry_heals_transient_failure():
     """local[4, 3]: the first attempt of partition 0 dies; Spark re-runs
     that task attempt alone and the job completes with the exact answer

@@ -19,7 +19,12 @@ def _stats():
             "rebuild_checks": 0, "skipped_steps": 0}
 
 
-@pytest.mark.parametrize("seed", [120000, 120007])
+# one trajectory always-on, the second campaign-gated (round-15
+# verdict task 1 — driver verify-window)
+@pytest.mark.parametrize(
+    "seed",
+    [pytest.param(120000, marks=pytest.mark.campaign), 120007],
+)
 def test_lifecycle_trajectory_green(spark, seed):
     stats = _stats()
     mf.run_trajectory(spark, seed, 6, stats)

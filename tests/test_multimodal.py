@@ -3,6 +3,8 @@ media schema → mapInPandas feature extraction with the stubbed codec."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import os
 import tempfile
@@ -26,6 +28,7 @@ def _make_media_dir() -> tuple[str, dict[str, bytes]]:
     return d, files
 
 
+@pytest.mark.campaign  # round-15 verdict task 1: driver verify-window
 def test_binary_scan_and_feature_extraction(spark):
     d, files = _make_media_dir()
     media = read_binary_dir(spark, d, "image")

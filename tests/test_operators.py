@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -34,6 +35,7 @@ def _naive_asof(left_rows, right_rows):
     return out
 
 
+@pytest.mark.campaign  # round-15 verdict task 1: driver verify-window
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(

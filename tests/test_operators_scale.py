@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from jobhouse_spark.operators.ann import ivf_top_k, train_centroids
@@ -20,6 +22,7 @@ def test_salted_group_count_equals_plain(spark, sf_dir):
     assert salted == plain
 
 
+@pytest.mark.campaign  # round-15 verdict task 1: driver verify-window
 def test_salted_join_equals_plain(spark, sf_dir):
     t = Tables(spark, sf_dir)
     plain = (
@@ -54,6 +57,7 @@ def test_salted_group_count_map_column_schema(spark, sf_dir):
     assert salted == plain
 
 
+@pytest.mark.campaign  # round-15 verdict task 1: driver verify-window
 def test_salted_join_bounds_hot_key_reducer(spark):
     """The scale property salting buys: a key holding ~30% of the fact
     table lands on ONE reducer unsalted, but spreads over (nearly) all
@@ -137,6 +141,7 @@ def test_salted_count_duplicate_rows_spread(spark):
     assert counted[0].n == 10_000
 
 
+@pytest.mark.campaign  # round-15 verdict task 1: driver verify-window
 def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     emb = Tables(spark, sf_dir).embeddings
     probes = emb.filter(F.col("vec_id") < 5)
@@ -520,6 +525,7 @@ def test_nearest_cells_udf_matches_expr(spark, sf_dir):
         assert list(r.e) == list(r.u), (r.vec_id, r.e, r.u)
 
 
+@pytest.mark.campaign  # round-15 verdict task 1: driver verify-window
 def test_ivf_udf_strategy_matches_expr_strategy(spark, sf_dir):
     emb = Tables(spark, sf_dir).embeddings
     probes = emb.filter(F.col("vec_id") < 3)

@@ -218,15 +218,13 @@ def _make_fuzz_dir(root: str, seed: int) -> str:
     return out
 
 
-# Default-run seed block (round-15 verdict task 1): seed 2 (null-heavy
-# — the profile that exercises the e5/l25 NULL paths) and seed 5
-# (tie-heavy) stay always-on; the other profiles are campaign-gated
-# (JH_FULL_TESTS=1) — breadth re-verification, not regression pins.
-@pytest.mark.parametrize(
-    "seed",
-    [pytest.param(s, marks=pytest.mark.campaign) if s in (1, 3, 4)
-     else s for s in sorted(_PROFILES)],
-)
+# Campaign-gated (round-15 verdict task 1): each seed runs the full
+# 23-entry family sweep (22-115 s each) — breadth re-verification for
+# JH_FULL_TESTS=1 / gate.sh runs, not default-suite regression pins.
+# The always-on nets for the divergences these profiles caught live in
+# focused tests (e.g. test_e5_nulls.py for the NULL-user surface).
+@pytest.mark.campaign
+@pytest.mark.parametrize("seed", sorted(_PROFILES))
 def test_fuzzed_oracles_agree(spark, tmp_path_factory, seed):
     from jobhouse_spark.queries import all_queries
 

@@ -13,7 +13,19 @@ def _ids():
     return sorted(all_queries())
 
 
-@pytest.mark.parametrize("name", _ids())
+# Campaign-gated registry entries (round-15 verdict task 1): t14 runs a
+# real stream-stream LEFT OUTER join to watermark eviction — 88 s of
+# the default suite for one entry that is ALSO pinned by the always-on
+# streaming-fuzz seed 0, the t14 unit tests (test_streaming), and the
+# driver's own sf0.01 differential.
+_CAMPAIGN_ONLY = {"t14_stream_stream_left_join"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.campaign) if n in _CAMPAIGN_ONLY
+     else n for n in _ids()],
+)
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     from tests.oracle import compare_frames
 

@@ -78,6 +78,7 @@ def _quant_error(mat: np.ndarray, cbs: list[list[list[int]]]) -> float:
     return err
 
 
+@pytest.mark.campaign  # round-15 verdict task 1: driver verify-window
 def test_codes_deterministic_and_in_range(spark, sf_dir):
     emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cbs = pq_fixed_codebooks(7, N_SUB, N_CODES, SUB_DIM)
@@ -89,6 +90,7 @@ def test_codes_deterministic_and_in_range(spark, sf_dir):
         assert all(0 <= c < N_CODES for c in r["codes"])
 
 
+@pytest.mark.campaign  # round-15 verdict task 1: driver verify-window
 def test_reconstruct_matches_numpy(spark, sf_dir, emb):
     """Spark's literal-array reconstruction == numpy lookup of the same
     codes — pins pq_reconstruct's indexing (1-based element_at over the
@@ -141,6 +143,7 @@ def _mean_recall(spark, sf_dir, emb, trained, **kw) -> float:
     return float(np.mean(recalls))
 
 
+@pytest.mark.campaign  # round-15 verdict task 1: driver verify-window
 def test_trained_rerank_recall_vs_exact(spark, sf_dir, emb):
     """The production shape — trained codebooks, ADC shortlist of 100,
     exact re-rank — must put most of the exact integer-dot top-10 in
@@ -260,6 +263,7 @@ def test_stored_index_search_matches_inline(spark, sf_dir, tmp_path):
         assert split == inline and len(split) > 0
 
 
+@pytest.mark.campaign  # round-15 verdict task 1: driver verify-window
 def test_index_append_equals_rebuild(spark, sf_dir, tmp_path):
     """Incremental maintenance (pq_index_append, round-10 l27e): a
     bootstrap build over half the corpus + an append of the other half
@@ -300,6 +304,7 @@ def test_index_append_equals_rebuild(spark, sf_dir, tmp_path):
     assert res_inc == res_full and len(res_inc) > 0
 
 
+@pytest.mark.campaign  # round-15 verdict task 1: driver verify-window
 def test_index_append_guard_makes_replay_idempotent(spark, sf_dir, tmp_path):
     """guard_duplicates: replaying the SAME batch (the failed-append
     retry scenario) with the guard on is a no-op — the stored index

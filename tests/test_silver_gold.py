@@ -9,6 +9,7 @@ import os
 import tempfile
 from datetime import datetime, timezone
 
+import pytest
 from pyspark.sql import functions as F
 
 from jobhouse_spark.silver import (
@@ -473,6 +474,7 @@ def test_incremental_resolution_equals_full_on_split(spark):
     )
 
 
+@pytest.mark.campaign  # round-15 verdict task 1: driver verify-window
 def test_incremental_resolution_chained_days(spark):
     """Round-13 verdict task 3: production applies one batch per day
     FOREVER — the single-batch equivalence (jh11) is the inductive

@@ -32,7 +32,14 @@ def _load_tool():
     return mod
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
+# seed 0 (the boundary-bug catcher) stays always-on; 1-2 are
+# campaign-gated (round-15 verdict task 1 — driver verify-window)
+@pytest.mark.parametrize(
+    "seed",
+    [0,
+     pytest.param(1, marks=pytest.mark.campaign),
+     pytest.param(2, marks=pytest.mark.campaign)],
+)
 def test_streaming_fuzz_pinned_seeds(spark, seed):
     tool = _load_tool()
     duck = duckdb.connect()

@@ -5,15 +5,22 @@
 # round 3 lost a green board to a testdata contract change that a single
 # run of this script would have caught.
 #
-#   ./tools/gate.sh            # full gate (~5-8 min)
-#   ./tools/gate.sh --fast     # pytest + sf0.001 driver sim (~2 min)
+#   ./tools/gate.sh            # default gate (driver-shaped: default
+#                              #   pytest suite + sf0.01 sim + audit)
+#   ./tools/gate.sh --fast     # pytest + sf0.001 driver sim
+#   ./tools/gate.sh --full     # everything incl. campaign-marked tests
+#                              #   (JH_FULL_TESTS=1) — pre-snapshot run
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 FAST=${1:-}
 
 echo "=== gate 1/3: pytest ==="
-python -m pytest tests/ -x -q
+if [[ "$FAST" == "--full" ]]; then
+  JH_FULL_TESTS=1 python -m pytest tests/ -x -q
+else
+  python -m pytest tests/ -x -q
+fi
 
 echo "=== gate 2/3: driver simulation (entry + full registry vs DuckDB oracles) ==="
 if [[ "$FAST" == "--fast" ]]; then
