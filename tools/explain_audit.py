@@ -25,7 +25,8 @@ from jobhouse_spark.session import get_spark
 # AQE/broadcast decisions are size-dependent: the same audit must hold
 # on the scale-ladder layouts, not just the tiny default (pass the data
 # dir as argv[1], e.g. /tmp/jh_scale_30x — VERDICT r7 task #4).
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _ARGS[0] if _ARGS else "/root/testdata/sf0.01"
 
 
 def plan_of(spark, name: str) -> str:
@@ -249,9 +250,18 @@ def main() -> None:
     p = plan_of(spark, "jh5_vacancy_lifecycle")
     # chained SCD2 applies must truncate lineage between days: without
     # the snapshot/history checkpoints the replay-silver subtree is
-    # referenced multiplicatively (12 bronze scans in the r13 plan)
-    check("ExistingRDD" in p and "Scan json" not in p,
-          "jh5: scd2 chain lost its lineage truncation (bronze re-scans)")
+    # referenced multiplicatively (12 bronze scans in the r13 plan).
+    # Gate on the BRONZE-SOURCE SCAN COUNT (<= one per snapshot day,
+    # json or parquet — ADVICE r14), not on the ExistingRDD mechanism:
+    # any lineage-truncation implementation (localCheckpoint, cache +
+    # materialize, a persisted history table) that yields at most one
+    # source read per day passes; a plan that re-scans bronze fails
+    # regardless of which truncation nodes it also contains.
+    n_source_scans = len(
+        re.findall(r"^\(\d+\) Scan (?:json|parquet)", p, re.MULTILINE))
+    check(n_source_scans <= 3,
+          f"jh5: {n_source_scans} bronze-source scans (> one per "
+          "snapshot day — scd2 chain lost its lineage truncation)")
 
     p = plan_of(spark, "a8b_bronze_hive_pruned")
     check("PartitionFilters" in p and "day" in p.split("PartitionFilters")[1][:200],
@@ -588,6 +598,55 @@ def main() -> None:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+    # --- round-15: registry-wide source-scan ceilings (verdict task 7) ---
+    # The r14 round's biggest find (multi-reference recompute: l14 4
+    # scans, g20 5, jh5 12) was caught by a ONE-OFF sweep with
+    # tools/explain_dump.py; this promotes it into the gate. Every
+    # registry entry's plan may contain at most the number of source
+    # scans (parquet/json/csv/text headers) pinned in
+    # tools/scan_ceilings.json — the counts of the audited round-15
+    # shapes, reviewed against each query's declared inputs (self-joins
+    # and two-pass stats legitimately count twice). A new query without
+    # a ceiling fails the gate: declare the expected scan count when
+    # registering. Regenerate after an intentional shape change with
+    #   python tools/explain_audit.py --write-ceilings
+    # (and review the diff — a count that went UP is the regression
+    # class this gate exists for). sf0.01-only: ceilings are
+    # layout-reviewed there; scale runs audit the named checks above.
+    if SF_DIR == "/root/testdata/sf0.01" and not os.environ.get(
+        "JH_SKIP_SCAN_SWEEP"
+    ):
+        import json  # noqa: PLC0415
+
+        ceil_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "scan_ceilings.json")
+        scan_re = re.compile(r"^\(\d+\) Scan (?:parquet|json|csv|text)", re.M)
+        qs = all_queries()
+        counts: dict[str, int] = {}
+        for name in sorted(qs):
+            try:
+                counts[name] = len(scan_re.findall(plan_of(spark, name)))
+            except Exception as exc:  # noqa: BLE001 - record, keep sweeping
+                failures.append(f"scan sweep: {name} failed to plan: {exc}")
+        if "--write-ceilings" in sys.argv:
+            with open(ceil_path, "w") as fh:
+                json.dump(counts, fh, indent=1, sort_keys=True)
+            print(f"wrote {ceil_path} ({len(counts)} entries)")
+        else:
+            with open(ceil_path) as fh:
+                ceilings = json.load(fh)
+            missing = [n for n in counts if n not in ceilings]
+            check(not missing,
+                  f"scan sweep: entries without a declared ceiling "
+                  f"(add to tools/scan_ceilings.json): {missing}")
+            for name, n in counts.items():
+                if name in ceilings and n > ceilings[name]:
+                    failures.append(
+                        f"scan sweep: {name} has {n} source scans > "
+                        f"ceiling {ceilings[name]} — a consumer is "
+                        f"re-executing an input subtree "
+                        f"(multi-reference recompute)")
 
     if failures:
         print("PLAN AUDIT FAILED:")
